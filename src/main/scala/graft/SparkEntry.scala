@@ -1,13 +1,60 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.laplace.{BlockSolver, CellSolver, GridGen, Laplace}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is assembled from the operator modules; every SQL-expressible
+  * query carries DuckDB oracle SQL. Laplace solver queries are iterative
+  * fixed-point computations with no SQL equivalent — they are rows-only
+  * here and bit-exact-verified against a scalar oracle in LaplaceSpec.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q03_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
+  private def laplaceDefs: Seq[QueryDef] = Seq(
+    // O1/O2: distributed grid generation — fully SQL-expressible.
+    QueryDef("laplace_grid_init",
+      (s, _) => GridGen.cells(s, 32).orderBy("i", "j"),
+      Some("""
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+               CASE WHEN i = 0 THEN 4.56 WHEN i = 31 THEN 9.85
+                    WHEN j = 0 THEN 7.32 WHEN j = 31 THEN 6.88
+                    ELSE 0.0 END AS v
+        FROM range(32) t(i) CROSS JOIN range(32) s(j)
+        ORDER BY i, j""")),
+    // O3-O7: full red-black SOR solve, canonical cell-table plan.
+    QueryDef("laplace_solve_cell_n8",
+      (s, _) => CellSolver.solve(s, 8).grid.orderBy("i", "j"), None),
+    // O3-O12: block-row solver (the MPI-shaped scale path).
+    QueryDef("laplace_solve_block_n32",
+      (s, _) => BlockSolver.solve(s, 32, numBlocks = 8).grid.orderBy("i", "j"), None),
+    // O15: metrics sink — the reference's `Statistics:` line as one row.
+    QueryDef("laplace_stats_n16",
+      (s, _) => {
+        val r = BlockSolver.solve(s, 16, numBlocks = 4)
+        val sp = s
+        import sp.implicits._
+        Seq((16, r.iterations, r.finalDiff, Laplace.epsilon(16), Laplace.omega(16)))
+          .toDF("n", "num_iterations", "final_diff", "epsilon", "omega")
+      }, None)
+  )
+
+  private def allDefs: Seq[QueryDef] =
+    laplaceDefs ++ graft.operators.Relational.defs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case QueryDef(n, _, Some(sql)) => n -> sql.trim }.toMap
 }

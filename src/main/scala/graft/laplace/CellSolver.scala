@@ -1,0 +1,88 @@
+package graft.laplace
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical red-black SOR solver over the cell table (i, j, v, d).
+  *
+  * Declarative Spark-first reformulation of the reference's sweep
+  * (`laplace-seq.c:184-209`): one half-sweep = one DataFrame transform.
+  * Cells of the active color gather their 4 neighbors — which are all of
+  * the *opposite* color, so a single `explode` of the opposite-color cells
+  * into (target, slot, value) contributions followed by a groupBy yields
+  * every neighbor sum in ONE shuffle; the reference's halo exchange
+  * (`laplace-par.c:371-417`) is just the slice of this shuffle that crosses
+  * partition boundaries, and Spark routes it with the same hash exchange it
+  * uses for everything else.
+  *
+  * Bit-parity notes (§2.1 of SURVEY.md):
+  *  - neighbor sum is evaluated (up + down + left + right) / 4.0 with
+  *    left-associated adds, matching the C expression order;
+  *  - v' = (1-omega)*v + omega*tmp with (1-omega) precomputed driver-side;
+  *  - only interior cells of the active color change; boundary rows pass
+  *    through untouched;
+  *  - the only reduction is max(|v - v'|), which is order-insensitive.
+  *
+  * Gauss-Seidel semantics: the color-1 half-sweep consumes the color-0
+  * half-sweep's OUTPUT (not the iteration's input), so each half-sweep is
+  * materialized (`localCheckpoint`) before the next — which also truncates
+  * lineage, the one failure mode the in-place C update doesn't have. On a
+  * durable cluster deployment, swap `localCheckpoint` for `checkpoint` with
+  * an HDFS checkpoint dir to survive executor loss.
+  */
+object CellSolver {
+
+  /** One half-sweep for `color` (0: (i+j) even, 1: odd). Input and output
+    * carry a diff column `d`; rows not updated this half-sweep keep their
+    * previous `d`, so after the color-1 half-sweep max(d) is exactly the
+    * iteration's maxDiff (reset-per-iteration semantics of
+    * `laplace-seq.c:188`).
+    */
+  def sweep(grid: DataFrame, color: Int, n: Int, omega: Double): DataFrame = {
+    val contrib = grid
+      .filter((col("i") + col("j")) % 2 === (1 - color))
+      .select(explode(array(
+        struct((col("i") + 1).as("ti"), col("j").as("tj"), lit(0).as("slot"), col("v").as("nv")),
+        struct((col("i") - 1).as("ti"), col("j").as("tj"), lit(1).as("slot"), col("v").as("nv")),
+        struct(col("i").as("ti"), (col("j") + 1).as("tj"), lit(2).as("slot"), col("v").as("nv")),
+        struct(col("i").as("ti"), (col("j") - 1).as("tj"), lit(3).as("slot"), col("v").as("nv"))
+      )).as("c"))
+      .select(col("c.ti"), col("c.tj"), col("c.slot"), col("c.nv"))
+      .groupBy("ti", "tj")
+      .agg(
+        max(when(col("slot") === 0, col("nv"))).as("up"),
+        max(when(col("slot") === 1, col("nv"))).as("down"),
+        max(when(col("slot") === 2, col("nv"))).as("left"),
+        max(when(col("slot") === 3, col("nv"))).as("right"))
+
+    val active = col("i").between(1, n - 2) && col("j").between(1, n - 2) &&
+      (col("i") + col("j")) % 2 === color
+    val tmp = (col("up") + col("down") + col("left") + col("right")) / 4.0
+    val vNew = lit(1.0 - omega) * col("v") + lit(omega) * tmp
+
+    grid
+      .join(contrib, col("i") === col("ti") && col("j") === col("tj"), "left")
+      .select(
+        col("i"), col("j"),
+        when(active, vNew).otherwise(col("v")).as("v"),
+        when(active, abs(col("v") - vNew)).otherwise(col("d")).as("d"))
+  }
+
+  def solve(spark: SparkSession, n: Int, maxIterations: Int = Int.MaxValue): Laplace.Result = {
+    val om = Laplace.omega(n)
+    val eps = Laplace.epsilon(n)
+    var grid = GridGen.cells(spark, n).withColumn("d", lit(0.0)).localCheckpoint(true)
+    var iterations = 0
+    var maxDiff = 0.0
+    var continue = true
+    while (continue && iterations < maxIterations) {
+      val g0 = sweep(grid, 0, n, om).localCheckpoint(true)
+      val g1 = sweep(g0, 1, n, om).localCheckpoint(true)
+      maxDiff = g1.agg(max("d")).head().getDouble(0)
+      grid = g1
+      iterations += 1
+      continue = maxDiff > eps
+    }
+    Laplace.Result(grid.select("i", "j", "v"), iterations, maxDiff)
+  }
+}

@@ -1,0 +1,399 @@
+package graft.operators
+
+import graft.{QueryDef, Sql, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / SQL surface (SURVEY.md §2.2): one named query per operator
+  * category, each with the ANSI SQL its DuckDB oracle runs.
+  *
+  * Cross-engine rules applied throughout (see also [[graft.Sql]]):
+  *  - every computed column is aliased identically on both sides;
+  *  - double aggregation goes through exact DECIMAL(12,2) arithmetic, so
+  *    results are independent of partitioning/accumulation order — the same
+  *    property that makes them reproducible on a 1000-executor cluster;
+  *  - ORDER BY on a deterministic unique key everywhere, with NULLS FIRST
+  *    spelled explicitly in the oracle (Spark's ascending default);
+  *  - derived integer columns are cast to BIGINT (DuckDB's natural width);
+  *  - timestamps leave the query as formatted strings (engines differ in
+  *    sub-second physical precision).
+  *
+  * Scale notes per query are inline. The dimension tables (region, nation,
+  * supplier, part, customer at these SFs) ride broadcast joins — lineitem,
+  * the 100 TB fact at scale, is never shuffled for them.
+  */
+object Relational {
+
+  private val ONE = lit(1)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------------
+    // Aggregation: groupBy + exact decimal sums/avgs (TPC-H Q1 shape).
+    // Scale: partial aggregation map-side reduces 100 TB to |groups| rows
+    // per partition before the single shuffle; filter is pushed to parquet.
+    QueryDef("q01_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1999-12-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Sql.dsum(col("l_quantity")).as("sum_qty"),
+          Sql.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Sql.dsumProd(col("l_extendedprice"), ONE - col("l_discount")).as("sum_disc_price"),
+          Sql.dsumProd3(col("l_extendedprice"), ONE - col("l_discount"), ONE + col("l_tax")).as("sum_charge"),
+          Sql.davg(col("l_quantity")).as("avg_qty"),
+          Sql.davg(col("l_discount")).as("avg_disc"),
+          count(ONE).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               ${Sql.oDsum("l_quantity")} AS sum_qty,
+               ${Sql.oDsum("l_extendedprice")} AS sum_base_price,
+               ${Sql.oDsumProd("l_extendedprice", "1 - l_discount")} AS sum_disc_price,
+               ${Sql.oDsumProd3("l_extendedprice", "1 - l_discount", "1 + l_tax")} AS sum_charge,
+               ${Sql.oDavg("l_quantity")} AS avg_qty,
+               ${Sql.oDavg("l_discount")} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // -------------------------------------------------------------------
+    // Scan + filter + project: predicates and the projection reach the
+    // parquet scan (PushedFilters / ReadSchema — asserted in PlanSpec).
+    QueryDef("q02_filter_project",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+          col("l_discount") >= 0.05 && col("l_quantity") < 25)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice").cast("decimal(12,2)") *
+            (ONE - col("l_discount")).cast("decimal(12,2)")).cast("double").as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) AS DOUBLE) AS net_price
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_quantity < 25
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // -------------------------------------------------------------------
+    // Join chain with broadcast dims: the 100 TB fact joins region/nation/
+    // customer without shuffling itself (broadcast-hash all the way).
+    QueryDef("q03_revenue_by_nation",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            Sql.dsumProd(col("l_extendedprice"), ONE - col("l_discount")).as("revenue"),
+            countDistinct(col("c_custkey")).as("n_customers"),
+            count(ONE).as("n_lineitems"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""
+        SELECT r_name, n_name,
+               ${Sql.oDsumProd("l_extendedprice", "1 - l_discount")} AS revenue,
+               count(DISTINCT c_custkey) AS n_customers,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+
+    // -------------------------------------------------------------------
+    // Top-k: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    // top-k then a k-row merge on the driver; no global sort at any scale.
+    QueryDef("q04_top_orders",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(Sql.dsumProd(col("l_extendedprice"), ONE - col("l_discount")).as("revenue"))
+        rev.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_name"), col("revenue"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some(s"""
+        SELECT o_orderkey, c_name, revenue, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        FROM (SELECT l_orderkey, ${Sql.oDsumProd("l_extendedprice", "1 - l_discount")} AS revenue
+              FROM lineitem GROUP BY l_orderkey) r
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10""")),
+
+    // -------------------------------------------------------------------
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    QueryDef("q05_semi_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment").agg(count(ONE).as("n_with_orders"))
+        val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment").agg(count(ONE).as("n_without_orders"))
+        withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+          .select(col("c_mktsegment"),
+            coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+            coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment,
+               count(CASE WHEN has_o THEN 1 END) AS n_with_orders,
+               count(CASE WHEN NOT has_o THEN 1 END) AS n_without_orders
+        FROM (SELECT c_mktsegment,
+                     EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+              FROM customer) t
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // -------------------------------------------------------------------
+    // Window functions: row_number / rank / lag / running sum. The running
+    // sum goes through decimal so the result is frame-order exact in both
+    // engines. Partition by user_id — at scale, one shuffle by user.
+    QueryDef("q06_window_funcs",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val byValue = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+            row_number().over(w).as("rn"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            sum(col("value").cast("decimal(12,2)")).over(running).cast("double").as("running_value"),
+            rank().over(byValue).as("value_rank"))
+          .orderBy("user_id", "rn")
+      },
+      Some("""
+        SELECT user_id, event_id, event_type, value,
+               CAST(row_number() OVER w AS INT) AS rn,
+               lag(value, 1) OVER w AS prev_value,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+               CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS value_rank
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, rn""")),
+
+    // -------------------------------------------------------------------
+    // ROLLUP with explicit grouping flags; NULLS FIRST pinned in the oracle.
+    // Expressed via spark.sql: the DataFrame `rollup` + `grouping()` combo
+    // trips Spark's ambiguous-self-join detection (SPARK analyzer limitation);
+    // the SQL route builds the identical Catalyst Aggregate(Rollup) plan.
+    QueryDef("q07_rollup",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("g_customer")
+        Tables.nation(s, d).createOrReplaceTempView("g_nation")
+        Tables.region(s, d).createOrReplaceTempView("g_region")
+        s.sql(s"""
+          SELECT r_name, n_name, count(*) AS n_customers,
+                 ${Sql.oDsum("c_acctbal")} AS sum_acctbal,
+                 CAST(GROUPING(r_name) AS INT) AS g_region,
+                 CAST(GROUPING(n_name) AS INT) AS g_nation
+          FROM g_customer
+          JOIN g_nation ON c_nationkey = n_nationkey
+          JOIN g_region ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP(r_name, n_name)
+          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
+      },
+      Some(s"""
+        SELECT r_name, n_name, count(*) AS n_customers,
+               ${Sql.oDsum("c_acctbal")} AS sum_acctbal,
+               CAST(GROUPING(r_name) AS INT) AS g_region,
+               CAST(GROUPING(n_name) AS INT) AS g_nation
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
+
+    // -------------------------------------------------------------------
+    // CUBE over orders.
+    QueryDef("q08_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(ONE).as("n_orders"), Sql.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               ${Sql.oDsum("o_totalprice")} AS sum_price
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // -------------------------------------------------------------------
+    // Set operations (distinct semantics on both sides).
+    QueryDef("q09_setops",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+        c.union(sup).distinct().withColumn("op", lit("union"))
+          .unionAll(c.intersect(sup).withColumn("op", lit("intersect")))
+          .unionAll(c.except(sup).withColumn("op", lit("except")))
+          .select("op", "nationkey")
+          .orderBy("op", "nationkey")
+      },
+      Some("""
+        SELECT 'union' AS op, nationkey
+        FROM (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'intersect' AS op, nationkey
+        FROM (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) t2(nationkey)
+        UNION ALL
+        SELECT 'except' AS op, nationkey
+        FROM (SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) t3(nationkey)
+        ORDER BY op, nationkey""")),
+
+    // -------------------------------------------------------------------
+    // String scalar functions over documents.
+    QueryDef("q10_string_funcs",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len_text"),
+          lower(substring(col("text"), 1, 20)).as("head_lower"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+          concat(col("lang"), lit(":"), col("source")).as("lang_source"),
+          upper(col("source")).as("source_upper"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, lang,
+               length(text) AS len_text,
+               lower(substr(text, 1, 20)) AS head_lower,
+               len(string_split(text, ' ')) AS n_tokens,
+               regexp_extract(text, '^(\w+)', 1) AS first_word,
+               lang || ':' || source AS lang_source,
+               upper(source) AS source_upper
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Date/time functions over orders.
+    QueryDef("q11_datetime",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+        .agg(count(ONE).as("n_orders"), Sql.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_year", "o_month"),
+      Some(s"""
+        SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(extract(month FROM o_orderdate) AS BIGINT) AS o_month,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               count(*) AS n_orders,
+               ${Sql.oDsum("o_totalprice")} AS sum_price
+        FROM orders
+        GROUP BY 1, 2, 3
+        ORDER BY o_year, o_month""")),
+
+    // -------------------------------------------------------------------
+    // Array functions: explode/split + aggregation (word frequencies).
+    QueryDef("q12_token_freq",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(ONE).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")),
+      Some("""
+        SELECT token, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        GROUP BY token
+        ORDER BY cnt DESC, token""")),
+
+    // -------------------------------------------------------------------
+    // JSON extraction from events.props.
+    QueryDef("q13_json",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(ONE).as("n"), sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          (sum(col("k")).cast("double") / count(ONE)).as("avg_k"))
+        .orderBy("event_type"),
+      Some("""
+        SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k, max(k) AS max_k,
+               CAST(sum(k) AS DOUBLE) / count(*) AS avg_k
+        FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // -------------------------------------------------------------------
+    // Distinct aggregation (exact; the approx variant is a separate
+    // rows-only query since HLL internals are engine-specific).
+    QueryDef("q14_distinct_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(ONE).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_suppliers,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_orderkey) AS n_orders,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // approx_count_distinct: sketch-based, engine-specific internals -> no
+    // SQL oracle; sanity (within rsd of exact) is asserted in RelationalSpec.
+    QueryDef("q15_approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // -------------------------------------------------------------------
+    // Range (theta) join: events within a trailing 5-minute window of each
+    // error event by the same user. Equi part (user_id) keys the shuffle;
+    // the range predicate filters inside each hash bucket — scales as a
+    // normal shuffled hash join, not a cross join.
+    QueryDef("q16_range_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val err = e.filter(col("event_type") === "error")
+          .select(col("user_id").as("u"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+        val all = e.select(col("user_id"), col("event_id"), col("ts"))
+        err.join(all,
+            col("u") === col("user_id") &&
+            col("ts") >= col("err_ts") - expr("INTERVAL 5 MINUTES") &&
+            col("ts") < col("err_ts"))
+          .groupBy("err_id")
+          .agg(count(ONE).as("n_preceding"))
+          .orderBy("err_id")
+      },
+      Some("""
+        SELECT e1.event_id AS err_id, count(*) AS n_preceding
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts >= e1.ts - INTERVAL 5 MINUTE
+         AND e2.ts < e1.ts
+        WHERE e1.event_type = 'error'
+        GROUP BY e1.event_id
+        ORDER BY err_id"""))
+  )
+}

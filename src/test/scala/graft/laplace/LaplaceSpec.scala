@@ -1,0 +1,91 @@
+package graft.laplace
+
+import graft.SparkSpec
+
+/** Differential tests: both Spark solvers must match the scalar oracle
+  * BIT-FOR-BIT (per-cell arithmetic order is fixed; max is exact), per
+  * SURVEY.md §5. Grid sizes cover: all-boundary (N=2), single interior
+  * cell (N=3), even/odd parity (N=4,5), and a golden run (N=16).
+  */
+class LaplaceSpec extends SparkSpec {
+
+  private def cellsOf(res: Laplace.Result): Map[(Int, Int), Double] =
+    res.grid.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+
+  private def checkAgainstOracle(n: Int, res: Laplace.Result): Unit = {
+    val oracle = ScalarOracle.solve(n)
+    assert(res.iterations === oracle.iterations, s"N=$n iterations")
+    assert(res.finalDiff === oracle.finalDiff, s"N=$n finalDiff (exact)")
+    val got = cellsOf(res)
+    assert(got.size === n * n)
+    for (i <- 0 until n; j <- 0 until n)
+      assert(got((i, j)) === oracle.grid(i)(j), s"N=$n cell ($i,$j) exact")
+  }
+
+  test("omega/epsilon formulas match hand-computed doubles") {
+    val p = math.cos(math.Pi / 16)
+    assert(Laplace.omega(16) === 1.6 / (1.0 + math.sqrt(1.0 - p * p)))
+    assert(Laplace.epsilon(16) === 0.000002 / (2.0 - 1.25 * Laplace.omega(16)))
+  }
+
+  test("grid generator: boundary precedence and interior zeros (N=5)") {
+    val g = GridGen.cells(spark, 5).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(g((0, 0)) === 4.56)   // i==0 wins at corners
+    assert(g((4, 0)) === 9.85)   // i==N-1 wins over j==0
+    assert(g((2, 0)) === 7.32)
+    assert(g((2, 4)) === 6.88)
+    assert(g((2, 2)) === 0.0)
+    assert(g.size === 25)
+  }
+
+  test("N=2: all boundary, converges in 1 iteration with diff 0") {
+    val res = BlockSolver.solve(spark, 2, numBlocks = 2)
+    assert(res.iterations === 1)
+    assert(res.finalDiff === 0.0)
+    checkAgainstOracle(2, res)
+  }
+
+  test("cell solver matches scalar oracle bit-for-bit (N=3,4,5)") {
+    for (n <- Seq(3, 4, 5)) checkAgainstOracle(n, CellSolver.solve(spark, n))
+  }
+
+  test("block solver matches scalar oracle bit-for-bit (N=3,4,5, varying blocks)") {
+    checkAgainstOracle(3, BlockSolver.solve(spark, 3, numBlocks = 2))
+    checkAgainstOracle(4, BlockSolver.solve(spark, 4, numBlocks = 3))
+    checkAgainstOracle(5, BlockSolver.solve(spark, 5, numBlocks = 4))
+  }
+
+  test("golden N=16: block solver, partition-count invariant") {
+    val r1 = BlockSolver.solve(spark, 16, numBlocks = 1)
+    val r4 = BlockSolver.solve(spark, 16, numBlocks = 4)
+    checkAgainstOracle(16, r1)
+    checkAgainstOracle(16, r4)
+  }
+
+  test("boundary cells never change (N=8, block solver)") {
+    val res = BlockSolver.solve(spark, 8, numBlocks = 3)
+    val got = cellsOf(res)
+    for (k <- 0 until 8) {
+      assert(got((0, k)) === Laplace.initialValue(0, k, 8))
+      assert(got((7, k)) === Laplace.initialValue(7, k, 8))
+      assert(got((k, 0)) === Laplace.initialValue(k, 0, 8))
+      assert(got((k, 7)) === Laplace.initialValue(k, 7, 8))
+    }
+  }
+
+  test("single color-0 half-sweep touches only (i+j) even interior cells (N=6)") {
+    val n = 6
+    val om = Laplace.omega(n)
+    val init = GridGen.cells(spark, n)
+      .withColumn("d", org.apache.spark.sql.functions.lit(0.0))
+    val after = CellSolver.sweep(init, 0, n, om).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (i <- 0 until n; j <- 0 until n) {
+      val interior = i >= 1 && i <= n - 2 && j >= 1 && j <= n - 2
+      val colour0 = (i + j) % 2 == 0
+      if (!(interior && colour0))
+        assert(after((i, j)) === Laplace.initialValue(i, j, n), s"($i,$j) must not move")
+    }
+  }
+}
