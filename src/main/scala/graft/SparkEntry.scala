@@ -47,7 +47,10 @@ object SparkEntry {
   )
 
   private def allDefs: Seq[QueryDef] =
-    laplaceDefs ++ graft.operators.Relational.defs
+    laplaceDefs ++ graft.operators.Relational.defs ++
+      graft.operators.Dedup.defs ++ graft.operators.TextAnalysis.defs ++
+      graft.operators.Similarity.defs ++ graft.operators.Multimodal.defs ++
+      graft.streaming.Streams.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map(q => q.name -> q.fn).toMap

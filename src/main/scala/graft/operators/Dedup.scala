@@ -1,0 +1,263 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (north star §2.3) over the `documents` /
+  * `embeddings` tables: exact, MinHash+LSH, SimHash, n-gram Jaccard and
+  * embedding-cosine near-dup. All five are oracle-verified against DuckDB
+  * running the same algorithm (see [[Ns]] for the cross-engine recipes).
+  *
+  * Scale design (100 TB): every pipeline is a pure shuffle-parallel
+  * DataFrame plan —
+  *  - exact dedup groups by a 256-bit hash, never shuffling full texts;
+  *  - MinHash signatures are one explode + one groupBy (map-side partial
+  *    `min` combine), and LSH banding turns the quadratic all-pairs
+  *    problem into an equi-join on (band, signature) — the join fan-out
+  *    is bounded by bucket size, not corpus size;
+  *  - SimHash is one explode + one groupBy with 32 partial-aggregated
+  *    bit counters, then pairing on the compact 32-bit fingerprint;
+  *  - n-gram Jaccard only scores LSH-candidate-sized blocks (here:
+  *    same-lang blocking) — the shingle join shuffles on the shingle
+  *    string, the natural high-cardinality key;
+  *  - cosine near-dup at scale goes through [[Similarity]]'s IVF/LSH
+  *    blocking; the exact all-pairs variant here is the correctness
+  *    oracle for it (embeddings is a fixed-size 500-row table).
+  */
+object Dedup {
+
+  private val K = 16 // minhash signature length
+  private val R = 4  // LSH rows per band -> 4 bands
+
+  /** 32-bit SimHash fingerprint per doc (shared by d03 / d03b). */
+  private def simhashFp(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("h", expr(Ns.hash32("token")))
+    val bitSums = (0 until 32).map(p =>
+      sum(when(expr(s"shiftright(h, $p) % 2") === 1, 1).otherwise(-1)).as(s"s$p"))
+    val fp = (0 until 32).map(p =>
+      when(col(s"s$p") > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------------
+    // Exact dedup: canonical representative per identical text. Group key
+    // is sha2(text) so at scale only 32-byte hashes shuffle; min(doc_id)
+    // picks a deterministic survivor.
+    QueryDef("d01_exact_dedup",
+      (s, d) => {
+        val w = Window.partitionBy(col("text_hash"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), sha2(col("text"), 256).as("text_hash"))
+          .select(col("doc_id"), col("text_hash"),
+            min(col("doc_id")).over(w).as("canonical_id"))
+          .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, sha256(text) AS text_hash,
+               min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,
+               doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // MinHash + LSH near-dup candidates: shingle (3-token) -> minhash ->
+    // band -> bucket-join. K=16 hash functions h_s(t) = md5(s || ':' || t)
+    // (min taken lexicographically on the hex string — identical in both
+    // engines); 4 bands x 4 rows. Candidate pairs = equal band signature
+    // in >= 1 band; est_jaccard = matching signature components / K.
+    QueryDef("d02_minhash_lsh",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(expr(
+              "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("token"))
+        val mh = toks
+          .withColumn("seed", explode(sequence(lit(0), lit(K - 1))))
+          .groupBy("doc_id", "seed")
+          .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("token")))).as("mh"))
+        val sig = mh
+          .withColumn("band", expr(s"CAST(seed div $R AS INT)"))
+          .groupBy("doc_id", "band")
+          .agg(expr("md5(concat_ws(',', transform(sort_array(collect_list(struct(seed, mh))), x -> x.mh))) AS sig"))
+        val full = mh.groupBy("doc_id")
+          .agg(expr("transform(sort_array(collect_list(struct(seed, mh))), x -> x.mh) AS sigv"))
+        val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        val b = sig.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
+        val pairs = a.join(b,
+            col("band") === col("band_b") && col("sig") === col("sig_b") &&
+              col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        pairs
+          .join(full.select(col("doc_id").as("doc_a"), col("sigv").as("sa")), "doc_a")
+          .join(full.select(col("doc_id").as("doc_b"), col("sigv").as("sb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            expr(s"CAST(aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x) AS DOUBLE) / $K").as("est_jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH t0 AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tok AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS token
+          FROM t0 WHERE len(toks) >= 3),
+        mh AS (
+          SELECT doc_id, seed,
+                 min(md5(CAST(seed AS VARCHAR) || ':' || token)) AS mh
+          FROM tok CROSS JOIN range($K) t(seed)
+          GROUP BY doc_id, seed),
+        sig AS (
+          SELECT doc_id, CAST(seed // $R AS INT) AS band,
+                 md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+          FROM mh GROUP BY doc_id, band),
+        fullsig AS (
+          SELECT doc_id, list(mh ORDER BY seed) AS sigv FROM mh GROUP BY doc_id),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sig a JOIN sig b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(list_sum(list_transform(fa.sigv, (x, i) -> CASE WHEN x = fb.sigv[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $K AS est_jaccard
+        FROM pairs
+        JOIN fullsig fa ON fa.doc_id = doc_a
+        JOIN fullsig fb ON fb.doc_id = doc_b
+        ORDER BY doc_a, doc_b""")),
+
+    // -------------------------------------------------------------------
+    // SimHash 32-bit fingerprints. Token weight = term frequency (tokens
+    // kept with multiplicity); bit p of the fingerprint is the sign of
+    // sum(+-1) over token-hash bit p. One explode + one groupBy with 32
+    // partial-agg counters — a single shuffle of (doc_id, 32 ints).
+    QueryDef("d03_simhash",
+      (s, d) => simhashFp(s, d).orderBy("doc_id"),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        h AS (SELECT doc_id, ${Ns.oHash32("token")} AS h FROM tok),
+        s AS (SELECT doc_id,
+              ${(0 until 32).map(p => s"sum(CASE WHEN (h >> $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$p").mkString(", ")}
+              FROM h GROUP BY doc_id)
+        SELECT doc_id,
+               ${(0 until 32).map(p => s"CASE WHEN s$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(" + ")} AS simhash
+        FROM s ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // SimHash near-dup pairs: hamming distance on the 32-bit fingerprints.
+    // At scale this would block on fingerprint bands (split the 32 bits
+    // into 4 bytes; near-dups share >= 1 exact byte by pigeonhole) — the
+    // all-pairs form here is exact on the fixed-size documents table.
+    QueryDef("d03b_simhash_pairs",
+      (s, d) => {
+        val fp = simhashFp(s, d)
+        val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+        val b = fp.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        h AS (SELECT doc_id, ${Ns.oHash32("token")} AS h FROM tok),
+        s AS (SELECT doc_id,
+              ${(0 until 32).map(p => s"sum(CASE WHEN (h >> $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$p").mkString(", ")}
+              FROM h GROUP BY doc_id),
+        fp AS (SELECT doc_id,
+               ${(0 until 32).map(p => s"CASE WHEN s$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(" + ")} AS simhash
+               FROM s)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b""")),
+
+    // -------------------------------------------------------------------
+    // Exact n-gram (3-token shingle) Jaccard within same-lang blocks.
+    // The shingle equi-join shuffles on the shingle string; |pairs| is
+    // bounded by the blocking, not |corpus|^2.
+    QueryDef("d04_ngram_jaccard",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(expr(
+              "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("s"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("s"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("s").as("s_b"))
+        val common = a.join(b,
+            col("s") === col("s_b") && col("lang") === col("lang_b") &&
+              col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+        common
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("n_common"),
+            (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.03)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+          FROM t WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b
+            ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+        FROM common
+        JOIN sizes x ON doc_a = x.doc_id
+        JOIN sizes y ON doc_b = y.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.03
+        ORDER BY doc_a, doc_b""")),
+
+    // -------------------------------------------------------------------
+    // Embedding-cosine near-dup: exact all-pairs cosine >= 0.35. The dot
+    // product is a sequential fold over doubles (bit-identical across
+    // engines and partitionings); ranking keys are rounded to 6 decimals.
+    QueryDef("d05_embedding_neardup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round(expr(Ns.dot("va", "vb")) / (col("na") * col("nb")), 6).as("cosine"))
+          .filter(col("cosine") >= 0.35)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (
+          SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.35
+        ORDER BY vec_a, vec_b"""))
+  )
+}

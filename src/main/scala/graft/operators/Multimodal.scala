@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (north star §2.3): image/audio/video
+  * payloads as opaque `BinaryType` columns with typed metadata, plus a
+  * batched decode/feature-extract pipeline.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake — the Spark-side plumbing (schema,
+  * binary columns, partition-parallel batched processing, feature
+  * vector shapes) is real and tested (MultimodalSpec).
+  *
+  * Scale design: payloads never leave their partition — metadata
+  * extraction and feature stubs are narrow per-row transforms
+  * (mapPartitions, batched like an Arrow/Pandas UDF would be), so a
+  * 100 TB media table processes embarrassingly parallel with no
+  * shuffle; only the small feature/metadata projection flows onward.
+  */
+object Multimodal {
+
+  /** An opaque media payload + typed metadata. In production `payload`
+    * holds the encoded image/audio/video bytes; here it is the utf-8
+    * document text standing in as a deterministic byte stream.
+    */
+  final case class MediaRecord(
+      doc_id: Long, payload: Array[Byte],
+      width: Int, height: Int, format: String)
+
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, mean_byte: Double, feature: Array[Float])
+
+  /** STUB decode: a real implementation would hand each batch to an
+    * image/audio decoder (the libs are absent in this container). The
+    * fake derives deterministic "pixel stats" from the payload bytes so
+    * the downstream schema/partitioning/batch shape is fully exercised.
+    */
+  def decodeStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val bytes = r.payload
+      val mean =
+        if (bytes.isEmpty) 0.0
+        else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+      val feature = Array.tabulate(8) { i =>
+        if (bytes.length > i) (bytes(i) & 0xff).toFloat / 255f else 0f
+      }
+      MediaFeatures(r.doc_id, bytes.length, mean, feature)
+    }
+
+  /** The batched partition-parallel pipeline: mirrors mapInPandas batch
+    * semantics (fixed max batch size per decoder call) on the typed
+    * Dataset API.
+    */
+  def extractFeatures(spark: SparkSession, media: org.apache.spark.sql.Dataset[MediaRecord],
+      batchSize: Int = 64): org.apache.spark.sql.Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(b => decodeStub(b)))
+  }
+
+  /** documents -> MediaRecord dataset (payload = utf-8 text bytes). */
+  def mediaFromDocuments(spark: SparkSession, d: String): org.apache.spark.sql.Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        (lit(64) + col("doc_id") % 960).cast("int").as("width"),
+        (lit(64) + (col("doc_id") * 7) % 960).cast("int").as("height"),
+        element_at(array(lit("rgb8"), lit("rgba8"), lit("gray8")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"))
+      .as[MediaRecord]
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------------
+    // Metadata + frame-sampling arithmetic on the binary column: byte
+    // length, content hash, decode-free resize/fps-sample planning.
+    // Fully SQL-expressible -> DuckDB oracle.
+    QueryDef("m01_media_meta",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          col("text").cast("binary").as("payload"),
+          (lit(64) + col("doc_id") % 960).cast("int").as("width"),
+          (lit(64) + (col("doc_id") * 7) % 960).cast("int").as("height"),
+          (lit(24) + col("doc_id") % 240).cast("int").as("n_frames"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("payload_sha"),
+          col("width"), col("height"),
+          col("n_frames"),
+          size(expr("sequence(0, n_frames - 1, 12)")).cast("int").as("n_sampled_frames"),
+          lit(224).as("out_w"),
+          round(col("height") * lit(224.0) / col("width")).cast("int").as("out_h"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               sha256(text) AS payload_sha,
+               CAST(64 + doc_id % 960 AS INT) AS width,
+               CAST(64 + (doc_id * 7) % 960 AS INT) AS height,
+               CAST(24 + doc_id % 240 AS INT) AS n_frames,
+               CAST((24 + doc_id % 240 - 1) // 12 + 1 AS INT) AS n_sampled_frames,
+               224 AS out_w,
+               CAST(round((64 + (doc_id * 7) % 960) * 224.0 / (64 + doc_id % 960)) AS INT) AS out_h
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Batched decode/feature pipeline (typed Dataset + mapPartitions):
+    // the decode itself is stubbed (no codecs in-container), so this is
+    // rows-only here; MultimodalSpec asserts the features independently.
+    QueryDef("m02_media_features",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        extractFeatures(s, mediaFromDocuments(s, d))
+          .select(col("doc_id"), col("n_bytes"),
+            round(col("mean_byte"), 6).as("mean_byte"),
+            round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // -------------------------------------------------------------------
+    // Multimodal join: text-side predicates x vector-side predicates in
+    // one query (documents |><| embeddings on doc_id = vec_id). The
+    // norm is a sequential fold -> exact; at scale this is a co-located
+    // join when both tables are bucketed by id.
+    QueryDef("m03_multimodal_join",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", round(sqrt(expr(Ns.dot("v", "v"))), 6))
+        doc.join(emb, col("doc_id") === col("vec_id"))
+          .filter(size(split(col("text"), " ")) >= 20 && col("nrm") >= 1.0)
+          .groupBy("lang", "label")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("lang", "label")
+      },
+      Some(s"""
+        WITH emb AS (
+          SELECT vec_id, label,
+                 round(sqrt(${Ns.oDot(Ns.oToDouble("embedding"), Ns.oToDouble("embedding"))}), 6) AS nrm
+          FROM embeddings)
+        SELECT lang, label, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents JOIN emb ON doc_id = vec_id
+        WHERE len(string_split(text, ' ')) >= 20 AND nrm >= 1.0
+        GROUP BY lang, label
+        ORDER BY lang, label"""))
+  )
+}

@@ -394,6 +394,52 @@ object Relational {
          AND e2.ts < e1.ts
         WHERE e1.event_type = 'error'
         GROUP BY e1.event_id
-        ORDER BY err_id"""))
+        ORDER BY err_id""")),
+
+    // -------------------------------------------------------------------
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // `quantile_cont`: sorted, idx = p*(n-1), linear interpolation).
+    // Rounded to 6 decimals to absorb interpolation-expression ulps.
+    // Scale: exact percentile needs a per-group sort — at 100 TB swap in
+    // approx_percentile (t-digest) and drop the oracle to tolerance.
+    QueryDef("q17_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))
+        .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+               round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // -------------------------------------------------------------------
+    // Pivot (groupBy().pivot() with an explicit value list — at scale the
+    // explicit list avoids the extra distinct-values job). Oracle is the
+    // ANSI conditional-aggregation equivalent.
+    QueryDef("q18_pivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(Sql.dsum(col("l_quantity")))
+        .select(col("l_linestatus"),
+          coalesce(col("A"), lit(0.0)).as("qty_a"),
+          coalesce(col("N"), lit(0.0)).as("qty_n"),
+          coalesce(col("R"), lit(0.0)).as("qty_r"))
+        .orderBy("l_linestatus"),
+      Some(s"""
+        SELECT l_linestatus,
+               coalesce(CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS qty_a,
+               coalesce(CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS qty_n,
+               coalesce(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS qty_r
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus"""))
   )
 }

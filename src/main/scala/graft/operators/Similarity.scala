@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (north star §2.3): brute-force
+  * cosine top-k as the exactness baseline, and an IVF (inverted-file)
+  * index as the scale path. Both oracle-verified: floats only ever meet
+  * a sequential fold ([[Ns.dot]]) and ranking keys are rounded.
+  *
+  * Scale design: brute-force is O(|Q| x |N|) — fine when |Q| is small
+  * and the corpus is partition-parallel (each partition computes local
+  * top-k via the window, merged by the final rank). IVF cuts the scanned
+  * fraction to ~nprobe/nlist: centroids are a broadcast-sized table, the
+  * assignment pass is one narrow crossJoin + argmin per vector (a single
+  * shuffle by vec_id), and probing touches only matching buckets — at
+  * 100 TB the bucketed table would be written partitioned by `bucket` so
+  * probes become partition-pruned scans.
+  */
+object Similarity {
+
+  private val QFILTER = "vec_id % 50 = 0" // 10 deterministic query vectors
+  private val TOPK = 5
+  private val NPROBE = 2
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------------
+    // Brute-force cosine top-k: exact baseline (and recall oracle for
+    // the IVF variant below).
+    QueryDef("s01_cosine_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val q = e.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val scored = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TOPK)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("neighbor"), col("cosine"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE $QFILTER),
+        scored AS (
+          SELECT qid, vec_id AS neighbor,
+                 round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) AS cosine
+          FROM q JOIN n ON vec_id <> qid),
+        ranked AS (
+          SELECT qid, neighbor, cosine,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor) AS INT) AS rank
+          FROM scored)
+        SELECT qid, rank, neighbor, cosine
+        FROM ranked WHERE rank <= $TOPK
+        ORDER BY qid, rank""")),
+
+    // -------------------------------------------------------------------
+    // IVF approximate nearest neighbor. nlist = 10 centroids learned as
+    // per-label means (exact decimal sums -> one IEEE division, so the
+    // centroids are bit-identical across engines and partitionings);
+    // every vector is assigned to its nearest centroid (L2^2 argmin);
+    // queries probe the NPROBE nearest buckets and rank only those
+    // candidates by cosine.
+    QueryDef("s02_ann_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        // nlist centroids: exact decimal mean per (label, dim)
+        val cd = e.select(col("label"), posexplode(col("v")))
+          .groupBy(col("label").as("cl"), col("pos"))
+          .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+        val cent = cd.groupBy("cl")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
+        // assignment: nearest centroid by rounded L2^2, centroid-id tie-break
+        val l2 = "round(aggregate(zip_with(%s, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x), 6)"
+        val asg = e.crossJoin(cent)
+          .select(col("vec_id"), col("cl"), expr(l2.format("v")).as("d2"))
+        val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))
+        val assigned = asg.withColumn("rn", row_number().over(wA))
+          .filter(col("rn") === 1).select(col("vec_id"), col("cl").as("bucket"))
+        // probe: NPROBE nearest centroids per query
+        val q = e.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val wP = Window.partitionBy("qid").orderBy(col("qd2"), col("cl"))
+        val probe = q.crossJoin(cent)
+          .select(col("qid"), col("qv"), col("qn"), col("cl"), expr(l2.format("qv")).as("qd2"))
+          .withColumn("prn", row_number().over(wP)).filter(col("prn") <= NPROBE)
+          .select("qid", "qv", "qn", "cl")
+        // rank candidates from probed buckets only
+        val cands = probe
+          .join(assigned, col("cl") === col("bucket"))
+          .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+        val wR = Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))
+        cands.withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= TOPK)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("neighbor"), col("cosine"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        cd AS (
+          SELECT label AS cl, i AS pos,
+                 CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+          FROM v CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY label, i),
+        cent AS (SELECT cl, list(c ORDER BY pos) AS cv FROM cd GROUP BY cl),
+        asg AS (
+          SELECT vec_id, cl,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, (x, i) -> (x - cv[i]) * (x - cv[i]))), (acc, x) -> acc + x), 6) AS d2
+          FROM n CROSS JOIN cent),
+        assigned AS (
+          SELECT vec_id, cl AS bucket FROM (
+            SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+            FROM asg) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE $QFILTER),
+        probe AS (
+          SELECT qid, qv, qn, cl FROM (
+            SELECT qid, qv, qn, cl,
+                   row_number() OVER (PARTITION BY qid ORDER BY
+                     round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(qv, (x, i) -> (x - cv[i]) * (x - cv[i]))), (acc, x) -> acc + x), 6), cl) AS prn
+            FROM q CROSS JOIN cent) WHERE prn <= $NPROBE),
+        cands AS (
+          SELECT qid, n.vec_id AS neighbor,
+                 round(${Ns.oDot("qv", "n.v")} / (qn * n.nrm), 6) AS cosine
+          FROM probe
+          JOIN assigned ON probe.cl = assigned.bucket
+          JOIN n ON n.vec_id = assigned.vec_id
+          WHERE n.vec_id <> qid),
+        ranked AS (
+          SELECT qid, neighbor, cosine,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor) AS INT) AS rank
+          FROM cands)
+        SELECT qid, rank, neighbor, cosine
+        FROM ranked WHERE rank <= $TOPK
+        ORDER BY qid, rank"""))
+  )
+}

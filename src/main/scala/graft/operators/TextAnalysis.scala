@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators (north star §2.3) over `documents`:
+  * language ID, quality scoring, token counting and document
+  * fingerprinting — all pure column expressions with DuckDB oracles.
+  *
+  * Scale design: each query is explode -> partial-agg -> join shapes on
+  * high-cardinality keys (token / shingle / fingerprint). The lang-ID
+  * model table (|langs| x |vocab|) is broadcast-sized by construction,
+  * so scoring a 100 TB corpus is a broadcast join + one groupBy.
+  */
+object TextAnalysis {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------------
+    // Language ID: corpus-trained token naive Bayes. Token affinities
+    // aff(t, l) = ln((tf(t,l) + 1) / (tokens(l) + |V|)) are quantized to
+    // DECIMAL(18,6) so per-doc score sums are exact (order-independent
+    // across engines AND executor counts); argmax with lang tie-break.
+    QueryDef("t01_lang_id",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+        val ltc = tok.groupBy(col("lang").as("l"), col("token").as("t"))
+          .agg(count(lit(1)).as("c_tl"))
+        val lc = tok.groupBy(col("lang").as("l2")).agg(count(lit(1)).as("c_l"))
+        val vsize = tok.agg(countDistinct(col("token")).as("v_sz"))
+        val langs = docs.select(col("lang").as("cand")).distinct()
+        val vocab = tok.select(col("token").as("t2")).distinct()
+        val aff = langs.crossJoin(vocab).crossJoin(vsize)
+          .join(lc, col("cand") === col("l2"))
+          .join(ltc, col("cand") === col("l") && col("t2") === col("t"), "left")
+          .select(col("cand"), col("t2"),
+            expr("CAST(round(ln((coalesce(c_tl, 0) + 1.0) / (c_l + v_sz)), 6) AS DECIMAL(18,6))").as("aff"))
+        val scored = tok.join(aff, col("token") === col("t2"))
+          .groupBy("doc_id", "cand").agg(sum(col("aff")).as("score"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"), col("lang").as("true_lang"),
+            col("cand").as("pred_lang"), (col("cand") === col("lang")).as("correct"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        ltc AS (SELECT lang AS l, token AS t, count(*) AS c_tl FROM tok GROUP BY 1, 2),
+        lc AS (SELECT lang AS l2, count(*) AS c_l FROM tok GROUP BY 1),
+        vsize AS (SELECT count(DISTINCT token) AS v_sz FROM tok),
+        langs AS (SELECT DISTINCT lang AS cand FROM documents),
+        vocab AS (SELECT DISTINCT token AS t2 FROM tok),
+        aff AS (
+          SELECT cand, t2,
+                 CAST(round(ln((coalesce(c_tl, 0) + 1.0) / (c_l + v_sz)), 6) AS DECIMAL(18,6)) AS aff
+          FROM langs CROSS JOIN vocab CROSS JOIN vsize
+          JOIN lc ON cand = l2
+          LEFT JOIN ltc ON cand = l AND t2 = t),
+        scored AS (
+          SELECT doc_id, cand, sum(aff) AS score
+          FROM tok JOIN aff ON token = t2
+          GROUP BY doc_id, cand),
+        best AS (
+          SELECT doc_id, cand,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+          FROM scored)
+        SELECT d.doc_id, d.lang AS true_lang, b.cand AS pred_lang,
+               b.cand = d.lang AS correct
+        FROM best b JOIN documents d ON b.doc_id = d.doc_id
+        WHERE b.rn = 1
+        ORDER BY d.doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Quality scoring: lexical diversity, stopword ratio, length
+    // saturation -> composite score. Single narrow projection; every
+    // ratio is ints-then-one-division, so cross-engine exact.
+    QueryDef("t02_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          expr("round(CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks), 6)").as("type_token_ratio"),
+          expr("round(CAST(size(filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / size(toks), 6)").as("stopword_ratio"),
+          expr("round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(toks), 6)").as("avg_token_len"))
+        .withColumn("quality",
+          round(lit(0.4) * col("type_token_ratio")
+            + lit(0.3) * (lit(1.0) - col("stopword_ratio"))
+            + lit(0.3) * least(lit(1.0), col("n_tokens") / lit(50.0)), 6))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS type_token_ratio,
+               round(CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+               round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 6) AS avg_token_len,
+               round(0.4 * round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                   + 0.3 * (1.0 - round(CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks), 6))
+                   + 0.3 * least(1.0, CAST(len(toks) AS BIGINT) / 50.0), 6) AS quality
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Token counting: whitespace split vs a BPE-ish regex lexer
+    // ([a-z]+ | digit runs | single punct). regexp_extract_all is
+    // codegen'd in Spark; the patterns avoid engine-specific syntax.
+    QueryDef("t03_token_stats",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_re_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"),
+          length(replace(col("text"), lit(" "), lit(""))).cast("long").as("n_chars_nospace"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Document fingerprinting: order-sensitive polynomial rolling hash
+    // over the token sequence (mod 1e9+7; token hashes are 60-bit so the
+    // fold never overflows int64). n_same counts colliding documents —
+    // the dedup-by-fingerprint signal.
+    QueryDef("t04_fingerprint",
+      (s, d) => {
+        val fp = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr(s"aggregate(transform(split(text, ' '), t -> ${Ns.hash60("t")}), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)").as("fingerprint"))
+        fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy("fingerprint")))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH fp AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '), t -> ${Ns.oHash60("t")})),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+          FROM documents)
+        SELECT doc_id, fingerprint,
+               count(*) OVER (PARTITION BY fingerprint) AS n_same
+        FROM fp
+        ORDER BY doc_id"""))
+  )
+}

