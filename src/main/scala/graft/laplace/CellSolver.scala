@@ -24,11 +24,11 @@ import org.apache.spark.sql.functions._
   *  - the only reduction is max(|v - v'|), which is order-insensitive.
   *
   * Gauss-Seidel semantics: the color-1 half-sweep consumes the color-0
-  * half-sweep's OUTPUT (not the iteration's input), so each half-sweep is
-  * materialized (`localCheckpoint`) before the next — which also truncates
-  * lineage, the one failure mode the in-place C update doesn't have. On a
-  * durable cluster deployment, swap `localCheckpoint` for `checkpoint` with
-  * an HDFS checkpoint dir to survive executor loss.
+  * half-sweep's OUTPUT (not the iteration's input) — pure plan
+  * composition. `localCheckpoint` once per iteration truncates lineage,
+  * the one failure mode the in-place C update doesn't have. On a durable
+  * cluster deployment, swap `localCheckpoint` for `checkpoint` with an
+  * HDFS checkpoint dir to survive executor loss.
   */
 object CellSolver {
 
@@ -60,6 +60,10 @@ object CellSolver {
     val tmp = (col("up") + col("down") + col("left") + col("right")) / 4.0
     val vNew = lit(1.0 - omega) * col("v") + lit(omega) * tmp
 
+    // A broadcast hint on contrib was measured SLOWER here: building the
+    // broadcast needs an extra per-iteration driver job, which outweighs
+    // the saved exchange in a driver-looped plan. The shuffled join also
+    // stays correct at any n; the block solver is the scale path anyway.
     grid
       .join(contrib, col("i") === col("ti") && col("j") === col("tj"), "left")
       .select(
@@ -76,9 +80,17 @@ object CellSolver {
     var maxDiff = 0.0
     var continue = true
     while (continue && iterations < maxIterations) {
-      val g0 = sweep(grid, 0, n, om).localCheckpoint(true)
-      val g1 = sweep(g0, 1, n, om).localCheckpoint(true)
-      maxDiff = g1.agg(max("d")).head().getDouble(0)
+      // Gauss-Seidel needs the color-1 sweep to READ the color-0 output —
+      // that's plan composition, not materialization; one localCheckpoint
+      // per iteration truncates lineage (the plan tree doubles per sweep,
+      // so checkpointing less often than ~every iteration explodes it).
+      // The observed max(d) and the checkpoint share one job, and the
+      // partial/final max inside it is the reference's O5/O6 shape.
+      val obs = org.apache.spark.sql.Observation()
+      val g1 = sweep(sweep(grid, 0, n, om), 1, n, om)
+        .observe(obs, max(col("d")).as("maxd"))
+        .localCheckpoint(true)
+      maxDiff = obs.get("maxd").asInstanceOf[Double]
       grid = g1
       iterations += 1
       continue = maxDiff > eps

@@ -238,6 +238,7 @@ object Dedup {
     // engines and partitionings); ranking keys are rounded to 6 decimals.
     QueryDef("d05_embedding_neardup",
       (s, d) => {
+        Ns.registerFast(s)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
           .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))

@@ -130,6 +130,7 @@ object Multimodal {
     // join when both tables are bucketed by id.
     QueryDef("m03_multimodal_join",
       (s, d) => {
+        Ns.registerFast(s)
         val doc = Tables.documents(s, d)
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("label"),

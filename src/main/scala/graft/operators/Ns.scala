@@ -36,9 +36,24 @@ object Ns {
   def oHash32(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
 
-  /** Sequential-fold dot product of two double-array columns, Spark. */
-  def dot(a: String, b: String): String =
+  /** Sequential-fold dot product of two double-array columns, Spark:
+    * the native codegen [[graft.functions.VecDot]] (call
+    * [[registerFast]] on the session first). Bit-identical to [[hofDot]].
+    */
+  def dot(a: String, b: String): String = s"vec_dot($a, $b)"
+
+  /** Squared L2 distance, native codegen ([[graft.functions.VecL2Sq]]). */
+  def l2sq(a: String, b: String): String = s"vec_l2sq($a, $b)"
+
+  /** The pure-built-in higher-order-function spelling of [[dot]] — kept
+    * as the cross-check in VectorFunctionsSpec.
+    */
+  def hofDot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** Idempotent registration of the native vector functions. */
+  def registerFast(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.GraftFunctions.register(spark)
 
   /** Same fold order (0-init, left-to-right), DuckDB. */
   def oDot(a: String, b: String): String =

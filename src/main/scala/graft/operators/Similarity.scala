@@ -31,6 +31,7 @@ object Similarity {
     // the IVF variant below).
     QueryDef("s01_cosine_topk",
       (s, d) => {
+        Ns.registerFast(s)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
           .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
@@ -71,6 +72,7 @@ object Similarity {
     // candidates by cosine.
     QueryDef("s02_ann_ivf",
       (s, d) => {
+        Ns.registerFast(s)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
           .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
@@ -81,7 +83,7 @@ object Similarity {
         val cent = cd.groupBy("cl")
           .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
         // assignment: nearest centroid by rounded L2^2, centroid-id tie-break
-        val l2 = "round(aggregate(zip_with(%s, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x), 6)"
+        val l2 = "round(vec_l2sq(%s, cv), 6)"
         val asg = e.crossJoin(cent)
           .select(col("vec_id"), col("cl"), expr(l2.format("v")).as("d2"))
         val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: at 100 TB the plan shape IS the product.
+  * These pin the properties the Scaladoc scale-notes promise — filter/
+  * column pushdown into the parquet scan, broadcast joins for dimension
+  * tables, top-k without a global sort, and no cartesian products on
+  * the big-table queries.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  /** Collect first so AQE finalizes — codegen stage markers and the
+    * final join strategies only appear in the finalized plan.
+    */
+  private def finalPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicates and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    // column pruning: the scan's column list excludes unused columns
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scan.contains("l_discount"), scan)
+    assert(!scan.contains("l_returnflag"), scan)
+  }
+
+  test("q03: dimension joins are broadcast (fact side never shuffled for dims)") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q04: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q04_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = finalPlan("q01_pricing_summary")
+    assert(p.contains("partial_"), p) // HashAggregate(partial_sum/...)
+    assert(p.contains("*("), p)       // WholeStageCodegen stage markers
+  }
+
+  test("s01: native vec_dot runs inside a codegen stage") {
+    val p = finalPlan("s01_cosine_topk")
+    assert(p.contains("vec_dot"), p)
+    assert(p.contains("*("), p)
+  }
+
+  test("d02: LSH candidate generation is an equi-join, not a cross join") {
+    val p = plan("d02_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q16: range join keys the shuffle on the equi part (user_id)") {
+    val p = plan("q16_range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
