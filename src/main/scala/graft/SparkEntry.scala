@@ -50,7 +50,7 @@ object SparkEntry {
     laplaceDefs ++ graft.operators.Relational.defs ++
       graft.operators.Dedup.defs ++ graft.operators.TextAnalysis.defs ++
       graft.operators.Similarity.defs ++ graft.operators.Multimodal.defs ++
-      graft.streaming.Streams.defs
+      graft.operators.Skew.defs ++ graft.streaming.Streams.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map(q => q.name -> q.fn).toMap
