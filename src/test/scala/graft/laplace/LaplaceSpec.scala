@@ -74,6 +74,20 @@ class LaplaceSpec extends SparkSpec {
     }
   }
 
+  test("GridSink dump matches the scalar oracle's %.10f format byte-for-byte (N=12)") {
+    val res = BlockSolver.solve(spark, 12, numBlocks = 3)
+    val oracle = ScalarOracle.solve(12)
+    val expected = oracle.grid
+      .map(_.map(v => f"$v%.10f").mkString(" "))
+      .mkString("", "\n", "\n")
+    assert(GridSink.format(res, 12) == expected)
+    val stats = GridSink.statsLine(res, 12, 1.25)
+    assert(stats.startsWith("Statistics: duration(s)=1.25"))
+    assert(stats.contains(s"#iters=${oracle.iterations}"))
+    assert(stats.contains(f"diff=${oracle.finalDiff}%.10f"))
+    assert(stats.contains(f"epsilon=${Laplace.epsilon(12)}%.10f"))
+  }
+
   test("single color-0 half-sweep touches only (i+j) even interior cells (N=6)") {
     val n = 6
     val om = Laplace.omega(n)

@@ -86,6 +86,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark removes replayed events") {
+    val dir = Files.createTempDirectory("graft-stream-dedup")
+    // the same events arrive twice (two files) — an at-least-once replay
+    writeFlatFile(eventsBatch, dir, "a.parquet", 1700000000000L)
+    writeFlatFile(eventsBatch, dir, "b.parquet", 1700000060000L)
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = stream.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = eventsBatch.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"$got != $want")
+    } finally q.stop()
+  }
+
   test("stateful sessionization: stream across micro-batches == batch window plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-sess")
