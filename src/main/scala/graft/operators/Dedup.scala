@@ -72,38 +72,44 @@ object Dedup {
     // (min taken lexicographically on the hex string — identical in both
     // engines); 4 bands x 4 rows. Candidate pairs = equal band signature
     // in >= 1 band; est_jaccard = matching signature components / K.
+    // The K minhashes are K min-aggregates in ONE groupBy (map-side
+    // partial min combine — the whole signature computation is a single
+    // narrow shuffle of (doc_id, 16 strings), no seed explosion).
     QueryDef("d02_minhash_lsh",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        val B = K / R
+        val sh = Tables.documents(s, d)
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"),
             explode(array_distinct(expr(
               "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("token"))
-        val mh = toks
-          .withColumn("seed", explode(sequence(lit(0), lit(K - 1))))
-          .groupBy("doc_id", "seed")
-          .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("token")))).as("mh"))
-        val sig = mh
-          .withColumn("band", expr(s"CAST(seed div $R AS INT)"))
-          .groupBy("doc_id", "band")
-          .agg(expr("md5(concat_ws(',', transform(sort_array(collect_list(struct(seed, mh))), x -> x.mh))) AS sig"))
-        val full = mh.groupBy("doc_id")
-          .agg(expr("transform(sort_array(collect_list(struct(seed, mh))), x -> x.mh) AS sigv"))
-        val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-        val b = sig.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
-        val pairs = a.join(b,
-            col("band") === col("band_b") && col("sig") === col("sig_b") &&
-              col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        pairs
-          .join(full.select(col("doc_id").as("doc_a"), col("sigv").as("sa")), "doc_a")
-          .join(full.select(col("doc_id").as("doc_b"), col("sigv").as("sb")), "doc_b")
+        val mhCols = (0 until K).map(k =>
+          min(md5(concat(lit(s"$k:"), col("token")))).as(s"mh$k"))
+        val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+          .withColumn("sigv", array((0 until K).map(k => col(s"mh$k")): _*))
+        val bands = sig.select(col("doc_id"), col("sigv"),
+          explode(array((0 until B).map(b =>
+            struct(lit(b).as("band"),
+              md5(concat_ws(",", (0 until R).map(r => col(s"mh${b * R + r}")): _*)).as("sig"))): _*)).as("bs"))
+          .select(col("doc_id"), col("sigv"), col("bs.band"), col("bs.sig"))
+        val a = bands.select(col("doc_id").as("doc_a"), col("sigv").as("sa"), col("band"), col("sig"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("sigv").as("sb"),
+          col("band").as("band_b"), col("sig").as("sig_b"))
+        a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
+            col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             expr(s"CAST(aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x) AS DOUBLE) / $K").as("est_jaccard"))
+          .distinct()
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""
+      Some {
+        val B = K / R
+        val mhSelect = (0 until K).map(k => s"min(md5('$k:' || token)) AS mh$k").mkString(",\n                 ")
+        val bandArms = (0 until B).map(b =>
+          s"WHEN $b THEN md5(${(0 until R).map(r => s"mh${b * R + r}").mkString(" || ',' || ")})").mkString(" ")
+        val sigList = (0 until K).map(k => s"mh$k").mkString(", ")
+        s"""
         WITH t0 AS (
           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         tok AS (
@@ -111,27 +117,20 @@ object Dedup {
                  unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS token
           FROM t0 WHERE len(toks) >= 3),
-        mh AS (
-          SELECT doc_id, seed,
-                 min(md5(CAST(seed AS VARCHAR) || ':' || token)) AS mh
-          FROM tok CROSS JOIN range($K) t(seed)
-          GROUP BY doc_id, seed),
         sig AS (
-          SELECT doc_id, CAST(seed // $R AS INT) AS band,
-                 md5(string_agg(mh, ',' ORDER BY seed)) AS sig
-          FROM mh GROUP BY doc_id, band),
-        fullsig AS (
-          SELECT doc_id, list(mh ORDER BY seed) AS sigv FROM mh GROUP BY doc_id),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sig a JOIN sig b
-            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b,
-               CAST(list_sum(list_transform(fa.sigv, (x, i) -> CASE WHEN x = fb.sigv[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $K AS est_jaccard
-        FROM pairs
-        JOIN fullsig fa ON fa.doc_id = doc_a
-        JOIN fullsig fb ON fb.doc_id = doc_b
-        ORDER BY doc_a, doc_b""")),
+          SELECT doc_id,
+                 $mhSelect
+          FROM tok GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, [$sigList] AS sigv, b.band,
+                 CASE b.band $bandArms END AS sig
+          FROM sig CROSS JOIN (SELECT unnest([${(0 until B).mkString(", ")}]) AS band) b)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(list_sum(list_transform(a.sigv, (x, i) -> CASE WHEN x = b.sigv[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $K AS est_jaccard
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b"""
+      }),
 
     // -------------------------------------------------------------------
     // SimHash 32-bit fingerprints. Token weight = term frequency (tokens

@@ -440,6 +440,51 @@ object Relational {
                coalesce(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS qty_r
         FROM lineitem
         GROUP BY l_linestatus
-        ORDER BY l_linestatus"""))
+        ORDER BY l_linestatus""")),
+
+    // -------------------------------------------------------------------
+    // As-of join (backward, inclusive): each error event matched to the
+    // most recent purchase by the same user with p_ts <= err_ts. Spark
+    // lacks a native ASOF operator; the scalable composition is the
+    // union-and-running-last trick: tag both streams, ONE shuffle by
+    // user, one window pass — no range self-join blowup, state bounded
+    // by the window frame. Deterministic tie-breaks: (us, kind, id).
+    QueryDef("q20_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "error"))
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            when(col("event_type") === "purchase", 0).otherwise(1).as("kind"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("kind"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev
+          .withColumn("purchase_id",
+            last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("purchase_us",
+            last(when(col("kind") === 0, col("us")), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("user_id"), col("event_id").as("err_id"),
+            col("purchase_id"),
+            ((col("us") - col("purchase_us")) / 1000000.0).as("gap_s"))
+          .orderBy("user_id", "err_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind
+          FROM events
+          WHERE event_type IN ('purchase', 'error')),
+        wl AS (
+          SELECT user_id, event_id, us, kind,
+                 last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, kind, event_id ROWS UNBOUNDED PRECEDING) AS purchase_id,
+                 last_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, kind, event_id ROWS UNBOUNDED PRECEDING) AS purchase_us
+          FROM ev)
+        SELECT user_id, event_id AS err_id, purchase_id,
+               (us - purchase_us) / 1000000.0 AS gap_s
+        FROM wl WHERE kind = 1
+        ORDER BY user_id, err_id"""))
   )
 }
