@@ -153,5 +153,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_l2sq"),
       new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
       (exprs: Seq[Expression]) => VecL2Sq(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }
 }

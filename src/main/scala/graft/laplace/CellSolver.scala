@@ -39,37 +39,47 @@ object CellSolver {
     * `laplace-seq.c:188`).
     */
   def sweep(grid: DataFrame, color: Int, n: Int, omega: Double): DataFrame = {
-    val contrib = grid
-      .filter((col("i") + col("j")) % 2 === (1 - color))
-      .select(explode(array(
-        struct((col("i") + 1).as("ti"), col("j").as("tj"), lit(0).as("slot"), col("v").as("nv")),
-        struct((col("i") - 1).as("ti"), col("j").as("tj"), lit(1).as("slot"), col("v").as("nv")),
-        struct(col("i").as("ti"), (col("j") + 1).as("tj"), lit(2).as("slot"), col("v").as("nv")),
-        struct(col("i").as("ti"), (col("j") - 1).as("tj"), lit(3).as("slot"), col("v").as("nv"))
-      )).as("c"))
-      .select(col("c.ti"), col("c.tj"), col("c.slot"), col("c.nv"))
+    // Pure map -> shuffle -> reduce, ONE exchange per half-sweep (no
+    // self-join): every cell emits itself (slot 4, carrying v and d);
+    // opposite-color cells additionally emit 4 neighbor contributions.
+    // The groupBy reassembles each cell with its stencil inputs. This
+    // also keeps the plan LINEAR in sweep depth (the input is referenced
+    // once), so half-sweeps compose without plan-size blowup.
+    val opp = (col("i") + col("j")) % 2 === (1 - color)
+    val self = struct(col("i").as("ti"), col("j").as("tj"), lit(4).as("slot"),
+      col("v").as("nv"), col("d").as("dv"))
+    val neigh = array(
+      struct((col("i") + 1).as("ti"), col("j").as("tj"), lit(0).as("slot"),
+        col("v").as("nv"), lit(0.0).as("dv")),
+      struct((col("i") - 1).as("ti"), col("j").as("tj"), lit(1).as("slot"),
+        col("v").as("nv"), lit(0.0).as("dv")),
+      struct(col("i").as("ti"), (col("j") + 1).as("tj"), lit(2).as("slot"),
+        col("v").as("nv"), lit(0.0).as("dv")),
+      struct(col("i").as("ti"), (col("j") - 1).as("tj"), lit(3).as("slot"),
+        col("v").as("nv"), lit(0.0).as("dv")))
+
+    val active = col("ti").between(1, n - 2) && col("tj").between(1, n - 2) &&
+      (col("ti") + col("tj")) % 2 === color
+    val tmp = (col("up") + col("down") + col("left") + col("right")) / 4.0
+    val vNew = lit(1.0 - omega) * col("sv") + lit(omega) * tmp
+
+    grid
+      .select(explode(when(opp, concat(array(self), neigh))
+        .otherwise(array(self))).as("c"))
+      .select(col("c.ti"), col("c.tj"), col("c.slot"), col("c.nv"), col("c.dv"))
+      .filter(col("ti").between(0, n - 1) && col("tj").between(0, n - 1))
       .groupBy("ti", "tj")
       .agg(
         max(when(col("slot") === 0, col("nv"))).as("up"),
         max(when(col("slot") === 1, col("nv"))).as("down"),
         max(when(col("slot") === 2, col("nv"))).as("left"),
-        max(when(col("slot") === 3, col("nv"))).as("right"))
-
-    val active = col("i").between(1, n - 2) && col("j").between(1, n - 2) &&
-      (col("i") + col("j")) % 2 === color
-    val tmp = (col("up") + col("down") + col("left") + col("right")) / 4.0
-    val vNew = lit(1.0 - omega) * col("v") + lit(omega) * tmp
-
-    // A broadcast hint on contrib was measured SLOWER here: building the
-    // broadcast needs an extra per-iteration driver job, which outweighs
-    // the saved exchange in a driver-looped plan. The shuffled join also
-    // stays correct at any n; the block solver is the scale path anyway.
-    grid
-      .join(contrib, col("i") === col("ti") && col("j") === col("tj"), "left")
+        max(when(col("slot") === 3, col("nv"))).as("right"),
+        max(when(col("slot") === 4, col("nv"))).as("sv"),
+        max(when(col("slot") === 4, col("dv"))).as("sd"))
       .select(
-        col("i"), col("j"),
-        when(active, vNew).otherwise(col("v")).as("v"),
-        when(active, abs(col("v") - vNew)).otherwise(col("d")).as("d"))
+        col("ti").as("i"), col("tj").as("j"),
+        when(active, vNew).otherwise(col("sv")).as("v"),
+        when(active, abs(col("sv") - vNew)).otherwise(col("sd")).as("d"))
   }
 
   def solve(spark: SparkSession, n: Int, maxIterations: Int = Int.MaxValue): Laplace.Result = {
@@ -82,16 +92,17 @@ object CellSolver {
     while (continue && iterations < maxIterations) {
       // Gauss-Seidel needs the color-1 sweep to READ the color-0 output —
       // that's plan composition, not materialization; one localCheckpoint
-      // per iteration truncates lineage (the plan tree doubles per sweep,
-      // so checkpointing less often than ~every iteration explodes it).
-      // The observed max(d) and the checkpoint share one job, and the
-      // partial/final max inside it is the reference's O5/O6 shape.
+      // per iteration truncates lineage. The observed max(d) rides the
+      // checkpoint job (the partial/final max inside it is the
+      // reference's O5/O6 shape). NOTE: batching 2 iterations per
+      // checkpoint was measured SLOWER — the deeper plan pays more in
+      // per-loop analysis/codegen than the saved job launch; the block
+      // solver is the throughput path.
       val obs = org.apache.spark.sql.Observation()
-      val g1 = sweep(sweep(grid, 0, n, om), 1, n, om)
+      grid = sweep(sweep(grid, 0, n, om), 1, n, om)
         .observe(obs, max(col("d")).as("maxd"))
         .localCheckpoint(true)
       maxDiff = obs.get("maxd").asInstanceOf[Double]
-      grid = g1
       iterations += 1
       continue = maxDiff > eps
     }
