@@ -33,12 +33,15 @@ object TextAnalysis {
         val vsize = tok.agg(countDistinct(col("token")).as("v_sz"))
         val langs = docs.select(col("lang").as("cand")).distinct()
         val vocab = tok.select(col("token").as("t2")).distinct()
-        val aff = langs.crossJoin(vocab).crossJoin(vsize)
-          .join(lc, col("cand") === col("l2"))
-          .join(ltc, col("cand") === col("l") && col("t2") === col("t"), "left")
+        // the model table is |langs| x |vocab| — broadcast-sized by
+        // construction (hints pinned; scoring a 100 TB corpus is then a
+        // broadcast join + one groupBy, no model-side shuffles)
+        val aff = langs.crossJoin(vocab).crossJoin(broadcast(vsize))
+          .join(broadcast(lc), col("cand") === col("l2"))
+          .join(broadcast(ltc), col("cand") === col("l") && col("t2") === col("t"), "left")
           .select(col("cand"), col("t2"),
             expr("CAST(round(ln((coalesce(c_tl, 0) + 1.0) / (c_l + v_sz)), 6) AS DECIMAL(18,6))").as("aff"))
-        val scored = tok.join(aff, col("token") === col("t2"))
+        val scored = tok.join(broadcast(aff), col("token") === col("t2"))
           .groupBy("doc_id", "cand").agg(sum(col("aff")).as("score"))
         val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
