@@ -485,6 +485,48 @@ object Relational {
         SELECT user_id, event_id AS err_id, purchase_id,
                (us - purchase_us) / 1000000.0 AS gap_s
         FROM wl WHERE kind = 1
-        ORDER BY user_id, err_id"""))
+        ORDER BY user_id, err_id""")),
+
+    // -------------------------------------------------------------------
+    // GROUPING SETS with an arbitrary (non-rollup/cube) set list.
+    QueryDef("q21_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("g_orders")
+        s.sql(s"""
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                 ${Sql.oDsum("o_totalprice")} AS sum_price
+          FROM g_orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+      },
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               ${Sql.oDsum("o_totalprice")} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // -------------------------------------------------------------------
+    // Correlated scalar subqueries (decorrelated by Catalyst into
+    // left-outer aggregated joins — no per-row re-execution at scale).
+    QueryDef("q22_correlated_subquery",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("g_customer")
+        Tables.orders(s, d).createOrReplaceTempView("g_orders2")
+        s.sql("""
+          SELECT c_custkey,
+                 (SELECT count(*) FROM g_orders2 WHERE o_custkey = c_custkey) AS n_orders,
+                 (SELECT CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                    FROM g_orders2 WHERE o_custkey = c_custkey) AS max_price
+          FROM g_customer
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+               (SELECT CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                  FROM orders WHERE o_custkey = c_custkey) AS max_price
+        FROM customer
+        ORDER BY c_custkey"""))
   )
 }

@@ -108,6 +108,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch range join (q16 semantics)") {
+    val dir = Files.createTempDirectory("graft-ss-join")
+    writeOrderedFiles(dir, 3)
+    val src = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val err = src.filter(col("event_type") === "error")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("u"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+    val all = src.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val joined = err.join(all,
+      col("u") === col("user_id") &&
+        col("ts") >= col("err_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("ts") < col("err_ts"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_join").select("err_id", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = graft.SparkEntry.queries("q16_range_join")(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // same pairs grouped: compare per-error counts
+      val gotCounts = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(gotCounts == want, s"$gotCounts != $want")
+    } finally q.stop()
+  }
+
   test("stateful sessionization: stream across micro-batches == batch window plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-sess")
