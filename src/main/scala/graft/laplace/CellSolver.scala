@@ -85,6 +85,14 @@ object CellSolver {
   def solve(spark: SparkSession, n: Int, maxIterations: Int = Int.MaxValue): Laplace.Result = {
     val om = Laplace.omega(n)
     val eps = Laplace.epsilon(n)
+    // Size the per-sweep shuffle to the grid: ~50k cells per reduce
+    // partition, capped at the cluster's parallelism. A 32-partition
+    // shuffle over a 64-cell grid is pure scheduling overhead; at 10^6
+    // points per dimension the same formula yields full parallelism.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(n.toLong * n / 50000,
+      spark.sparkContext.defaultParallelism.toLong))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     var grid = GridGen.cells(spark, n).withColumn("d", lit(0.0)).localCheckpoint(true)
     var iterations = 0
     var maxDiff = 0.0
@@ -106,6 +114,7 @@ object CellSolver {
       iterations += 1
       continue = maxDiff > eps
     }
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     Laplace.Result(grid.select("i", "j", "v"), iterations, maxDiff)
   }
 }
