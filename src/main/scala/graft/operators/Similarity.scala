@@ -150,6 +150,48 @@ object Similarity {
           FROM cands)
         SELECT qid, rank, neighbor, cosine
         FROM ranked WHERE rank <= $TOPK
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // -------------------------------------------------------------------
+    // Int8 embedding quantization (the 4x storage/bandwidth lever of a
+    // vector pipeline): per-vector symmetric scale s = 127/max|x|,
+    // q_i = round(x_i * s), reconstruction error reported per vector.
+    // Every arithmetic step is element-wise + a sequential fold, so the
+    // error metrics are bit-deterministic in both engines.
+    QueryDef("s03_quantize_int8",
+      (s, d) => {
+        Ns.registerFast(s)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("maxabs", expr(
+            "aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+          .withColumn("q", expr("transform(v, x -> CAST(round(x * 127.0 / maxabs) AS INT))"))
+          .withColumn("deq", expr("zip_with(q, v, (qi, x) -> CAST(qi AS DOUBLE) * maxabs / 127.0)"))
+          .select(col("vec_id"),
+            round(col("maxabs"), 6).as("maxabs"),
+            expr("aggregate(q, 0, (acc, x) -> acc + CASE WHEN x = 127 OR x = -127 THEN 1 ELSE 0 END)").cast("int").as("n_saturated"),
+            round(expr("aggregate(zip_with(v, deq, (x, y) -> abs(x - y)), CAST(0 AS DOUBLE), (acc, e) -> acc + e)") / size(col("v")), 6).as("mean_abs_err"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        m AS (
+          SELECT vec_id, v,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x -> abs(x))), (acc, x) -> greatest(acc, x)) AS maxabs
+          FROM v),
+        q AS (
+          SELECT vec_id, v, maxabs,
+                 list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS INT)) AS q
+          FROM m)
+        SELECT vec_id,
+               round(maxabs, 6) AS maxabs,
+               CAST(len(list_filter(q, x -> x = 127 OR x = -127)) AS INT) AS n_saturated,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(q, (qi, i) -> abs(v[i] - CAST(qi AS DOUBLE) * maxabs / 127.0))),
+                 (acc, e) -> acc + e) / len(v), 6) AS mean_abs_err
+        FROM q
+        ORDER BY vec_id"""))
   )
 }

@@ -151,6 +151,51 @@ object TextAnalysis {
         SELECT doc_id, fingerprint,
                count(*) OVER (PARTITION BY fingerprint) AS n_same
         FROM fp
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // TF-IDF: top term per document. tf = in-doc count; idf =
+    // ln(N / df) quantized to DECIMAL(18,6); score = tf * idf (exact
+    // decimal product => ranking is engine- and partitioning-exact).
+    // At scale: df/idf is a broadcast-sized vocabulary table.
+    QueryDef("t05_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df_ = tok.select(col("doc_id"), col("token")).distinct()
+          .groupBy(col("token").as("t2")).agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val idf = df_.crossJoin(broadcast(nDocs))
+          .select(col("t2"),
+            expr("CAST(round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS DECIMAL(18,6))").as("idf"))
+        val scored = tf.join(broadcast(idf), col("token") === col("t2"))
+          .select(col("doc_id"), col("token"),
+            (col("tf").cast("decimal(18,6)") * col("idf")).as("score"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("doc_id"), col("token").as("top_term"),
+            col("score").cast("double").as("tfidf"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT token AS t2, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        idf AS (
+          SELECT t2, CAST(round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS DECIMAL(18,6)) AS idf
+          FROM df CROSS JOIN nd),
+        scored AS (
+          SELECT doc_id, token, CAST(tf AS DECIMAL(18,6)) * idf AS score
+          FROM tf JOIN idf ON token = t2),
+        best AS (
+          SELECT doc_id, token, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+          FROM scored)
+        SELECT doc_id, token AS top_term, CAST(score AS DOUBLE) AS tfidf
+        FROM best WHERE rn = 1
         ORDER BY doc_id"""))
   )
 }
