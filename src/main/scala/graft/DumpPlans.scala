@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.01"
+    val names = Seq("q01_pricing_summary", "q02_filter_project", "q03_revenue_by_nation",
+      "q04_top_orders", "q16_range_join", "d02_minhash_lsh", "s01_cosine_topk", "st01_hourly_window")
+    val sb = new StringBuilder
+    sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
+    sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")
+    sb.append("TakeOrdered top-k, partial aggregation, codegen spans.\n")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      df.collect() // finalize AQE
+      sb.append(s"\n## $n\n\n```\n")
+      sb.append(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode).take(9000))
+      sb.append("\n```\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Path.of("docs/PLANS.md"), sb.toString)
+    spark.stop()
+  }
+}
