@@ -30,6 +30,65 @@ object Dedup {
   private val K = 16 // minhash signature length
   private val R = 4  // LSH rows per band -> 4 bands
 
+  /** MinHash-LSH candidate pairs with estimated jaccard (d02 / d06). */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val B = K / R
+    val sh = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("token"))
+    val mhCols = (0 until K).map(k =>
+      min(md5(concat(lit(s"$k:"), col("token")))).as(s"mh$k"))
+    val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      .withColumn("sigv", array((0 until K).map(k => col(s"mh$k")): _*))
+    val bands = sig.select(col("doc_id"), col("sigv"),
+      explode(array((0 until B).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", (0 until R).map(r => col(s"mh${b * R + r}")): _*)).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("sigv"), col("bs.band"), col("bs.sig"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sigv").as("sa"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sigv").as("sb"),
+      col("band").as("band_b"), col("sig").as("sig_b"))
+    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"CAST(aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x) AS DOUBLE) / $K").as("est_jaccard"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain producing the same candidate pairs as
+    * [[minhashPairs]], ending in `mpairs(doc_a, doc_b, est_jaccard)`.
+    */
+  private def minhashPairsOracleCtes: String = {
+    val B = K / R
+    val mhSelect = (0 until K).map(k => s"min(md5('$k:' || token)) AS mh$k").mkString(",\n                 ")
+    val bandArms = (0 until B).map(b =>
+      s"WHEN $b THEN md5(${(0 until R).map(r => s"mh${b * R + r}").mkString(" || ',' || ")})").mkString(" ")
+    val sigList = (0 until K).map(k => s"mh$k").mkString(", ")
+    s"""t0 AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tok AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS token
+          FROM t0 WHERE len(toks) >= 3),
+        sig AS (
+          SELECT doc_id,
+                 $mhSelect
+          FROM tok GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, [$sigList] AS sigv, b.band,
+                 CASE b.band $bandArms END AS sig
+          FROM sig CROSS JOIN (SELECT unnest([${(0 until B).mkString(", ")}]) AS band) b),
+        mpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(list_sum(list_transform(a.sigv, (x, i) -> CASE WHEN x = b.sigv[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $K AS est_jaccard
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
+  }
+
   /** 32-bit SimHash fingerprint per doc (shared by d03 / d03b). */
   private def simhashFp(s: org.apache.spark.sql.SparkSession, d: String) = {
     val h = Tables.documents(s, d)
@@ -76,61 +135,11 @@ object Dedup {
     // partial min combine — the whole signature computation is a single
     // narrow shuffle of (doc_id, 16 strings), no seed explosion).
     QueryDef("d02_minhash_lsh",
-      (s, d) => {
-        val B = K / R
-        val sh = Tables.documents(s, d)
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"),
-            explode(array_distinct(expr(
-              "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("token"))
-        val mhCols = (0 until K).map(k =>
-          min(md5(concat(lit(s"$k:"), col("token")))).as(s"mh$k"))
-        val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-          .withColumn("sigv", array((0 until K).map(k => col(s"mh$k")): _*))
-        val bands = sig.select(col("doc_id"), col("sigv"),
-          explode(array((0 until B).map(b =>
-            struct(lit(b).as("band"),
-              md5(concat_ws(",", (0 until R).map(r => col(s"mh${b * R + r}")): _*)).as("sig"))): _*)).as("bs"))
-          .select(col("doc_id"), col("sigv"), col("bs.band"), col("bs.sig"))
-        val a = bands.select(col("doc_id").as("doc_a"), col("sigv").as("sa"), col("band"), col("sig"))
-        val b = bands.select(col("doc_id").as("doc_b"), col("sigv").as("sb"),
-          col("band").as("band_b"), col("sig").as("sig_b"))
-        a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
-            col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            expr(s"CAST(aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x) AS DOUBLE) / $K").as("est_jaccard"))
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-      },
-      Some {
-        val B = K / R
-        val mhSelect = (0 until K).map(k => s"min(md5('$k:' || token)) AS mh$k").mkString(",\n                 ")
-        val bandArms = (0 until B).map(b =>
-          s"WHEN $b THEN md5(${(0 until R).map(r => s"mh${b * R + r}").mkString(" || ',' || ")})").mkString(" ")
-        val sigList = (0 until K).map(k => s"mh$k").mkString(", ")
-        s"""
-        WITH t0 AS (
-          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        tok AS (
-          SELECT doc_id,
-                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS token
-          FROM t0 WHERE len(toks) >= 3),
-        sig AS (
-          SELECT doc_id,
-                 $mhSelect
-          FROM tok GROUP BY doc_id),
-        bands AS (
-          SELECT doc_id, [$sigList] AS sigv, b.band,
-                 CASE b.band $bandArms END AS sig
-          FROM sig CROSS JOIN (SELECT unnest([${(0 until B).mkString(", ")}]) AS band) b)
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(list_sum(list_transform(a.sigv, (x, i) -> CASE WHEN x = b.sigv[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $K AS est_jaccard
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        ORDER BY doc_a, doc_b"""
-      }),
+      (s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b"),
+      Some(s"""
+        WITH $minhashPairsOracleCtes
+        SELECT doc_a, doc_b, est_jaccard FROM mpairs
+        ORDER BY doc_a, doc_b""")),
 
     // -------------------------------------------------------------------
     // SimHash 32-bit fingerprints. Token weight = term frequency (tokens
@@ -258,6 +267,62 @@ object Dedup {
                round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.35
-        ORDER BY vec_a, vec_b"""))
+        ORDER BY vec_a, vec_b""")),
+
+    // -------------------------------------------------------------------
+    // Duplicate clustering: connected components over the LSH candidate
+    // graph (est_jaccard >= 0.5) via iterative min-label propagation —
+    // the step that turns near-dup PAIRS into dedup GROUPS with a
+    // deterministic survivor (min doc_id). Components are near-dup
+    // clusters, so the loop converges in O(cluster diameter) ~ 2-3
+    // shuffles regardless of corpus size. Oracle: DuckDB recursive CTE
+    // reachability.
+    QueryDef("d06_dup_clusters",
+      (s, d) => {
+        val pairs = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+          .select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint(true)
+        var labels = Tables.documents(s, d)
+          .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
+        var changed = 1L
+        while (changed > 0) {
+          val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
+            .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+          val next = labels
+            .join(nbrMin, col("doc_id") === col("src"), "left")
+            .select(col("doc_id"),
+              least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+              (col("nbr_min") < col("cluster")).as("moved"))
+          val obs = org.apache.spark.sql.Observation()
+          val nextCk = next
+            .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+            .select("doc_id", "cluster")
+            .localCheckpoint(true)
+          changed = obs.get("n_moved").asInstanceOf[Long]
+          labels = nextCk
+        }
+        labels
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $minhashPairsOracleCtes,
+        sel AS (SELECT doc_a, doc_b FROM mpairs WHERE est_jaccard >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM sel
+          UNION ALL
+          SELECT doc_b, doc_a FROM sel),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src)
+        SELECT doc_id, cluster,
+               count(*) OVER (PARTITION BY cluster) AS cluster_size
+        FROM comp
+        ORDER BY doc_id"""))
   )
 }
