@@ -1,0 +1,33 @@
+package graft
+
+/** Guards the driver-harness contract: every oracle entry must name a
+  * real query, the flagship must return rows, and names must be stable.
+  */
+class ContractSpec extends SparkSpec {
+
+  test("every oracleSql key has a matching queries entry") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
+  }
+
+  test("oracle SQL strings are non-empty and reference no Spark-only syntax") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, name)
+      // Spark-isms that DuckDB would reject outright
+      assert(!sql.contains("get_json_object"), name)
+      assert(!sql.contains("timestamp_micros"), name)
+    }
+  }
+
+  test("flagship entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries execute at sf0.001 and return deterministic row counts twice") {
+    val counts1 = SparkEntry.queries.map { case (n, fn) => n -> fn(spark, sf0001).count() }
+    val counts2 = SparkEntry.queries.map { case (n, fn) => n -> fn(spark, sf0001).count() }
+    assert(counts1 == counts2)
+    counts1.foreach { case (n, c) => assert(c >= 0, n) }
+  }
+}
