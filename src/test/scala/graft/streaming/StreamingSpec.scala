@@ -136,6 +136,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch idempotent sink: batchId-keyed writes survive replays") {
+    val dir = Files.createTempDirectory("graft-feb")
+    writeOrderedFiles(dir, 3)
+    val outDir = Files.createTempDirectory("graft-feb-out")
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    // exactly-once pattern: partition output by batchId + overwrite that
+    // partition, so re-processing a batch replaces rather than duplicates
+    val q = stream
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        // simulate an at-least-once replay of the same batch
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val written = spark.read.parquet(outDir.toString)
+      assert(written.count() == eventsBatch.count(), "no duplicates despite replay")
+      assert(written.select("event_id").distinct().count() == eventsBatch.count())
+    } finally q.stop()
+  }
+
   test("stateful sessionization: stream across micro-batches == batch window plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-sess")
