@@ -93,6 +93,10 @@ object CellSolver {
     val parts = math.max(1L, math.min(n.toLong * n / 50000,
       spark.sparkContext.defaultParallelism.toLong))
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // with the shuffle already right-sized, AQE's per-iteration query-stage
+    // re-planning is pure overhead in this driver-looped plan
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     var grid = GridGen.cells(spark, n).withColumn("d", lit(0.0)).localCheckpoint(true)
     var iterations = 0
     var maxDiff = 0.0
@@ -115,6 +119,7 @@ object CellSolver {
       continue = maxDiff > eps
     }
     spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     Laplace.Result(grid.select("i", "j", "v"), iterations, maxDiff)
   }
 }
