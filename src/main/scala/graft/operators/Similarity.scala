@@ -192,6 +192,68 @@ object Similarity {
                  list_transform(q, (qi, i) -> abs(v[i] - CAST(qi AS DOUBLE) * maxabs / 127.0))),
                  (acc, e) -> acc + e) / len(v), 6) AS mean_abs_err
         FROM q
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // -------------------------------------------------------------------
+    // Random-hyperplane LSH ANN: the second scale path next to IVF.
+    // H=6 hyperplanes derived deterministically from md5 (w[p][i] =
+    // hash32(p:i)/2^32 - 0.5 — exact dyadic doubles, identical in both
+    // engines); bucket = sign-bit code; queries rank only their own
+    // bucket. At 100 TB the bucketed table is written partitioned by
+    // `bucket` and probes are partition-pruned scans.
+    QueryDef("s04_ann_lsh",
+      (s, d) => {
+        Ns.registerFast(s)
+        val H = 6
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val hyper = s.range(H).select(col("id").cast("int").as("p"),
+          expr("transform(sequence(1, 64), i -> CAST(conv(substr(md5(concat(CAST(p AS STRING), ':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) / CAST(4294967296 AS DOUBLE) - CAST(0.5 AS DOUBLE))").as("w"))
+        val buckets = e.crossJoin(broadcast(hyper))
+          .select(col("vec_id"),
+            when(expr(Ns.dot("v", "w")) >= 0,
+              expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(lit(0L)).as("bit"))
+          .groupBy("vec_id").agg(sum(col("bit")).as("bucket"))
+        val withB = e.join(buckets, "vec_id")
+        val q = withB.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+            col("bucket").as("qbucket"))
+        val cands = q.join(withB, col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))
+        cands.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TOPK)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("neighbor"), col("cosine"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        hyper AS (
+          SELECT p, list_transform(generate_series(1, 64),
+                   i -> CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) / CAST(4294967296 AS DOUBLE) - CAST(0.5 AS DOUBLE)) AS w
+          FROM range(6) t(p)),
+        bits AS (
+          SELECT vec_id, p,
+                 CASE WHEN ${Ns.oDot("v", "w")} >= 0
+                      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE CAST(0 AS BIGINT) END AS bit
+          FROM n CROSS JOIN hyper),
+        buckets AS (SELECT vec_id, sum(bit) AS bucket FROM bits GROUP BY vec_id),
+        wb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN buckets ON n.vec_id = buckets.vec_id),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qbucket FROM wb WHERE $QFILTER),
+        cands AS (
+          SELECT qid, wb.vec_id AS neighbor,
+                 round(${Ns.oDot("qv", "wb.v")} / (qn * wb.nrm), 6) AS cosine
+          FROM q JOIN wb ON qbucket = wb.bucket AND wb.vec_id <> qid),
+        ranked AS (
+          SELECT qid, neighbor, cosine,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor) AS INT) AS rank
+          FROM cands)
+        SELECT qid, rank, neighbor, cosine
+        FROM ranked WHERE rank <= $TOPK
+        ORDER BY qid, rank"""))
   )
 }

@@ -136,6 +136,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming events enriched by a static dimension == batch") {
+    val dir = Files.createTempDirectory("graft-ss-static")
+    eventsBatch.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+    val dim = spark.range(200)
+      .select(col("id").as("user_id"), (col("id") % 3).cast("int").as("tier"))
+    val stream = spark.readStream.schema(Streams.eventsSchema).parquet(s"$dir/in")
+    val q = stream.join(dim, "user_id")
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ss_static")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_static").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = eventsBatch.join(dim, "user_id")
+        .groupBy("tier").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want && got.values.sum > 0)
+    } finally q.stop()
+  }
+
   test("foreachBatch idempotent sink: batchId-keyed writes survive replays") {
     val dir = Files.createTempDirectory("graft-feb")
     writeOrderedFiles(dir, 3)
