@@ -9,7 +9,8 @@ object DumpPlans {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
     val names = Seq("q01_pricing_summary", "q02_filter_project", "q03_revenue_by_nation",
-      "q04_top_orders", "q16_range_join", "d02_minhash_lsh", "s01_cosine_topk", "st01_hourly_window")
+      "q04_top_orders", "q16_range_join", "q19_salted_join", "d02_minhash_lsh",
+      "s01_cosine_topk", "s04_ann_lsh", "st01_hourly_window")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")
