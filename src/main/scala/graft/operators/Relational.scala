@@ -527,6 +527,36 @@ object Relational {
                (SELECT CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
                   FROM orders WHERE o_custkey = c_custkey) AS max_price
         FROM customer
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // -------------------------------------------------------------------
+    // Deterministic stratified sampling: hash-mod instead of rand(), so
+    // the sample is REPRODUCIBLE across runs, engines and cluster sizes
+    // — the property a training-data pipeline needs for ablations. ~10%
+    // of lineitem keyed on (orderkey, linenumber).
+    QueryDef("q23_hash_sample",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(expr(s"${graft.operators.Ns.hash60("concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))")} % 100 < 10"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"),
+          Sql.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag"),
+      Some(s"""
+        SELECT l_returnflag, count(*) AS n_sampled,
+               ${Sql.oDsum("l_quantity")} AS sum_qty
+        FROM lineitem
+        WHERE ${graft.operators.Ns.oHash60("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % 100 < 10
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // approx_percentile (t-digest): sketch internals are engine-specific
+    // -> rows-only; NsOperatorsSpec bounds it against exact q17.
+    QueryDef("q24_approx_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_qty"),
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_price"))
+        .orderBy("l_returnflag"),
+      None)
   )
 }

@@ -97,6 +97,18 @@ class NsOperatorsSpec extends SparkSpec {
     assert(acc >= 0.2 - 0.05, s"accuracy $acc")
   }
 
+  test("q24: approx_percentile within 5% of exact percentiles") {
+    val approx = run("q24_approx_percentile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = run("q17_percentiles").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    exact.foreach { case (flag, (p50, p95)) =>
+      val (a50, a95) = approx(flag)
+      assert(math.abs(a50 - p50) / math.max(p50, 1.0) < 0.05, s"$flag p50")
+      assert(math.abs(a95 - p95) / math.max(p95, 1.0) < 0.05, s"$flag p95")
+    }
+  }
+
   test("m02: stubbed media features are deterministic and shaped correctly") {
     val a = run("m02_media_features").collect()
     val b = run("m02_media_features").collect()
