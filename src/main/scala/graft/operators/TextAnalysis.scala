@@ -196,6 +196,31 @@ object TextAnalysis {
           FROM scored)
         SELECT doc_id, token AS top_term, CAST(score AS DOUBLE) AS tfidf
         FROM best WHERE rn = 1
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Text normalization: the canonical pre-dedup cleaning pass —
+    // lowercase, strip non-alphanumerics, collapse whitespace, trim —
+    // with a content hash of the normalized form (the key exact dedup
+    // would group on downstream). Narrow projection, no shuffle.
+    QueryDef("t06_normalize",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("norm",
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+        .select(col("doc_id"),
+          length(col("norm")).cast("long").as("norm_len"),
+          sha2(col("norm"), 256).as("norm_hash"),
+          size(split(col("norm"), " ")).cast("long").as("norm_tokens"))
+        .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(length(norm) AS BIGINT) AS norm_len,
+               sha256(norm) AS norm_hash,
+               CAST(len(string_split(norm, ' ')) AS BIGINT) AS norm_tokens
+        FROM (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          FROM documents)
         ORDER BY doc_id"""))
   )
 }

@@ -23,6 +23,18 @@ class FormatsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("schema evolution: mergeSchema unifies drifting parquet writers") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    // writer v1: (doc_id, lang); writer v2 adds a column
+    docs.select("doc_id", "lang").write.parquet(s"$dir/p=1")
+    docs.select("doc_id", "lang", "n_chars").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars", "p"))
+    assert(merged.count() == docs.count() * 2)
+    // old-writer rows surface the new column as NULL
+    assert(merged.filter(col("p") === 1 && col("n_chars").isNull).count() == docs.count())
+  }
+
   test("CSV round-trip with explicit schema preserves all rows") {
     val dir = Files.createTempDirectory("graft-csv").toString
     // text contains no quotes/newlines in the corpus; header + schema read
