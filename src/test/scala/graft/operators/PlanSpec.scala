@@ -66,4 +66,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("t01: the lang-id model joins are broadcast (corpus never shuffles for the model)") {
+    val p = finalPlan("t01_lang_id")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t05: the idf vocabulary join is broadcast") {
+    val p = finalPlan("t05_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("m03: the multimodal text-vector join is an equi join, no cartesian") {
+    val p = plan("m03_multimodal_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s04: LSH bucket probing joins on the bucket code, no cartesian") {
+    val p = plan("s04_ann_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q23: the hash-sample predicate reaches the scan as a data filter") {
+    val p = plan("q23_hash_sample")
+    // the md5-derived predicate can't be a parquet PushedFilter, but it
+    // must sit directly on the scan (no shuffle before sampling)
+    val scanIdx = p.indexOf("FileScan parquet")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(scanIdx >= 0, p)
+    assert(exchangeIdx < 0 || exchangeIdx < scanIdx, "filter must precede any exchange")
+  }
 }
