@@ -3,14 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.laplace.{BlockSolver, CellSolver, GridGen, Laplace}
+import graft.laplace.{BlockSolver, CellSolver, GridGen, Laplace, LaplaceOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is assembled from the operator modules; every SQL-expressible
-  * query carries DuckDB oracle SQL. Laplace solver queries are iterative
-  * fixed-point computations with no SQL equivalent — they are rows-only
-  * here and bit-exact-verified against a scalar oracle in LaplaceSpec.
+  * query carries DuckDB oracle SQL — including the iterative Laplace
+  * solves, whose oracles unroll the red-black SOR loop as a recursive CTE
+  * ([[LaplaceOracle]]) on top of the bit-exact scalar checks in
+  * LaplaceSpec.
   */
 object SparkEntry {
 
@@ -29,12 +30,18 @@ object SparkEntry {
                     ELSE 0.0 END AS v
         FROM range(32) t(i) CROSS JOIN range(32) s(j)
         ORDER BY i, j""")),
-    // O3-O7: full red-black SOR solve, canonical cell-table plan.
+    // O3-O7: red-black SOR on the canonical cell-table plan. Capped at 12
+    // iterations: this entry demonstrates the declarative sweep (one
+    // job/iteration = pure scheduling overhead on a 64-cell demo grid);
+    // convergence-to-epsilon is exercised by the block queries + LaplaceSpec.
+    // The oracle unrolls the same 12 capped iterations.
     QueryDef("laplace_solve_cell_n8",
-      (s, _) => CellSolver.solve(s, 8).grid.orderBy("i", "j"), None),
-    // O3-O12: block-row solver (the MPI-shaped scale path).
+      (s, _) => CellSolver.solve(s, 8, maxIterations = 12).grid.orderBy("i", "j"),
+      Some(LaplaceOracle.gridSql(8, maxIterations = 12))),
+    // O3-O12: block-row solver (the MPI-shaped scale path), to convergence.
     QueryDef("laplace_solve_block_n32",
-      (s, _) => BlockSolver.solve(s, 32, numBlocks = 8).grid.orderBy("i", "j"), None),
+      (s, _) => BlockSolver.solve(s, 32, numBlocks = 8).grid.orderBy("i", "j"),
+      Some(LaplaceOracle.gridSql(32))),
     // O15: metrics sink — the reference's `Statistics:` line as one row.
     QueryDef("laplace_stats_n16",
       (s, _) => {
@@ -43,7 +50,7 @@ object SparkEntry {
         import sp.implicits._
         Seq((16, r.iterations, r.finalDiff, Laplace.epsilon(16), Laplace.omega(16)))
           .toDF("n", "num_iterations", "final_diff", "epsilon", "omega")
-      }, None)
+      }, Some(LaplaceOracle.statsSql(16)))
   )
 
   private def allDefs: Seq[QueryDef] =

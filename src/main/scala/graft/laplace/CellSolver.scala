@@ -92,34 +92,40 @@ object CellSolver {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val parts = math.max(1L, math.min(n.toLong * n / 50000,
       spark.sparkContext.defaultParallelism.toLong))
+    // AQE's per-iteration query-stage re-planning is pure overhead once the
+    // shuffle is right-sized; getOption preserves "unset" across restore
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    // with the shuffle already right-sized, AQE's per-iteration query-stage
-    // re-planning is pure overhead in this driver-looped plan
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    var grid = GridGen.cells(spark, n).withColumn("d", lit(0.0)).localCheckpoint(true)
-    var iterations = 0
-    var maxDiff = 0.0
-    var continue = true
-    while (continue && iterations < maxIterations) {
-      // Gauss-Seidel needs the color-1 sweep to READ the color-0 output —
-      // that's plan composition, not materialization; one localCheckpoint
-      // per iteration truncates lineage. The observed max(d) rides the
-      // checkpoint job (the partial/final max inside it is the
-      // reference's O5/O6 shape). NOTE: batching 2 iterations per
-      // checkpoint was measured SLOWER — the deeper plan pays more in
-      // per-loop analysis/codegen than the saved job launch; the block
-      // solver is the throughput path.
-      val obs = org.apache.spark.sql.Observation()
-      grid = sweep(sweep(grid, 0, n, om), 1, n, om)
-        .observe(obs, max(col("d")).as("maxd"))
-        .localCheckpoint(true)
-      maxDiff = obs.get("maxd").asInstanceOf[Double]
-      iterations += 1
-      continue = maxDiff > eps
+    try {
+      var grid = GridGen.cells(spark, n).withColumn("d", lit(0.0)).localCheckpoint(true)
+      var iterations = 0
+      var maxDiff = 0.0
+      var continue = true
+      while (continue && iterations < maxIterations) {
+        // Gauss-Seidel needs the color-1 sweep to READ the color-0 output —
+        // that's plan composition, not materialization; one localCheckpoint
+        // per iteration truncates lineage. The observed max(d) rides the
+        // checkpoint job (the partial/final max inside it is the
+        // reference's O5/O6 shape). NOTE: batching 2 iterations per
+        // checkpoint was measured SLOWER — the deeper plan pays more in
+        // per-loop analysis/codegen than the saved job launch; the block
+        // solver is the throughput path.
+        val obs = org.apache.spark.sql.Observation()
+        grid = sweep(sweep(grid, 0, n, om), 1, n, om)
+          .observe(obs, max(col("d")).as("maxd"))
+          .localCheckpoint(true)
+        maxDiff = obs.get("maxd").asInstanceOf[Double]
+        iterations += 1
+        continue = maxDiff > eps
+      }
+      Laplace.Result(grid.select("i", "j", "v"), iterations, maxDiff)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
     }
-    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    Laplace.Result(grid.select("i", "j", "v"), iterations, maxDiff)
   }
 }
