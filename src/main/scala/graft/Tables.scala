@@ -24,6 +24,12 @@ object Tables {
     * (windows, intervals, streaming watermarks) downstream.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
+    // Deliberately NOT save/restored: parquet readers consult the session
+    // conf again at ACTION time (ParquetFileFormat.buildReader copies it
+    // into the task hadoopConf), so unsetting after plan construction
+    // would crash any not-yet-executed events scan. The flag only alters
+    // TIMESTAMP(NANOS) columns, which exist in no other table, so leaving
+    // it set is semantically inert for the rest of the session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, d, "events")
     // integral `div` — a double division would lose precision on 1.7e18-ns

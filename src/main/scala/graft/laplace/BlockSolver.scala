@@ -1,5 +1,7 @@
 package graft.laplace
 
+import org.apache.spark.Partitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.util.AccumulatorV2
@@ -41,20 +43,63 @@ final class MaxVecAccumulator(k: Int)
     m.map(x => if (x == Double.NegativeInfinity) 0.0 else x)
 }
 
-/** Block-row SOR solver with TEMPORAL BLOCKING: `mapPartitions` over
-  * `Dataset[GridRow]` runs k full red-black iterations per Spark job
-  * using a 2k-row ghost zone on each partition edge.
+/** Contiguous 1-D block-row layout: block b owns rows [lo(b), hi(b)],
+  * sizes differing by at most one — the reference's decomposition
+  * (`laplace-par.c:245-251`) made explicit so halo routing is closed-form
+  * arithmetic (no driver lookups).
+  */
+final case class BlockLayout(n: Int, blocks: Int) {
+  private val base = n / blocks
+  private val rem = n % blocks
+  def lo(b: Int): Int = b * base + math.min(b, rem)
+  def hi(b: Int): Int = lo(b + 1) - 1
+  def blockOf(i: Int): Int =
+    if (i < rem * (base + 1)) i / (base + 1)
+    else rem + (i - rem * (base + 1)) / base
+  /** Blocks (other than the owner) whose ghost zone of depth `ghost`
+    * contains row i: exactly those whose row range intersects
+    * [i-ghost, i+ghost] — a contiguous id range, possibly spanning
+    * several thin blocks when block size < ghost.
+    */
+  def ghostDests(i: Int, ghost: Int): Range = {
+    val first = blockOf(math.max(0, i - ghost))
+    val last = blockOf(math.min(n - 1, i + ghost))
+    first to last
+  }
+}
+
+/** Identity partitioner on block ids: block b lives in partition b, so a
+  * `partitionBy` on ghost messages IS the reference's peer-to-peer halo
+  * send (`laplace-par.c:371-417`) — each executor receives exactly the
+  * edge rows its blocks need, nothing routes through the driver.
+  */
+final class BlockPartitioner(blocks: Int) extends Partitioner {
+  override def numPartitions: Int = blocks
+  override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  override def equals(o: Any): Boolean = o match {
+    case p: BlockPartitioner => p.numPartitions == blocks
+    case _ => false
+  }
+  override def hashCode: Int = blocks
+}
+
+/** Block-row SOR solver with TEMPORAL BLOCKING: each superstep runs k
+  * full red-black iterations per task using a 2k-row ghost zone on each
+  * partition edge.
   *
   * Why: the reference exchanges one halo per half-sweep
   * (`laplace-par.c:371-417`); a naive Spark port pays a full job launch
-  * + halo collect per half-sweep, so scheduling overhead dominates any
-  * realistic grid. Classic ghost-zone (trapezoidal) blocking amortizes
-  * that: per superstep,
+  * per half-sweep, so scheduling overhead dominates any realistic grid.
+  * Classic ghost-zone (trapezoidal) blocking amortizes that: per
+  * superstep,
   *
-  *  1. ONE collect gathers every row within 2k rows of a partition
-  *     boundary (the k-deep halo; O(P·k·N) doubles) and broadcasts it;
-  *  2. ONE narrow `mapPartitions` extends each block with its ghost
-  *     rows and runs 2k half-sweeps in-place, locally.
+  *  1. ONE keyed shuffle routes every row within 2k rows of a block
+  *     boundary to the neighboring blocks that need it (`ghostDests` is
+  *     closed-form, so the exchange is executor-to-executor — the
+  *     driver never sees a cell value);
+  *  2. a co-partitioned `cogroup` (narrow on the state side — both RDDs
+  *     share the [[BlockPartitioner]]) hands each block its owned rows
+  *     plus ghosts, and the task runs 2k half-sweeps in-place, locally.
   *
   * Correctness of the redundant compute: each half-sweep invalidates one
   * more row at each ghost edge (its neighbor is missing), so after k
@@ -76,40 +121,51 @@ final class MaxVecAccumulator(k: Int)
   * iteration semantics exactly.
   *
   * At 1000 executors on a 10^6-point dimension, per-superstep network is
-  * O(P·k·N) broadcast vs O(N²) for a shuffle-based sweep, and job count
-  * drops 2k-fold; driver-routed halo is the documented trade-off (swap
-  * for a keyed shuffle of edge rows if P·k·N outgrows the driver).
+  * O(P·k·N) doubles moving point-to-point between neighboring executors
+  * (the same volume the reference's MPI halo moves, amortized over k
+  * iterations) and job count drops 2k-fold vs per-sweep exchange; driver
+  * traffic per superstep is one accumulator vector of k doubles per
+  * task, independent of N.
   */
 object BlockSolver {
+
+  /** State rows keyed by owning block, partitioned block b -> partition b. */
+  private def initialState(spark: SparkSession, layout: BlockLayout): RDD[(Int, GridRow)] = {
+    val n = layout.n
+    spark.sparkContext
+      .parallelize(0 until layout.blocks, layout.blocks)
+      .flatMap { b =>
+        (layout.lo(b) to layout.hi(b)).iterator.map(i =>
+          (b, GridRow(i, Array.tabulate(n)(j => Laplace.initialValue(i, j, n)))))
+      }
+      .partitionBy(new BlockPartitioner(layout.blocks))
+  }
 
   def initialRows(spark: SparkSession, n: Int, numBlocks: Int): Dataset[GridRow] = {
     import spark.implicits._
     val blocks = math.max(1, math.min(numBlocks, n))
-    spark.range(0, n.toLong, 1, blocks)
-      .map(id => GridRow(id.toInt, Array.tabulate(n)(j => Laplace.initialValue(id.toInt, j, n))))
+    spark.createDataset(initialState(spark, BlockLayout(n, blocks)).values)
   }
 
-  /** Run `kk` full iterations in one job. Emits owned rows only. */
-  private def superstep(ds: Dataset[GridRow], kk: Int, n: Int, omega: Double,
-      acc: MaxVecAccumulator): Dataset[GridRow] = {
-    import ds.sparkSession.implicits._
+  /** Run `kk` full iterations in one job. Emits owned rows only. The only
+    * wide dependency is the ghost-row `partitionBy` — O(blocks * 2kk)
+    * rows — and the cogroup is narrow on both sides (shared partitioner).
+    */
+  private def superstep(state: RDD[(Int, GridRow)], layout: BlockLayout, kk: Int,
+      omega: Double, acc: MaxVecAccumulator): RDD[(Int, GridRow)] = {
+    val n = layout.n
     val ghost = 2 * kk
-    // every row within `ghost` of its partition's edge — superset of what
-    // any neighbor needs (even across thin partitions, see Scaladoc)
-    val halo = ds.mapPartitions { it =>
-      val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty
-      else {
-        val lo = rows.iterator.map(_.i).min
-        val hi = rows.iterator.map(_.i).max
-        rows.iterator.filter(r => r.i - lo < ghost || hi - r.i < ghost)
-      }
-    }.collect().map(r => r.i -> r.vals).toMap
-    val hb = ds.sparkSession.sparkContext.broadcast(halo)
+    val part = new BlockPartitioner(layout.blocks)
+    val lay = layout
+    val ghosts = state
+      .flatMap { case (b, r) => lay.ghostDests(r.i, ghost).collect {
+        case d if d != b => (d, r)
+      } }
+      .partitionBy(part)
     val oneMinusOmega = 1.0 - omega
 
-    ds.mapPartitions { it =>
-      val owned = it.toArray.sortBy(_.i)
+    state.cogroup(ghosts, part).flatMapValues { case (ownedIt, ghostIt) =>
+      val owned = ownedIt.toArray.sortBy(_.i)
       if (owned.isEmpty) Iterator.empty
       else {
         val lo = owned.head.i
@@ -118,10 +174,8 @@ object BlockSolver {
         val extHi = math.min(n - 1, hi + ghost)
         val work = new Array[Array[Double]](extHi - extLo + 1)
         owned.foreach(r => work(r.i - extLo) = r.vals.clone())
-        var i = extLo
-        while (i <= extHi) {
-          if (work(i - extLo) == null) work(i - extLo) = hb.value(i).clone()
-          i += 1
+        ghostIt.foreach { r =>
+          if (r.i >= extLo && r.i <= extHi) work(r.i - extLo) = r.vals.clone()
         }
         val localMax = Array.fill(kk)(Double.NegativeInfinity)
         val rStart = math.max(extLo + 1, 1)
@@ -165,11 +219,14 @@ object BlockSolver {
 
   def solve(spark: SparkSession, n: Int, numBlocks: Int = 0,
             maxIterations: Int = Int.MaxValue, stepK: Int = 16): Laplace.Result = {
-    val blocks = if (numBlocks > 0) numBlocks else spark.sparkContext.defaultParallelism
+    val requested = if (numBlocks > 0) numBlocks else spark.sparkContext.defaultParallelism
+    val layout = BlockLayout(n, math.max(1, math.min(requested, n)))
     val om = Laplace.omega(n)
     val eps = Laplace.epsilon(n)
 
-    var ds = initialRows(spark, n, blocks).localCheckpoint(true)
+    var state = initialState(spark, layout)
+    state.localCheckpoint()
+    state.count()
     var iterations = 0
     var maxDiff = 0.0
     var converged = false
@@ -177,26 +234,33 @@ object BlockSolver {
       val kk = math.min(stepK.toLong, maxIterations.toLong - iterations).toInt
       val acc = new MaxVecAccumulator(kk)
       spark.sparkContext.register(acc, s"laplaceMaxDiff@$iterations")
-      val next = superstep(ds, kk, n, om, acc).localCheckpoint(true)
+      val next = superstep(state, layout, kk, om, acc)
+      next.localCheckpoint()
+      next.count()
       val maxes = acc.value
       val idx = maxes.indexWhere(_ <= eps)
-      if (idx < 0) {
-        ds = next; iterations += kk; maxDiff = maxes(kk - 1)
-      } else if (idx == kk - 1) {
-        ds = next; iterations += kk; maxDiff = maxes(idx); converged = true
+      if (idx < 0 || idx == kk - 1) {
+        state.unpersist(blocking = false)
+        state = next; iterations += kk
+        maxDiff = maxes(kk - 1); converged = idx >= 0
       } else {
         // converged mid-superstep: redo exactly idx+1 iterations so the
         // materialized grid is the state right after the converging
         // iteration (the reference stops there: `laplace-seq.c:209`)
+        next.unpersist(blocking = false)
         val kk2 = idx + 1
         val acc2 = new MaxVecAccumulator(kk2)
         spark.sparkContext.register(acc2, s"laplaceMaxDiffTail@$iterations")
-        // eager localCheckpoint materializes, populating acc2
-        ds = superstep(ds, kk2, n, om, acc2).localCheckpoint(true)
+        val tail = superstep(state, layout, kk2, om, acc2)
+        tail.localCheckpoint()
+        tail.count()
+        state.unpersist(blocking = false)
+        state = tail
         iterations += kk2; maxDiff = acc2.value(kk2 - 1); converged = true
       }
     }
-    Laplace.Result(toCells(ds), iterations, maxDiff)
+    import spark.implicits._
+    Laplace.Result(toCells(spark.createDataset(state.values)), iterations, maxDiff)
   }
 
   /** Flatten GridRow back to the canonical (i, j, v) cell table. */

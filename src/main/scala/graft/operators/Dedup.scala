@@ -160,19 +160,31 @@ object Dedup {
         FROM s ORDER BY doc_id""")),
 
     // -------------------------------------------------------------------
-    // SimHash near-dup pairs: hamming distance on the 32-bit fingerprints.
-    // At scale this would block on fingerprint bands (split the 32 bits
-    // into 4 bytes; near-dups share >= 1 exact byte by pigeonhole) — the
-    // all-pairs form here is exact on the fixed-size documents table.
+    // SimHash near-dup pairs: hamming distance on the 32-bit fingerprints,
+    // BANDED — the 32 bits split into 4 bytes; pairs at hamming <= 3 have
+    // < 4 differing bits, so by pigeonhole they agree on >= 1 whole byte
+    // and an equi-join on (band_idx, byte) finds every such pair with no
+    // all-pairs scan. Join fan-out is bounded by byte-bucket size, not
+    // corpus size; distinct() collapses pairs matching in several bands.
+    // Output is identical to the quadratic form (PlanSpec pins the plan
+    // to a non-nested-loop equi-join).
     QueryDef("d03b_simhash_pairs",
       (s, d) => {
         val fp = simhashFp(s, d)
-        val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
-        val b = fp.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
-        a.join(b, col("doc_a") < col("doc_b"))
+        val bands = fp.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(t => struct(lit(t).as("band"),
+            expr(s"shiftright(simhash, ${8 * t}) % 256").as("byte"))): _*)).as("bb"))
+          .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.byte"))
+        val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+          col("band"), col("byte"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+          col("band").as("band_b"), col("byte").as("byte_b"))
+        a.join(b, col("band") === col("band_b") && col("byte") === col("byte_b") &&
+            col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
           .filter(col("hamming") <= 3)
+          .distinct()
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""
@@ -267,6 +279,72 @@ object Dedup {
                round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.35
+        ORDER BY vec_a, vec_b""")),
+
+    // -------------------------------------------------------------------
+    // Embedding near-dup routed through multi-table random-hyperplane
+    // LSH (the s04 bucket shape): T=16 tables x H=4 sign bits, all 64
+    // hyperplanes md5-derived (exact dyadic doubles, identical in both
+    // engines). Candidates = pairs sharing a code in ANY table (bucket
+    // equi-join, shuffle-parallel, never all-pairs); exact cosine then
+    // filters at 0.35. On this synthetic corpus the embeddings are
+    // near-orthogonal noise (max pair cosine ~0.51), the adversarial
+    // case for SRP-LSH — recall vs the exact d05 is still ~0.94
+    // (pinned in NsOperatorsSpec); on real clustered near-dup data the
+    // same config prunes to ~T/2^H of pairs because true dups sit at
+    // cosine >= 0.9. d05 stays as the exactness/recall oracle.
+    QueryDef("d05b_embedding_neardup_lsh",
+      (s, d) => {
+        Ns.registerFast(s)
+        val (tables, bits) = (16, 4)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val hyper = s.range(tables.toLong * bits).select(
+          (col("id") / bits).cast("int").as("t"),
+          (col("id") % bits).cast("int").as("p"),
+          expr("transform(sequence(1, 64), i -> CAST(conv(substr(md5(concat('t', CAST((CAST(id AS INT) div 4) AS STRING), ':', CAST(pmod(id, 4) AS STRING), ':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) / CAST(4294967296 AS DOUBLE) - CAST(0.5 AS DOUBLE))").as("w"))
+        val codes = e.crossJoin(broadcast(hyper))
+          .select(col("vec_id"), col("t"),
+            when(expr(Ns.dot("v", "w")) >= 0,
+              expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(lit(0L)).as("bit"))
+          .groupBy("vec_id", "t").agg(sum(col("bit")).as("code"))
+        val ca = codes.select(col("vec_id").as("vec_a"), col("t"), col("code"))
+        val cb = codes.select(col("vec_id").as("vec_b"), col("t").as("t_b"), col("code").as("code_b"))
+        val pairs = ca.join(cb, col("t") === col("t_b") && col("code") === col("code_b") &&
+            col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b").distinct()
+        val ea = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+        val eb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+        pairs.join(ea, "vec_a").join(eb, "vec_b")
+          .select(col("vec_a"), col("vec_b"),
+            round(expr(Ns.dot("va", "vb")) / (col("na") * col("nb")), 6).as("cosine"))
+          .filter(col("cosine") >= 0.35)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (
+          SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        hyper AS (
+          SELECT t, p, list_transform(generate_series(1, 64),
+                   i -> CAST('0x' || substr(md5('t' || CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) / CAST(4294967296 AS DOUBLE) - CAST(0.5 AS DOUBLE)) AS w
+          FROM range(16) a(t) CROSS JOIN range(4) b(p)),
+        bits AS (
+          SELECT vec_id, t,
+                 CASE WHEN ${Ns.oDot("v", "w")} >= 0
+                      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE CAST(0 AS BIGINT) END AS bit
+          FROM n CROSS JOIN hyper),
+        codes AS (SELECT vec_id, t, sum(bit) AS code FROM bits GROUP BY vec_id, t),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM codes a JOIN codes b
+            ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b,
+               round(${Ns.oDot("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cosine
+        FROM pairs JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id
+        WHERE round(${Ns.oDot("x.v", "y.v")} / (x.nrm * y.nrm), 6) >= 0.35
         ORDER BY vec_a, vec_b""")),
 
     // -------------------------------------------------------------------

@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `BinaryType` columns with typed metadata, plus a
   * batched decode/feature-extract pipeline.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake — the Spark-side plumbing (schema,
-  * binary columns, partition-parallel batched processing, feature
-  * vector shapes) is real and tested (MultimodalSpec).
+  * The container has no image/audio codecs, so the "decode" step is
+  * real BYTE-LEVEL feature extraction — histogram moments (mean /
+  * variance via exact integer sums), distinct-byte count, and a
+  * fixed-width leading-bytes feature vector. Swapping in a codec means
+  * replacing only the per-batch function body; the batching, schema and
+  * partition-parallel shape stay identical. The moments are
+  * oracle-checked in DuckDB over the same byte arithmetic (m02).
   *
   * Scale design: payloads never leave their partition — metadata
-  * extraction and feature stubs are narrow per-row transforms
+  * extraction and byte features are narrow per-row transforms
   * (mapPartitions, batched like an Arrow/Pandas UDF would be), so a
   * 100 TB media table processes embarrassingly parallel with no
   * shuffle; only the small feature/metadata projection flows onward.
@@ -29,24 +32,44 @@ object Multimodal {
       doc_id: Long, payload: Array[Byte],
       width: Int, height: Int, format: String)
 
-  final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int, mean_byte: Double, feature: Array[Float])
-
-  /** STUB decode: a real implementation would hand each batch to an
-    * image/audio decoder (the libs are absent in this container). The
-    * fake derives deterministic "pixel stats" from the payload bytes so
-    * the downstream schema/partitioning/batch shape is fully exercised.
+  /** Byte-level features: histogram moments from EXACT integer sums
+    * (one double division at the end — bit-identical across engines and
+    * partitionings), distinct-byte count, leading-byte vector.
     */
-  def decodeStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, byte_sum: Long, byte_sumsq: Long,
+      n_distinct: Int, first_byte: Int, mean_byte: Double, var_byte: Double,
+      feature: Array[Float])
+
+  /** Batched byte-level decode: the batch boundary is where a real
+    * image/audio codec would be invoked per buffer.
+    */
+  def decodeBytes(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
       val bytes = r.payload
-      val mean =
-        if (bytes.isEmpty) 0.0
-        else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
-      val feature = Array.tabulate(8) { i =>
-        if (bytes.length > i) (bytes(i) & 0xff).toFloat / 255f else 0f
+      val n = bytes.length
+      var sum = 0L
+      var sumsq = 0L
+      val seen = new Array[Boolean](256)
+      var distinct = 0
+      var i = 0
+      while (i < n) {
+        val b = bytes(i) & 0xff
+        sum += b
+        sumsq += b.toLong * b
+        if (!seen(b)) { seen(b) = true; distinct += 1 }
+        i += 1
       }
-      MediaFeatures(r.doc_id, bytes.length, mean, feature)
+      // exact integer numerators; ONE floating division each -> the
+      // values are independent of batch/partition boundaries
+      val mean = if (n == 0) 0.0 else sum.toDouble / n
+      val variance =
+        if (n == 0) 0.0
+        else (n.toLong * sumsq - sum * sum).toDouble / (n.toLong * n)
+      val feature = Array.tabulate(8)(i =>
+        if (n > i) (bytes(i) & 0xff).toFloat / 255f else 0f)
+      MediaFeatures(r.doc_id, n, sum, sumsq, distinct,
+        if (n > 0) bytes(0) & 0xff else 0, mean, variance, feature)
     }
 
   /** The batched partition-parallel pipeline: mirrors mapInPandas batch
@@ -56,7 +79,7 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: org.apache.spark.sql.Dataset[MediaRecord],
       batchSize: Int = 64): org.apache.spark.sql.Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.mapPartitions(_.grouped(batchSize).flatMap(b => decodeStub(b)))
+    media.mapPartitions(_.grouped(batchSize).flatMap(b => decodeBytes(b)))
   }
 
   /** documents -> MediaRecord dataset (payload = utf-8 text bytes). */
@@ -109,19 +132,33 @@ object Multimodal {
 
     // -------------------------------------------------------------------
     // Batched decode/feature pipeline (typed Dataset + mapPartitions):
-    // the decode itself is stubbed (no codecs in-container), so this is
-    // rows-only here; MultimodalSpec asserts the features independently.
+    // byte-level feature extraction with exact integer sums, so DuckDB
+    // reproduces mean/variance bit-for-bit over the same bytes (the
+    // document text is pure ASCII, so ord(char) == byte).
     QueryDef("m02_media_features",
-      (s, d) => {
-        val sp = s
-        import sp.implicits._
-        extractFeatures(s, mediaFromDocuments(s, d))
-          .select(col("doc_id"), col("n_bytes"),
-            round(col("mean_byte"), 6).as("mean_byte"),
-            round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
-          .orderBy("doc_id")
-      },
-      None),
+      (s, d) => extractFeatures(s, mediaFromDocuments(s, d))
+        .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
+          col("byte_sumsq"), col("n_distinct"), col("first_byte"),
+          col("mean_byte"), col("var_byte"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+                 CAST(list_sum(list_transform(range(1, length(text) + 1),
+                      i -> ord(text[i]))) AS BIGINT) AS s,
+                 CAST(list_sum(list_transform(range(1, length(text) + 1),
+                      i -> ord(text[i]) * ord(text[i]))) AS BIGINT) AS ss,
+                 len(list_distinct(list_transform(range(1, length(text) + 1),
+                      i -> ord(text[i])))) AS nd,
+                 ord(text[1]) AS b0
+          FROM documents)
+        SELECT doc_id, CAST(n AS INT) AS n_bytes, s AS byte_sum,
+               ss AS byte_sumsq, CAST(nd AS INT) AS n_distinct,
+               CAST(b0 AS INT) AS first_byte,
+               CAST(s AS DOUBLE) / n AS mean_byte,
+               CAST(n * ss - s * s AS DOUBLE) / (n * n) AS var_byte
+        FROM b
+        ORDER BY doc_id""")),
 
     // -------------------------------------------------------------------
     // Multimodal join: text-side predicates x vector-side predicates in

@@ -357,15 +357,33 @@ object Relational {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
-    // approx_count_distinct: sketch-based, engine-specific internals -> no
-    // SQL oracle; sanity (within rsd of exact) is asserted in RelationalSpec.
+    // approx_count_distinct: HLL++ sketch internals are engine-specific,
+    // but the sketch's CONTRACT is oracle-checkable: emit the exact
+    // distinct counts plus a 3-sigma in-bounds boolean (rsd = 0.02), both
+    // DuckDB-computable — the hash compare pins the exact values and the
+    // error bound instead of HLL internals.
     QueryDef("q15_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
+          col("ap").between(col("n_parts") * 0.94, col("n_parts") * 1.06)
+            .as("parts_in_bounds"),
+          col("ao").between(col("n_orders") * 0.94, col("n_orders") * 1.06)
+            .as("orders_in_bounds"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_orderkey) AS n_orders,
+               TRUE AS parts_in_bounds,
+               TRUE AS orders_in_bounds
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
 
     // -------------------------------------------------------------------
     // Range (theta) join: events within a trailing 5-minute window of each
@@ -549,14 +567,35 @@ object Relational {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
-    // approx_percentile (t-digest): sketch internals are engine-specific
-    // -> rows-only; NsOperatorsSpec bounds it against exact q17.
+    // approx_percentile: sketch internals are engine-specific, but the
+    // rank-error contract is oracle-checkable — emit the exact
+    // percentiles plus a boolean that the sketch value lands inside the
+    // [p-0.05, p+0.05] exact-rank window (accuracy=1000 guarantees rank
+    // error <= 0.001, so the window is 50x slack and partitioning-
+    // invariant). Both sides DuckDB-computable -> green hash row.
     QueryDef("q24_approx_percentile",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_qty"),
-          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95_price"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty_exact"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price_exact"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"),
+          expr("percentile(l_quantity, 0.45)").as("lo50"),
+          expr("percentile(l_quantity, 0.55)").as("hi50"),
+          expr("percentile(l_extendedprice, 0.93)").as("lo95"),
+          expr("percentile(l_extendedprice, 0.97)").as("hi95"))
+        .select(col("l_returnflag"), col("p50_qty_exact"), col("p95_price_exact"),
+          col("ap50").between(col("lo50"), col("hi50")).as("p50_in_bounds"),
+          col("ap95").between(col("lo95"), col("hi95")).as("p95_in_bounds"))
         .orderBy("l_returnflag"),
-      None)
+      Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty_exact,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price_exact,
+               TRUE AS p50_in_bounds,
+               TRUE AS p95_in_bounds
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
   )
 }

@@ -114,14 +114,6 @@ object Streams {
       }
   }
 
-  /** Force-close any state by streaming a batch through and appending
-    * open sessions — used by the spec to compare full results.
-    */
-  def sessionizeCompleteBatch(spark: SparkSession, events: DataFrame): DataFrame = {
-    import spark.implicits._
-    val evs = events.select(col("event_id"), col("ts"), col("user_id")).as[Ev]
-    sessionizeStream(spark, evs).toDF()
-  }
 
   def defs: Seq[QueryDef] = Seq(
 

@@ -24,13 +24,20 @@ class VectorPropertySpec extends SparkSpec {
       .select(expr("vec_dot(a, b)").as("dot"), expr("vec_l2sq(a, b)").as("l2"))
     val got = df.collect()
     cases.zip(got).foreach { case ((a, b), row) =>
-      val n = math.min(a.length, b.length)
-      val dot = (0 until n).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
-      val l2 = (0 until n).foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
-      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
-        java.lang.Double.doubleToLongBits(dot), s"dot mismatch on ${a.toSeq} / ${b.toSeq}")
-      assert(java.lang.Double.doubleToLongBits(row.getDouble(1)) ==
-        java.lang.Double.doubleToLongBits(l2), s"l2 mismatch on ${a.toSeq} / ${b.toSeq}")
+      if (a.length != b.length) {
+        // HOF-faithful contract: ragged inputs yield NULL (zip_with pads
+        // with null, nulling the fold), never a silently truncated dot
+        assert(row.isNullAt(0), s"ragged dot must be NULL on ${a.toSeq} / ${b.toSeq}")
+        assert(row.isNullAt(1), s"ragged l2 must be NULL on ${a.toSeq} / ${b.toSeq}")
+      } else {
+        val n = a.length
+        val dot = (0 until n).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+        val l2 = (0 until n).foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+        assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(dot), s"dot mismatch on ${a.toSeq} / ${b.toSeq}")
+        assert(java.lang.Double.doubleToLongBits(row.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(l2), s"l2 mismatch on ${a.toSeq} / ${b.toSeq}")
+      }
     }
   }
 

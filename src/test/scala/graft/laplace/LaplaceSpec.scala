@@ -88,6 +88,46 @@ class LaplaceSpec extends SparkSpec {
     assert(stats.contains(f"epsilon=${Laplace.epsilon(12)}%.10f"))
   }
 
+  test("block layout: closed-form ownership + multi-hop ghost routing") {
+    for ((n, blocks) <- Seq((16, 4), (5, 4), (17, 3), (3, 2))) {
+      val lay = BlockLayout(n, blocks)
+      assert(lay.lo(0) === 0)
+      assert(lay.hi(blocks - 1) === n - 1)
+      for (b <- 0 until blocks; i <- lay.lo(b) to lay.hi(b))
+        assert(lay.blockOf(i) === b, s"n=$n blocks=$blocks i=$i")
+      // ghost routing: block d receives row i iff i is within `ghost`
+      // rows of d's range — including across several thin blocks
+      for (ghost <- Seq(1, 2, 32); i <- 0 until n; d <- 0 until blocks) {
+        val needs = i >= lay.lo(d) - ghost && i <= lay.hi(d) + ghost
+        assert(lay.ghostDests(i, ghost).contains(d) === needs,
+          s"n=$n blocks=$blocks ghost=$ghost i=$i d=$d")
+      }
+    }
+  }
+
+  test("superstep halo is shuffle-routed: one job per superstep, no driver collect") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val res = BlockSolver.solve(spark, 16, numBlocks = 4, stepK = 16)
+      // listener events are async; jobs have all STARTED by the time
+      // solve() returns (each superstep's job is awaited), but give the
+      // bus a beat to drain
+      Thread.sleep(500)
+      val supersteps = (res.iterations + 15) / 16
+      // init materialization + one job per superstep + at most one
+      // mid-superstep tail redo; the old driver-routed halo ran an extra
+      // collect job per superstep and would blow this bound
+      assert(jobs.get <= supersteps + 3,
+        s"${jobs.get} jobs for $supersteps supersteps — halo collect crept back in")
+      checkAgainstOracle(16, res)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("single color-0 half-sweep touches only (i+j) even interior cells (N=6)") {
     val n = 6
     val om = Laplace.omega(n)

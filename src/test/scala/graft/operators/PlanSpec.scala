@@ -61,6 +61,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d03b: banded simhash pairing is an equi-join, not a nested loop") {
+    val p = plan("d03b_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q16: range join keys the shuffle on the equi part (user_id)") {
     val p = plan("q16_range_join")
     assert(!p.contains("CartesianProduct"), p)
