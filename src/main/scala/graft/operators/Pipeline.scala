@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/similarity (north star
+  * §2.3): the corpus-assembly steps between "deduplicated documents" and
+  * "token stream on the trainer" — sequence packing, eval-set
+  * decontamination, deterministic train/val/test splitting, and domain
+  * (source) mixture rebalancing. All four are oracle-checked in DuckDB;
+  * every float that reaches the output is a single division of exact
+  * integer aggregates (partitioning-invariant, see [[Ns]]).
+  *
+  * Scale design (100 TB):
+  *  - packing is a per-shard window cumsum (shuffle on the shard key,
+  *    linear in rows, no global coordination);
+  *  - decontamination is a shingle equi-join (the d04 shape): the corpus
+  *    shuffles on the shingle string, never materializing pairs beyond
+  *    bucket fan-out;
+  *  - splitting/mixing are hash-mod projections + one partial agg.
+  */
+object Pipeline {
+
+  /** Tokens = whitespace split, the t03 convention. */
+  private val NTOK = "CAST(size(split(text, ' ')) AS BIGINT)"
+  private val ONTOK = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+
+  private val PACK_BUDGET = 512
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------------
+    // Sequence packing (concat-then-chunk): documents are concatenated in
+    // doc_id order within each lang shard and cut into fixed
+    // PACK_BUDGET-token training sequences; each doc reports the pack its
+    // first token lands in and the offset inside it. The window cumsum is
+    // integer-exact, so pack assignment is identical on any cluster; at
+    // 100 TB the shard key becomes a hash bucket instead of lang and each
+    // shard packs independently (one shuffle, linear scan).
+    QueryDef("p01_sequence_packing",
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), expr(NTOK).as("n_tokens"))
+          .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            expr(s"cum div $PACK_BUDGET").as("pack_id"),
+            expr(s"cum % $PACK_BUDGET").as("pack_offset"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, $ONTOK AS n_tokens FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+          FROM t)
+        SELECT doc_id, lang, n_tokens,
+               cum // $PACK_BUDGET AS pack_id,
+               cum % $PACK_BUDGET AS pack_offset
+        FROM c
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Eval-set decontamination: a deterministic ~5% hash-sample of the
+    // corpus plays the eval set; any training doc sharing >= 1 distinct
+    // 3-token shingle with any eval doc is flagged with its overlap
+    // counts. The join shuffles on the shingle string (high cardinality,
+    // naturally balanced) — the d04 blocking shape, so cost is bounded by
+    // shingle-bucket fan-out, not |train| x |eval|.
+    QueryDef("p02_decontamination",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(expr(
+              "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+          .withColumn("is_eval",
+            expr(s"${Ns.hash60("concat('eval:', CAST(doc_id AS STRING))")} % 20 = 0"))
+        val ev = sh.filter(col("is_eval"))
+          .select(col("sh").as("sh_e"), col("doc_id").as("eval_id"))
+        val tr = sh.filter(!col("is_eval")).select(col("doc_id"), col("sh"))
+        tr.join(ev, col("sh") === col("sh_e"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("sh")).as("n_shared_shingles"),
+            countDistinct(col("eval_id")).as("n_eval_docs"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS sh,
+                 ${Ns.oHash60("'eval:' || CAST(doc_id AS VARCHAR)")} % 20 = 0 AS is_eval
+          FROM t WHERE len(toks) >= 3)
+        SELECT tr.doc_id,
+               count(DISTINCT tr.sh) AS n_shared_shingles,
+               count(DISTINCT ev.eval_id) AS n_eval_docs
+        FROM (SELECT doc_id, sh FROM sh WHERE NOT is_eval) tr
+        JOIN (SELECT sh, doc_id AS eval_id FROM sh WHERE is_eval) ev
+          ON tr.sh = ev.sh
+        GROUP BY tr.doc_id
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Deterministic stratified train/val/test split: md5 hash-mod 10 on
+    // doc_id (8/1/1), reported per (lang, split) with exact within-lang
+    // fractions. Reproducible across runs, engines and cluster sizes —
+    // the property ablations need; a narrow projection + one partial agg.
+    QueryDef("p03_stratified_split",
+      (s, d) => {
+        val wl = Window.partitionBy("lang")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), expr(NTOK).as("n_tokens"))
+          .withColumn("h",
+            expr(s"${Ns.hash60("concat('split:', CAST(doc_id AS STRING))")} % 10"))
+          .withColumn("split",
+            when(col("h") < 8, "train").when(col("h") === 8, "val").otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .withColumn("frac_docs",
+            round(col("n_docs").cast("double") / sum(col("n_docs")).over(wl), 6))
+          .orderBy("lang", "split")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, $ONTOK AS n_tokens,
+                 ${Ns.oHash60("'split:' || CAST(doc_id AS VARCHAR)")} % 10 AS h
+          FROM documents),
+        s AS (
+          SELECT lang,
+                 CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split,
+                 n_tokens
+          FROM t),
+        g AS (
+          SELECT lang, split, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          FROM s GROUP BY lang, split)
+        SELECT lang, split, n_docs, n_tokens,
+               round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 6) AS frac_docs
+        FROM g
+        ORDER BY lang, split""")),
+
+    // -------------------------------------------------------------------
+    // Domain (source) mixture rebalancing: per-source token shares vs a
+    // uniform target (1/20 per source), and the downsampling rate that
+    // hits the target. Shares are one double division of exact integer
+    // sums; one partial agg + a broadcast-sized window over 20 rows.
+    QueryDef("p04_domain_mix",
+      (s, d) => {
+        val wAll = Window.partitionBy()
+        Tables.documents(s, d)
+          .select(col("source"), expr(NTOK).as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .withColumn("total", sum(col("n_tokens")).over(wAll))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("total"), 6).as("token_share"),
+            expr("CAST(0.05 AS DOUBLE)").as("target_share"),
+            round(least(lit(1.0),
+              expr("CAST(0.05 AS DOUBLE)") * col("total") / col("n_tokens")), 6)
+              .as("sampling_rate"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum($ONTOK) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        t AS (SELECT source, n_docs, n_tokens,
+                     CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM g)
+        SELECT source, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / total, 6) AS token_share,
+               CAST(0.05 AS DOUBLE) AS target_share,
+               round(least(CAST(1.0 AS DOUBLE),
+                 CAST(0.05 AS DOUBLE) * total / n_tokens), 6) AS sampling_rate
+        FROM t
+        ORDER BY source"""))
+  )
+}

@@ -221,6 +221,44 @@ object TextAnalysis {
           SELECT doc_id,
                  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
           FROM documents)
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // PII redaction: regex-scrub emails and phone numbers, reporting
+    // match counts and a hash of the redacted text. The synthetic corpus
+    // contains no PII (no digits at all), so the query PLANTS
+    // deterministic doc_id-derived PII first — exercising exactly the
+    // operator a real pipeline runs, with an oracle on the full redacted
+    // output. Narrow projection, no shuffle; regexes are RE2/Java-common
+    // syntax so both engines match identically.
+    QueryDef("t07_pii_redact",
+      (s, d) => {
+        val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val phone = "\\+1-555-[0-9]{4}"
+        Tables.documents(s, d)
+          .withColumn("aug", concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .select(col("doc_id"),
+            regexp_count(col("aug"), lit(email)).cast("long").as("n_emails"),
+            regexp_count(col("aug"), lit(phone)).cast("long").as("n_phones"),
+            sha2(regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"),
+              phone, "<PHONE>"), 256).as("redacted_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com or call +1-555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+               sha256(regexp_replace(regexp_replace(aug, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                 '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+        FROM a
         ORDER BY doc_id"""))
   )
 }
