@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means over the embeddings table (north star §2.3):
+  * the canonical iterative-refinement operator of an ML data pipeline
+  * (corpus clustering for mixture design, semantic dedup buckets,
+  * curriculum ordering). Lloyd's algorithm, K=4, a fixed ITERS=3
+  * refinement sweeps, deterministically seeded from the first K
+  * vectors.
+  *
+  * Determinism (the property that makes a DuckDB oracle possible AND
+  * makes a 1000-executor run reproducible): assignment distances go
+  * through the sequential-fold [[Ns]] vector math and are rounded with
+  * a cluster-id tie-break; centroid updates are exact DECIMAL(28,12)
+  * sums divided once — so every iteration is bit-identical on any
+  * partitioning and in both engines.
+  *
+  * Scale design (100 TB): per iteration the ONLY data-sized operations
+  * are one broadcast of K·dim centroid doubles, one narrow map to the
+  * argmin (the crossJoin is against the broadcast K-row side), and one
+  * partial-aggregated groupBy((cluster, dim)) — shuffle traffic is
+  * O(K·dim·partitions), independent of row count. The per-vector
+  * argmin window is over K rows keyed by vec_id. Driver holds nothing.
+  */
+object Clustering {
+
+  private val K = 4
+  private val ITERS = 3
+
+  /** One Lloyd update: exact decimal per-(cluster,dim) means. */
+  private def updateCentroids(e: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.join(e, "vec_id")
+      .select(col("cl"), posexplode(col("v")))
+      .groupBy(col("cl"), col("pos"))
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy("cl")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
+
+  /** Assign each vector to its nearest centroid (rounded L2^2 argmin,
+    * cluster-id tie-break); keeps the distance for the final report.
+    */
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cl"), round(expr("vec_l2sq(v, cv)"), 6).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cl"), col("d2"))
+  }
+
+  private def kmeans(s: SparkSession, d: String): DataFrame = {
+    Ns.registerFast(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+    var cent = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cl"), col("v").as("cv"))
+    for (_ <- 1 to ITERS)
+      cent = updateCentroids(e, assign(e, cent).drop("d2"))
+    assign(e, cent)
+      .select(col("vec_id"), col("cl").as("cluster"), col("d2"))
+      .orderBy("vec_id")
+  }
+
+  /** The same ITERS sweeps unrolled as chained CTEs for DuckDB. */
+  private def oracle: String = {
+    val l2 = (v: String) =>
+      s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform($v, (x, i) -> (x - cv[i]) * (x - cv[i]))), (acc, x) -> acc + x), 6)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH v AS (
+        SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+      cent0 AS (SELECT CAST(vec_id AS INT) AS cl, v AS cv FROM v WHERE vec_id < $K)"""
+    for (t <- 1 to ITERS) {
+      sb ++= s""",
+      a$t AS (
+        SELECT vec_id, cl FROM (
+          SELECT vec_id, cl,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY ${l2("v")}, cl) AS rn
+          FROM v CROSS JOIN cent${t - 1}) WHERE rn = 1),
+      cd$t AS (
+        SELECT cl, i AS pos,
+               CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+        FROM v JOIN a$t USING (vec_id) CROSS JOIN generate_series(1, 64) t(i)
+        GROUP BY cl, i),
+      cent$t AS (SELECT cl, list(c ORDER BY pos) AS cv FROM cd$t GROUP BY cl)"""
+    }
+    sb ++= s"""
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT vec_id, cl AS cluster, ${l2("v")} AS d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ${l2("v")}, cl) AS rn
+        FROM v CROSS JOIN cent$ITERS) WHERE rn = 1
+      ORDER BY vec_id"""
+    sb.toString
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("c01_kmeans", (s, d) => kmeans(s, d), Some(oracle))
+  )
+}

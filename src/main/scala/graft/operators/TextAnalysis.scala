@@ -259,6 +259,54 @@ object TextAnalysis {
                sha256(regexp_replace(regexp_replace(aug, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
                  '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
         FROM a
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Repetition quality signals (the Gopher-rules family): per-doc
+    // fraction of duplicated word 2-grams / 3-grams and the share of the
+    // single most frequent token. Everything is per-row array arithmetic
+    // — NO shuffle, no explode, no join: at 100 TB this is a pure
+    // map-side projection that codegen fuses with the scan. Each
+    // fraction is one double division of exact integer counts, so the
+    // values are identical on any partitioning and in DuckDB.
+    QueryDef("t08_repetition",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .withColumn("bg", expr(
+          "transform(sequence(0, n - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+        .withColumn("tg", expr(
+          "transform(sequence(0, n - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .select(col("doc_id"),
+          col("n").cast("long").as("n_tokens"),
+          round(expr("CAST(size(bg) - size(array_distinct(bg)) AS DOUBLE) / size(bg)"), 6)
+            .as("dup_bigram_frac"),
+          round(expr("CAST(size(tg) - size(array_distinct(tg)) AS DOUBLE) / size(tg)"), 6)
+            .as("dup_trigram_frac"),
+          round(expr(
+            """CAST(array_max(transform(array_distinct(toks),
+              t -> size(filter(toks, x -> x = t)))) AS DOUBLE) / n"""), 6)
+            .as("top_token_frac"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        g AS (
+          SELECT doc_id, toks, n,
+                 list_transform(generate_series(1, n - 1),
+                   i -> concat_ws(' ', toks[i], toks[i+1])) AS bg,
+                 list_transform(generate_series(1, n - 2),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tg
+          FROM t)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) AS dup_bigram_frac,
+               round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg), 6) AS dup_trigram_frac,
+               round(CAST(list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / n, 6) AS top_token_frac
+        FROM g
         ORDER BY doc_id"""))
   )
 }

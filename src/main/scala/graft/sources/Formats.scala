@@ -35,4 +35,13 @@ object Formats {
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC — the second columnar format warehouses interchange with;
+    * same pushdown/pruning machinery as parquet in Spark's reader.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

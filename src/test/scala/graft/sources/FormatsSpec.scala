@@ -46,6 +46,17 @@ class FormatsSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("ORC round-trip preserves rows and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    Formats.writeOrc(docs, dir)
+    val back = Formats.readOrc(spark, dir)
+    assert(back.orderBy("doc_id").collect()
+      .sameElements(docs.orderBy("doc_id").collect()))
+    val plan = back.filter(col("n_chars") > 100).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars)"), plan)
+  }
+
   test("JSON round-trip with explicit schema preserves all rows") {
     val dir = Files.createTempDirectory("graft-json").toString
     Formats.writeJson(docs, dir)
