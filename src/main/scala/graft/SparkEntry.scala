@@ -58,6 +58,7 @@ object SparkEntry {
       graft.operators.Dedup.defs ++ graft.operators.TextAnalysis.defs ++
       graft.operators.Similarity.defs ++ graft.operators.Multimodal.defs ++
       graft.operators.Pipeline.defs ++ graft.operators.Clustering.defs ++
+      graft.operators.Graph.defs ++
       graft.operators.Skew.defs ++ graft.streaming.Streams.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -52,7 +52,10 @@ object Clustering {
       .select(col("vec_id"), col("cl"), col("d2"))
   }
 
-  private def kmeans(s: SparkSession, d: String): DataFrame = {
+  /** Final (vec_id, cl, d2) assignment after ITERS Lloyd sweeps —
+    * shared by c01 and the semantic-dedup pipeline below.
+    */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     Ns.registerFast(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
@@ -61,18 +64,24 @@ object Clustering {
     for (_ <- 1 to ITERS)
       cent = updateCentroids(e, assign(e, cent).drop("d2"))
     assign(e, cent)
-      .select(col("vec_id"), col("cl").as("cluster"), col("d2"))
-      .orderBy("vec_id")
   }
 
-  /** The same ITERS sweeps unrolled as chained CTEs for DuckDB. */
-  private def oracle: String = {
+  private def kmeans(s: SparkSession, d: String): DataFrame =
+    kmeansAssign(s, d)
+      .select(col("vec_id"), col("cl").as("cluster"), col("d2"))
+      .orderBy("vec_id")
+
+  /** The same ITERS sweeps unrolled as chained CTEs for DuckDB, ending
+    * in `afin(vec_id, v, cluster, d2)` — shared by the c01 and c02
+    * oracles.
+    */
+  private def oracleCtes: String = {
     val l2 = (v: String) =>
       s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform($v, (x, i) -> (x - cv[i]) * (x - cv[i]))), (acc, x) -> acc + x), 6)""".stripMargin
     val sb = new StringBuilder
     sb ++= s"""
-      WITH v AS (
+      v AS (
         SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
       cent0 AS (SELECT CAST(vec_id AS INT) AS cl, v AS cv FROM v WHERE vec_id < $K)"""
     for (t <- 1 to ITERS) {
@@ -89,16 +98,55 @@ object Clustering {
         GROUP BY cl, i),
       cent$t AS (SELECT cl, list(c ORDER BY pos) AS cv FROM cd$t GROUP BY cl)"""
     }
-    sb ++= s"""
-      SELECT vec_id, cluster, d2 FROM (
-        SELECT vec_id, cl AS cluster, ${l2("v")} AS d2,
-               row_number() OVER (PARTITION BY vec_id ORDER BY ${l2("v")}, cl) AS rn
-        FROM v CROSS JOIN cent$ITERS) WHERE rn = 1
-      ORDER BY vec_id"""
+    sb ++= s""",
+      afin AS (
+        SELECT vec_id, v, cluster, d2 FROM (
+          SELECT vec_id, v, cl AS cluster, ${l2("v")} AS d2,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY ${l2("v")}, cl) AS rn
+          FROM v CROSS JOIN cent$ITERS) WHERE rn = 1)"""
     sb.toString
   }
 
+  /** SemDeDup: semantic near-duplicate pairs found WITHIN each k-means
+    * cluster only — the scale answer to all-pairs embedding dedup
+    * (d05). At 100 TB the quadratic blow-up is bounded per cluster
+    * (sum of cluster sizes squared, with K sized so clusters fit a
+    * partition); the pairing join is an equi-join on the cluster id,
+    * so it shuffles once on `cl` and never materializes cross-cluster
+    * pairs. d05 (exact all-pairs) stays as the recall oracle in
+    * ClusteringSpec.
+    */
+  private def semDedup(s: SparkSession, d: String): DataFrame = {
+    val e = kmeansAssign(s, d)
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v")), "vec_id")
+      .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+    val a = e.select(col("cl"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("cl").as("cl_b"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("cl") === col("cl_b") && col("vec_a") < col("vec_b"))
+      .select(col("cl").as("cluster"), col("vec_a"), col("vec_b"),
+        round(expr(Ns.dot("va", "vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .orderBy("vec_a", "vec_b")
+  }
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("c01_kmeans", (s, d) => kmeans(s, d), Some(oracle))
+    QueryDef("c01_kmeans",
+      (s, d) => kmeans(s, d),
+      Some(s"""
+        WITH $oracleCtes
+        SELECT vec_id, cluster, d2 FROM afin ORDER BY vec_id""")),
+
+    QueryDef("c02_semdedup",
+      (s, d) => semDedup(s, d),
+      Some(s"""
+        WITH $oracleCtes,
+        n AS (
+          SELECT vec_id, cluster, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM afin)
+        SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.35
+        ORDER BY vec_a, vec_b"""))
   )
 }

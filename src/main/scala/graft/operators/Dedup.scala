@@ -31,7 +31,7 @@ object Dedup {
   private val R = 4  // LSH rows per band -> 4 bands
 
   /** MinHash-LSH candidate pairs with estimated jaccard (d02 / d06). */
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[operators] def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val B = K / R
     val sh = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
@@ -61,7 +61,7 @@ object Dedup {
   /** DuckDB CTE chain producing the same candidate pairs as
     * [[minhashPairs]], ending in `mpairs(doc_a, doc_b, est_jaccard)`.
     */
-  private def minhashPairsOracleCtes: String = {
+  private[operators] def minhashPairsOracleCtes: String = {
     val B = K / R
     val mhSelect = (0 until K).map(k => s"min(md5('$k:' || token)) AS mh$k").mkString(",\n                 ")
     val bandArms = (0 until B).map(b =>

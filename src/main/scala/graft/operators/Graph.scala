@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the document near-duplicate graph (north star
+  * §2.3): PageRank as the canonical iterate-over-edges operator. The
+  * graph is the symmetrized MinHash near-dup candidate graph of
+  * [[Dedup.minhashPairs]] (est_jaccard >= 0.5 — the same edge set d06
+  * clusters over), so rank measures how central a document is inside
+  * its duplicate neighborhood — a useful signal for picking the
+  * canonical survivor of a dup cluster.
+  *
+  * Formulation: the damped power iteration of the original paper
+  * (Page et al. 1999) in its per-node form, rank' = 0.15 + 0.85 *
+  * sum(rank(u)/deg(u)), run for a fixed ITERS sweeps (also the shape
+  * of Spark's own GraphX example). No global mass term — every
+  * per-iteration aggregate is per-node, which is exactly what makes
+  * the result partitioning-invariant AND DuckDB-reproducible:
+  *
+  *  - contribution rank/deg is one exact double division;
+  *  - the per-node sum is a *sequential fold* over contributions
+  *    sorted by source id (Spark `aggregate(sort_array(...))`,
+  *    DuckDB `list_reduce(list(... ORDER BY src))`) — no parallel
+  *    float reduction anywhere;
+  *  - final ranks rounded to 6 decimals.
+  *
+  * Scale design (100 TB): the edge list is the big table; each
+  * iteration is one shuffle of (dst, contrib) keyed by dst — the
+  * Pregel message-passing shape. Ranks and degrees co-partition with
+  * the edges on src via the equi-join, so a cluster run pre-partitions
+  * edges once and reuses the partitioning across sweeps; the driver
+  * holds nothing (the loop only composes plans).
+  */
+object Graph {
+
+  private val ITERS = 3
+  private val JMIN = 0.5
+
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(s, d)
+      .filter(col("est_jaccard") >= JMIN)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // the minhash plan is re-read every sweep: cut it once
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    var ranks = docs.select(col("doc_id"), lit(1.0).as("rank"))
+    for (_ <- 1 to ITERS) {
+      val contribs = edges.join(deg, "src")
+        .join(ranks.select(col("doc_id").as("src"), col("rank")), "src")
+        .select(col("dst"), col("src"), (col("rank") / col("deg")).as("c"))
+      val sums = contribs.groupBy("dst")
+        .agg(expr("""aggregate(transform(sort_array(collect_list(struct(src, c))), x -> x.c),
+                     CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("csum"))
+      ranks = docs.join(sums, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("rank"))
+    }
+    ranks.join(deg, col("doc_id") === col("src"), "left")
+      .select(col("doc_id"), round(col("rank"), 6).as("pagerank"),
+        coalesce(col("deg"), lit(0L)).as("degree"))
+      .orderBy("doc_id")
+  }
+
+  /** The same ITERS sweeps unrolled as chained CTEs. */
+  private def oracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH ${Dedup.minhashPairsOracleCtes},
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM mpairs WHERE est_jaccard >= $JMIN
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM mpairs WHERE est_jaccard >= $JMIN),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      r0 AS (SELECT doc_id, CAST(1 AS DOUBLE) AS rank FROM documents)"""
+    for (t <- 1 to ITERS) {
+      sb ++= s""",
+      s$t AS (
+        SELECT e.dst,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE), list(r.rank / g.deg ORDER BY e.src)),
+                           (acc, x) -> acc + x) AS csum
+        FROM edges e JOIN deg g ON e.src = g.src JOIN r${t - 1} r ON e.src = r.doc_id
+        GROUP BY e.dst),
+      r$t AS (
+        SELECT d.doc_id,
+               CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(s.csum, CAST(0 AS DOUBLE)) AS rank
+        FROM documents d LEFT JOIN s$t s ON d.doc_id = s.dst)"""
+    }
+    sb ++= s"""
+      SELECT r.doc_id, round(r.rank, 6) AS pagerank, coalesce(g.deg, 0) AS degree
+      FROM r$ITERS r LEFT JOIN deg g ON r.doc_id = g.src
+      ORDER BY doc_id"""
+    sb.toString
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("g01_pagerank", (s, d) => pagerank(s, d), Some(oracle))
+  )
+}

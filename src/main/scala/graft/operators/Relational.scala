@@ -596,6 +596,94 @@ object Relational {
                TRUE AS p95_in_bounds
         FROM lineitem
         GROUP BY l_returnflag
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    // -------------------------------------------------------------------
+    // Z-order clustering key: the multi-dimensional layout primitive of
+    // lakehouse table maintenance (Delta OPTIMIZE ZORDER, Iceberg
+    // sort-order). Interleaving the bits of two sort keys gives one
+    // linear key whose ranges are small rectangles in (x, y) space — a
+    // write clustered by it (repartitionByRange(zval) + local sort)
+    // lets min/max file stats prune scans on EITHER dimension. The
+    // query computes the 32-bit z-value per order as a pure integer
+    // fold (narrow, codegen-fused, zero shuffle until the final stats
+    // groupBy) and reports per-bucket key ranges — the locality
+    // evidence: each of the 64 coarse z-buckets covers only a 1/8
+    // slice of each dimension.
+    QueryDef("q25_zorder",
+      (s, d) => Tables.orders(s, d)
+        .select(
+          pmod(col("o_custkey"), lit(65536L)).as("x"),
+          pmod(expr("CAST(floor(o_totalprice) AS BIGINT)"), lit(65536L)).as("y"))
+        .withColumn("zval", expr(
+          """aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+             (acc, b) -> acc + shiftleft(shiftright(x, b) % 2, 2*b)
+                             + shiftleft(shiftright(y, b) % 2, 2*b + 1))"""))
+        .groupBy(expr("shiftright(zval, 26)").as("zbucket"))
+        .agg(count(ONE).as("n_orders"),
+          min(col("zval")).as("min_z"), max(col("zval")).as("max_z"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("zbucket"),
+      Some("""
+        WITH z AS (
+          SELECT o_custkey % 65536 AS x,
+                 CAST(floor(o_totalprice) AS BIGINT) % 65536 AS y
+          FROM orders),
+        zz AS (
+          SELECT x, y,
+                 CAST(list_sum(list_transform(generate_series(0, 15),
+                      b -> (((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b + 1)))) AS BIGINT) AS zval
+          FROM z)
+        SELECT zval >> 26 AS zbucket, count(*) AS n_orders,
+               min(zval) AS min_z, max(zval) AS max_z,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM zz
+        GROUP BY zbucket
+        ORDER BY zbucket""")),
+
+    // -------------------------------------------------------------------
+    // SCD2 (slowly-changing-dimension type 2) build: collapse an event
+    // stream into versioned dimension rows with [valid_from, valid_to)
+    // intervals and a current flag — the warehouse merge primitive.
+    // Change detection and interval stitching are two window passes
+    // over the same (user_id | us, event_id) ordering, so Spark plans
+    // ONE shuffle + sort reused by both; at 100 TB that is a single
+    // hash-partition by the dimension key. Timestamps leave as epoch
+    // micros (the engines' shared physical precision).
+    QueryDef("q26_scd2",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .filter(pmod(col("user_id"), lit(50)) === 7)
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("version", row_number().over(w).cast("int"))
+          .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("us").as("valid_from_us"), col("valid_to_us"),
+            col("valid_to_us").isNull.as("is_current"))
+          .orderBy("user_id", "version")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+          FROM events WHERE user_id % 50 = 7),
+        ch AS (
+          SELECT user_id, event_id, event_type, us FROM (
+            SELECT user_id, event_id, event_type, us,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+            FROM e)
+          WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id, CAST(row_number() OVER w AS INT) AS version, event_type,
+               us AS valid_from_us,
+               lead(us) OVER w AS valid_to_us,
+               lead(us) OVER w IS NULL AS is_current
+        FROM ch
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ORDER BY user_id, version"""))
   )
 }

@@ -307,6 +307,134 @@ object TextAnalysis {
                round(CAST(list_max(list_transform(list_distinct(toks),
                  t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / n, 6) AS top_token_frac
         FROM g
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // BM25 retrieval (k1=1.2, b=0.75): the inverted-index scoring shape.
+    // The index is explode->filter-to-query-terms->groupBy (partial-agg
+    // term frequencies; at 100 TB only postings for the query terms
+    // shuffle, never the corpus). df and the corpus stats are broadcast
+    // single/tiny rows. Per-doc score = sequential fold over the
+    // per-term scores sorted by term, so the float sum order is fixed
+    // across engines and partitionings; every other term is one
+    // arithmetic expression over exact integer tf/df/dl counts.
+    QueryDef("t09_bm25",
+      (s, d) => {
+        val terms = Seq("join", "scan", "merge")
+        val t = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("dl", size(col("toks")).cast("long"))
+        val stats = t.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
+        val inv = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+          .filter(col("token").isin(terms: _*))
+          .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = inv.groupBy("token").agg(count(lit(1)).as("df"))
+        val scored = inv.join(broadcast(dfreq), "token").crossJoin(broadcast(stats))
+          .withColumn("sc", expr(
+            """ln((CAST(nd AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / nd)))"""))
+        val perDoc = scored.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"),
+            expr("""aggregate(transform(sort_array(collect_list(struct(token, sc))), x -> x.sc),
+                    CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("raw"))
+          .select(col("doc_id"), col("n_terms"), round(col("raw"), 6).as("bm25"))
+        // top-k via TakeOrderedAndProject (distributed partial top-k per
+        // partition, merged on the driver); the rank window then runs on
+        // 20 rows only.
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))
+        perDoc.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .select(col("rank"), col("doc_id"), col("n_terms"), col("bm25"))
+          .orderBy("rank")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+          FROM documents),
+        stats AS (SELECT count(*) AS nd, sum(dl) AS sumdl FROM t),
+        inv AS (
+          SELECT doc_id, dl, token, count(*) AS tf FROM (
+            SELECT doc_id, dl, unnest(toks) AS token FROM t)
+          WHERE token IN ('join', 'scan', 'merge')
+          GROUP BY doc_id, dl, token),
+        dfreq AS (SELECT token, count(*) AS df FROM inv GROUP BY token),
+        scored AS (
+          SELECT doc_id, token,
+                 ln((CAST(nd AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
+                 * (tf * CAST(2.2 AS DOUBLE))
+                 / (tf + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / nd))) AS sc
+          FROM inv JOIN dfreq USING (token) CROSS JOIN stats),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_terms,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY token)),
+                       (acc, x) -> acc + x), 6) AS bm25
+          FROM scored GROUP BY doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank,
+               doc_id, n_terms, bm25
+        FROM per_doc
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20""")),
+
+    // -------------------------------------------------------------------
+    // PMI collocation mining: which adjacent word pairs co-occur more
+    // than chance — the phrase-detection primitive of corpus analysis
+    // (word2vec-style phrase merging). All inputs to the PMI are exact
+    // integer counts (bigram count, unigram counts, corpus totals), so
+    // the score is ONE double expression written identically in both
+    // engines; counts partial-aggregate before the shuffle, and the
+    // unigram side is broadcast-joined onto the bigram counts.
+    QueryDef("t10_collocations",
+      (s, d) => {
+        val t = Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
+        val uni = t.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cu"))
+        val tu = uni.agg(sum(col("cu")).as("tu"))
+        val bg = t.select(explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+          .select(col("b.w1"), col("b.w2"))
+        val tb = bg.agg(count(lit(1)).as("tb"))
+        val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+          .filter(col("n_xy") >= 5)
+          .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cx"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cy"))), "w2")
+          .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+          .select(col("w1"), col("w2"), col("n_xy"),
+            round(expr("ln(CAST(n_xy AS DOUBLE) * tu * tu / tb / cx / cy)"), 6).as("pmi"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        pairs.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .select(col("rank"), col("w1"), col("w2"), col("n_xy"), col("pmi"))
+          .orderBy("rank")
+      },
+      Some("""
+        WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        uni AS (SELECT w, count(*) AS cu FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        tot AS (SELECT CAST(sum(cu) AS BIGINT) AS tu FROM uni),
+        bg AS (
+          SELECT b.w1, b.w2 FROM (
+            SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+            FROM t)),
+        btot AS (SELECT count(*) AS tb FROM bg),
+        pairs AS (
+          SELECT w1, w2, count(*) AS n_xy FROM bg GROUP BY w1, w2 HAVING count(*) >= 5),
+        pmi AS (
+          SELECT w1, w2, n_xy,
+                 round(ln(CAST(n_xy AS DOUBLE) * tu * tu / tb / x.cu / y.cu), 6) AS pmi
+          FROM pairs
+          JOIN uni x ON pairs.w1 = x.w
+          JOIN uni y ON pairs.w2 = y.w
+          CROSS JOIN tot CROSS JOIN btot)
+        SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank,
+               w1, w2, n_xy, pmi
+        FROM pmi
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 20"""))
   )
 }
