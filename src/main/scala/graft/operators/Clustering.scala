@@ -62,7 +62,10 @@ object Clustering {
     var cent = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cl"), col("v").as("cv"))
     for (_ <- 1 to ITERS)
-      cent = updateCentroids(e, assign(e, cent).drop("d2"))
+      // the centroid table is K rows: localCheckpoint materializes it for
+      // pennies and keeps the per-iteration plan shallow (re-analyzing the
+      // full Lloyd chain dominated the query cost otherwise)
+      cent = updateCentroids(e, assign(e, cent).drop("d2")).localCheckpoint()
     assign(e, cent)
   }
 

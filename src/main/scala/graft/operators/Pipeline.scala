@@ -181,6 +181,32 @@ object Pipeline {
                round(least(CAST(1.0 AS DOUBLE),
                  CAST(0.05 AS DOUBLE) * total / n_tokens), 6) AS sampling_rate
         FROM t
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // -------------------------------------------------------------------
+    // Deterministic global shuffle + shard assignment: the trainer-facing
+    // corpus ordering. Hashing the doc id gives a reproducible
+    // pseudo-random permutation (same on every run, every cluster size);
+    // shard = hash mod NSHARDS is the output-file assignment and pos the
+    // within-shard read order. At 100 TB this is one repartition on the
+    // shard key + one per-shard sort (no global sort, no driver state) —
+    // exactly the write pattern of `repartition($"shard").sortWithin
+    // Partitions($"h")`.
+    QueryDef("p05_shuffle_shard",
+      (s, d) => {
+        val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr(Ns.hash60("CAST(doc_id AS STRING)")).as("h"))
+          .withColumn("shard", pmod(col("h"), lit(8L)).cast("int"))
+          .withColumn("pos", row_number().over(w).cast("int"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, shard, pos FROM (
+          SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+                 CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+          FROM (SELECT doc_id, ${Ns.oHash60("CAST(doc_id AS VARCHAR)")} AS h FROM documents))
+        ORDER BY doc_id"""))
   )
 }

@@ -684,6 +684,197 @@ object Relational {
                lead(us) OVER w IS NULL AS is_current
         FROM ch
         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        ORDER BY user_id, version"""))
+        ORDER BY user_id, version""")),
+
+    // -------------------------------------------------------------------
+    // CDC upsert (MERGE INTO semantics): apply a changeset to a snapshot
+    // — update on match, insert on no-match, delete on tombstone. Base =
+    // latest event per user up to T0; changes = window (T0, T1]; an
+    // 'error' change is the tombstone. The apply is ONE full-outer join
+    // on the merge key (hash-partitioned both sides, the exact shape of
+    // Delta/Iceberg MERGE at scale); latest-per-key on each side is a
+    // window max, not a global sort. All comparisons are on epoch-micro
+    // bigints.
+    QueryDef("q27_cdc_upsert",
+      (s, d) => {
+        val t0 = 1705708800000000L // 2024-01-20T00:00:00Z
+        val w = Window.partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("us"))
+        def latest(side: org.apache.spark.sql.DataFrame, p: String) = side
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as(s"${p}_type"), col("value").as(s"${p}_value"))
+        val base = latest(ev.filter(col("us") <= t0), "b")
+        val chg = latest(ev.filter(col("us") > t0), "c")
+        base.join(chg, Seq("user_id"), "full_outer")
+          .filter(col("c_type").isNull || col("c_type") =!= "error")
+          .select(col("user_id"),
+            coalesce(col("c_type"), col("b_type")).as("event_type"),
+            coalesce(col("c_value"), col("b_value")).as("value"),
+            when(col("c_type").isNotNull, lit("upsert")).otherwise(lit("base")).as("src"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events),
+        base AS (
+          SELECT user_id, event_type AS b_type, value AS b_value FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+            FROM e WHERE us <= 1705708800000000) WHERE rn = 1),
+        chg AS (
+          SELECT user_id, event_type AS c_type, value AS c_value FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+            FROM e WHERE us > 1705708800000000) WHERE rn = 1)
+        SELECT user_id,
+               coalesce(c_type, b_type) AS event_type,
+               coalesce(c_value, b_value) AS value,
+               CASE WHEN c_type IS NOT NULL THEN 'upsert' ELSE 'base' END AS src
+        FROM base FULL OUTER JOIN chg USING (user_id)
+        WHERE c_type IS NULL OR c_type <> 'error'
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------------
+    // Equi-width histogram: 20 buckets of 25 over events.value, per
+    // event type — one partial-aggregated groupBy on exact integer
+    // bucket ids (the ANALYZE/statistics-collection shape).
+    QueryDef("q28_histogram",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          least(expr("CAST(floor(value / 25) AS BIGINT)"), lit(19L)).as("bucket"),
+          col("value"))
+        .groupBy("event_type", "bucket")
+        .agg(count(ONE).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("event_type", "bucket"),
+      Some("""
+        SELECT event_type,
+               least(CAST(floor(value / 25) AS BIGINT), 19) AS bucket,
+               count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        FROM events
+        GROUP BY event_type, least(CAST(floor(value / 25) AS BIGINT), 19)
+        ORDER BY event_type, bucket""")),
+
+    // -------------------------------------------------------------------
+    // Z-score outlier detection: per-group mean/std from EXACT decimal
+    // sums (sum and sum-of-squares), then a broadcast join of the tiny
+    // stats table back onto the stream to count |v - mean| > 3*std. The
+    // mean/std doubles are produced by identical expression trees in
+    // both engines, so the outlier comparison is bit-deterministic; at
+    // scale this is two passes over the facts with only 5 stat rows
+    // shuffled.
+    QueryDef("q29_zscore_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        val stats = ev.groupBy("event_type")
+          .agg(count(ONE).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("dsum"),
+            sum(expr("CAST(value * value AS DECIMAL(28,8))")).as("dsumsq"))
+          .select(col("event_type"), col("n"),
+            expr("CAST(dsum AS DOUBLE) / n").as("mean"),
+            expr("sqrt(CAST(dsumsq AS DOUBLE) / n - (CAST(dsum AS DOUBLE) / n) * (CAST(dsum AS DOUBLE) / n))").as("std"))
+        val outs = ev.join(broadcast(stats), "event_type")
+          .filter(abs(col("value") - col("mean")) > lit(3.0) * col("std"))
+          .groupBy("event_type").agg(count(ONE).as("n_out"))
+        stats.join(outs, Seq("event_type"), "left")
+          .select(col("event_type"), col("n"),
+            round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
+            coalesce(col("n_out"), lit(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH stats AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+                 sqrt(CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) / count(*)
+                      - (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                        * (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))) AS std
+          FROM events GROUP BY event_type),
+        outs AS (
+          SELECT e.event_type, count(*) AS n_out
+          FROM events e JOIN stats s ON e.event_type = s.event_type
+          WHERE abs(e.value - s.mean) > CAST(3 AS DOUBLE) * s.std
+          GROUP BY e.event_type)
+        SELECT s.event_type, s.n, round(s.mean, 6) AS mean, round(s.std, 6) AS std,
+               coalesce(o.n_out, 0) AS n_outliers
+        FROM stats s LEFT JOIN outs o ON s.event_type = o.event_type
+        ORDER BY s.event_type""")),
+
+    // -------------------------------------------------------------------
+    // Data profiling (ANALYZE-table shape): one pass over orders
+    // computes per-column non-null counts, exact distinct counts, and
+    // min/max rendered to engine-identical strings (bigints verbatim,
+    // doubles via DECIMAL(18,2), timestamps as epoch micros); the
+    // single agg row is then unpivoted with stack(). At 100 TB this is
+    // one scan + one partial agg — the distinct counts are the only
+    // shuffled state.
+    QueryDef("q30_profile",
+      (s, d) => Tables.orders(s, d)
+        .agg(
+          count(ONE).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("nd_key"),
+          expr("CAST(min(o_orderkey) AS STRING)").as("mn_key"),
+          expr("CAST(max(o_orderkey) AS STRING)").as("mx_key"),
+          countDistinct(col("o_custkey")).as("nd_cust"),
+          expr("CAST(min(o_custkey) AS STRING)").as("mn_cust"),
+          expr("CAST(max(o_custkey) AS STRING)").as("mx_cust"),
+          countDistinct(col("o_orderstatus")).as("nd_status"),
+          min(col("o_orderstatus")).as("mn_status"),
+          max(col("o_orderstatus")).as("mx_status"),
+          countDistinct(col("o_totalprice")).as("nd_price"),
+          expr("CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS STRING)").as("mn_price"),
+          expr("CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS STRING)").as("mx_price"),
+          countDistinct(col("o_orderdate")).as("nd_date"),
+          // o_orderdate is TIMESTAMP_NTZ; the session tz is UTC, so the
+          // TIMESTAMP cast is instant-preserving and micros match DuckDB
+          expr("CAST(unix_micros(CAST(min(o_orderdate) AS TIMESTAMP)) AS STRING)").as("mn_date"),
+          expr("CAST(unix_micros(CAST(max(o_orderdate) AS TIMESTAMP)) AS STRING)").as("mx_date"),
+          countDistinct(col("o_orderpriority")).as("nd_prio"),
+          min(col("o_orderpriority")).as("mn_prio"),
+          max(col("o_orderpriority")).as("mx_prio"))
+        .select(col("n_rows"), expr(
+          """stack(6,
+               'o_orderkey', nd_key, mn_key, mx_key,
+               'o_custkey', nd_cust, mn_cust, mx_cust,
+               'o_orderstatus', nd_status, mn_status, mx_status,
+               'o_totalprice', nd_price, mn_price, mx_price,
+               'o_orderdate', nd_date, mn_date, mx_date,
+               'o_orderpriority', nd_prio, mn_prio, mx_prio)
+             AS (column_name, n_distinct, min_value, max_value)"""))
+        .select(col("column_name"), col("n_rows"), col("n_distinct"),
+          col("min_value"), col("max_value"))
+        .orderBy("column_name"),
+      Some("""
+        WITH a AS (
+          SELECT count(*) AS n_rows,
+                 count(DISTINCT o_orderkey) AS nd_key,
+                 CAST(min(o_orderkey) AS VARCHAR) AS mn_key,
+                 CAST(max(o_orderkey) AS VARCHAR) AS mx_key,
+                 count(DISTINCT o_custkey) AS nd_cust,
+                 CAST(min(o_custkey) AS VARCHAR) AS mn_cust,
+                 CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
+                 count(DISTINCT o_orderstatus) AS nd_status,
+                 min(o_orderstatus) AS mn_status,
+                 max(o_orderstatus) AS mx_status,
+                 count(DISTINCT o_totalprice) AS nd_price,
+                 CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn_price,
+                 CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx_price,
+                 count(DISTINCT o_orderdate) AS nd_date,
+                 CAST(min(epoch_us(o_orderdate)) AS VARCHAR) AS mn_date,
+                 CAST(max(epoch_us(o_orderdate)) AS VARCHAR) AS mx_date,
+                 count(DISTINCT o_orderpriority) AS nd_prio,
+                 min(o_orderpriority) AS mn_prio,
+                 max(o_orderpriority) AS mx_prio
+          FROM orders)
+        SELECT u.column_name, a.n_rows, u.n_distinct, u.min_value, u.max_value
+        FROM a, (
+          SELECT 'o_orderkey' AS column_name, nd_key AS n_distinct, mn_key AS min_value, mx_key AS max_value FROM a
+          UNION ALL SELECT 'o_custkey', nd_cust, mn_cust, mx_cust FROM a
+          UNION ALL SELECT 'o_orderstatus', nd_status, mn_status, mx_status FROM a
+          UNION ALL SELECT 'o_totalprice', nd_price, mn_price, mx_price FROM a
+          UNION ALL SELECT 'o_orderdate', nd_date, mn_date, mx_date FROM a
+          UNION ALL SELECT 'o_orderpriority', nd_prio, mn_prio, mx_prio FROM a) u
+        ORDER BY u.column_name"""))
   )
 }
