@@ -875,6 +875,159 @@ object Relational {
           UNION ALL SELECT 'o_totalprice', nd_price, mn_price, mx_price FROM a
           UNION ALL SELECT 'o_orderdate', nd_date, mn_date, mx_date FROM a
           UNION ALL SELECT 'o_orderpriority', nd_prio, mn_prio, mx_prio FROM a) u
-        ORDER BY u.column_name"""))
+        ORDER BY u.column_name""")),
+
+    // -------------------------------------------------------------------
+    // Time-series resampling + forward fill: regrid each user's event
+    // values onto an hourly grid over one day, carrying the last
+    // observation forward (the gap-filling primitive of metric
+    // pipelines). The grid is generated per user (sequence + explode —
+    // no driver loop), events land on it via floor-to-hour, and the
+    // fill is one `last(value, ignoreNulls)` running window per user —
+    // a single shuffle on user_id at any scale. A trailing join marks
+    // which grid points carried real observations.
+    QueryDef("q31_resample_ffill",
+      (s, d) => {
+        val dayStart = 1704067200000000L // 2024-01-01T00:00:00Z
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+          .filter(pmod(col("user_id"), lit(100)) === 3)
+          .filter(col("us") >= dayStart && col("us") < dayStart + 86400000000L)
+          // integer floor division on BOTH sides: Spark Column `/` would
+          // produce a double whose cast truncates while DuckDB's rounds
+          .withColumn("slot", expr(s"(us - $dayStart) div 3600000000"))
+        // last event per (user, slot) decides the slot's observed value
+        val wSlot = Window.partitionBy("user_id", "slot").orderBy(col("us").desc)
+        val obs = ev.withColumn("rn", row_number().over(wSlot)).filter(col("rn") === 1)
+          .select(col("user_id"), col("slot"), col("value"))
+        val grid = obs.select("user_id").distinct()
+          .select(col("user_id"), explode(expr("sequence(CAST(0 AS BIGINT), 23)")).as("slot"))
+        val wFill = Window.partitionBy("user_id").orderBy("slot")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(obs, Seq("user_id", "slot"), "left")
+          .withColumn("filled", last(col("value"), ignoreNulls = true).over(wFill))
+          .select(col("user_id"), col("slot"),
+            col("filled").as("value"), col("value").isNotNull.as("observed"))
+          .orderBy("user_id", "slot")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, value,
+                 (epoch_us(ts) - 1704067200000000) // 3600000000 AS slot
+          FROM events
+          WHERE user_id % 100 = 3
+            AND epoch_us(ts) >= 1704067200000000
+            AND epoch_us(ts) < 1704067200000000 + 86400000000),
+        obs AS (
+          SELECT user_id, slot, value FROM (
+            SELECT user_id, slot, value,
+                   row_number() OVER (PARTITION BY user_id, slot ORDER BY us DESC) AS rn
+            FROM ev) WHERE rn = 1),
+        grid AS (
+          SELECT user_id, CAST(s AS BIGINT) AS slot
+          FROM (SELECT DISTINCT user_id FROM obs)
+          CROSS JOIN generate_series(0, 23) t(s))
+        SELECT g.user_id, g.slot,
+               last_value(o.value IGNORE NULLS) OVER
+                 (PARTITION BY g.user_id ORDER BY g.slot
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+               o.value IS NOT NULL AS observed
+        FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.slot = o.slot
+        ORDER BY g.user_id, g.slot""")),
+
+    // -------------------------------------------------------------------
+    // Funnel analysis: how many users progress view -> click ->
+    // purchase, in order, within the whole month. Each stage timestamp
+    // is a conditional min over the user's events gated on the previous
+    // stage (exact integer micros — no floats anywhere), so the whole
+    // funnel is ONE groupBy(user) pass at any scale, then a 4-row
+    // stage-count rollup.
+    QueryDef("q32_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val stages = ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"))
+          .join(ev, "user_id")
+          .groupBy("user_id", "t_view")
+          .agg(min(when(col("event_type") === "click" && col("us") > col("t_view"), col("us"))).as("t_click"))
+          .join(ev, "user_id")
+          .groupBy("user_id", "t_view", "t_click")
+          .agg(min(when(col("event_type") === "purchase" && col("us") > col("t_click"), col("us"))).as("t_purchase"))
+        stages.agg(
+          count(ONE).as("n_users"),
+          count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))
+          .select(
+            expr("stack(4, 'all_users', n_users, '1_view', n_view, '2_view_click', n_click, '3_view_click_purchase', n_purchase) AS (stage, n)"))
+          .orderBy("stage")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        v AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN us END) AS t_view
+          FROM e GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, v.t_view,
+                 min(CASE WHEN e.event_type = 'click' AND e.us > v.t_view THEN e.us END) AS t_click
+          FROM v JOIN e ON v.user_id = e.user_id
+          GROUP BY e.user_id, v.t_view),
+        p AS (
+          SELECT e.user_id, c.t_view, c.t_click,
+                 min(CASE WHEN e.event_type = 'purchase' AND e.us > c.t_click THEN e.us END) AS t_purchase
+          FROM c JOIN e ON c.user_id = e.user_id
+          GROUP BY e.user_id, c.t_view, c.t_click)
+        SELECT stage, n FROM (
+          SELECT 'all_users' AS stage, count(*) AS n FROM p
+          UNION ALL SELECT '1_view', count(t_view) FROM p
+          UNION ALL SELECT '2_view_click', count(t_click) FROM p
+          UNION ALL SELECT '3_view_click_purchase', count(t_purchase) FROM p)
+        ORDER BY stage""")),
+
+    // -------------------------------------------------------------------
+    // Cohort retention: users grouped by first-seen day, counted by how
+    // many distinct later days they return on. First-seen is one
+    // groupBy(user); the (cohort_day, day_offset) matrix is a second
+    // partial-aggregated groupBy — the standard two-shuffle retention
+    // shape. All keys are exact integer day numbers; rates are one
+    // double division, rounded.
+    QueryDef("q33_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        val cohortSize = first.groupBy("cohort_day").agg(count(ONE).as("n_cohort"))
+        ev.join(first, "user_id")
+          .withColumn("offset", col("day") - col("cohort_day"))
+          .filter(col("offset").between(1, 7))
+          .groupBy("cohort_day", "offset")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(cohortSize), "cohort_day")
+          .select(col("cohort_day"), col("offset"), col("n_active"),
+            round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+          .orderBy("cohort_day", "offset")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(ts) // 86400000000 AS day
+          FROM events),
+        first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+        sz AS (SELECT cohort_day, count(*) AS n_cohort FROM first GROUP BY cohort_day),
+        act AS (
+          SELECT f.cohort_day, e.day - f.cohort_day AS "offset",
+                 count(DISTINCT e.user_id) AS n_active
+          FROM ev e JOIN first f ON e.user_id = f.user_id
+          WHERE e.day - f.cohort_day BETWEEN 1 AND 7
+          GROUP BY f.cohort_day, e.day - f.cohort_day)
+        SELECT a.cohort_day, a."offset", a.n_active,
+               round(CAST(a.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+        FROM act a JOIN sz s ON a.cohort_day = s.cohort_day
+        ORDER BY a.cohort_day, a."offset""""))
   )
 }

@@ -65,6 +65,44 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("q31: every user has a full 24-slot grid and fill carries forward") {
+    val rows = graft.SparkEntry.queries("q31_resample_ffill")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (user, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L to 23L), s"user $user grid")
+      val sorted = rs.sortBy(_.getLong(1))
+      var lastSeen: Option[Double] = None
+      sorted.foreach { r =>
+        if (r.getBoolean(3)) lastSeen = Some(r.getDouble(2))
+        else lastSeen match {
+          case Some(v) => assert(r.getDouble(2) == v, s"user $user slot ${r.getLong(1)}")
+          case None => assert(r.isNullAt(2), s"user $user slot ${r.getLong(1)} before first obs")
+        }
+      }
+      assert(sorted.exists(_.getBoolean(3)), s"user $user has no observation")
+    }
+  }
+
+  test("q32: funnel stages are monotonically decreasing") {
+    val rows = graft.SparkEntry.queries("q32_funnel")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("all_users", "1_view", "2_view_click", "3_view_click_purchase"))
+    assert(rows("all_users") >= rows("1_view"))
+    assert(rows("1_view") >= rows("2_view_click"))
+    assert(rows("2_view_click") >= rows("3_view_click_purchase"))
+    assert(rows("1_view") > 0)
+  }
+
+  test("q33: retention rates are in (0, 1] and cohorts are day-keyed") {
+    val rows = graft.SparkEntry.queries("q33_retention")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 7)
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) > 0)
+    }
+  }
+
   test("p05: sharding is a balanced permutation with contiguous positions") {
     val rows = graft.SparkEntry.queries("p05_shuffle_shard")(spark, sf0001).collect()
     assert(rows.map(_.getLong(0)).distinct.length == 500)
