@@ -41,16 +41,17 @@ object Clustering {
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
 
   /** Assign each vector to its nearest centroid (rounded L2^2 argmin,
-    * cluster-id tie-break); keeps the distance for the final report.
+    * cluster-id tie-break). The argmin is `min(struct(d2, cl))` — a
+    * partial-aggregable lexicographic min, so map-side combine reduces
+    * each partition to one candidate row per vector BEFORE the shuffle
+    * (the window-rank spelling would sort entire partitions instead).
     */
-  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cl"), round(expr("vec_l2sq(v, cv)"), 6).as("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cl"), col("d2"))
-  }
+      .select(col("vec_id"),
+        struct(round(expr("vec_l2sq(v, cv)"), 6).as("d2"), col("cl")).as("dc"))
+      .groupBy("vec_id").agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.cl").as("cl"), col("m.d2").as("d2"))
 
   /** Final (vec_id, cl, d2) assignment after ITERS Lloyd sweeps —
     * shared by c01 and the semantic-dedup pipeline below.
@@ -59,13 +60,21 @@ object Clustering {
     Ns.registerFast(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+    val sp = s
+    import sp.implicits._
     var cent = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cl"), col("v").as("cv"))
-    for (_ <- 1 to ITERS)
-      // the centroid table is K rows: localCheckpoint materializes it for
-      // pennies and keeps the per-iteration plan shallow (re-analyzing the
-      // full Lloyd chain dominated the query cost otherwise)
-      cent = updateCentroids(e, assign(e, cent).drop("d2")).localCheckpoint()
+    for (_ <- 1 to ITERS) {
+      // Centroids are O(K*dim) BY DEFINITION — collecting them to the
+      // driver each sweep is the canonical distributed-k-means move
+      // (Spark MLlib does the same): one job per iteration, and the next
+      // assignment reads them as a local relation instead of re-analyzing
+      // the whole Lloyd chain. This is NOT the data-sized driver collect
+      // the block-solver halo had to avoid.
+      val rows = updateCentroids(e, assign(e, cent).drop("d2"))
+        .as[(Int, Array[Double])].collect().sortBy(_._1)
+      cent = rows.toSeq.toDF("cl", "cv")
+    }
     assign(e, cent)
   }
 
