@@ -207,6 +207,108 @@ object Pipeline {
           SELECT doc_id, CAST(h % 8 AS INT) AS shard,
                  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
           FROM (SELECT doc_id, ${Ns.oHash60("CAST(doc_id AS VARCHAR)")} AS h FROM documents))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Incremental dedup: admit a new crawl batch (doc_id >= 400) against
+    // yesterday's corpus (doc_id < 400) — the daily-increment shape of a
+    // production dedup service. Cross-corpus check is a LEFT SEMI-shaped
+    // join on 32-byte sha256 hashes only (at 100 TB the historical side
+    // is a hash index, never the texts); within-batch dedup is a window
+    // min per hash. Every new doc leaves with a status and its
+    // canonical duplicate source.
+    QueryDef("p06_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        val existing = docs.filter(col("doc_id") < 400)
+          .groupBy("h").agg(min(col("doc_id")).as("existing_id"))
+        val batch = docs.filter(col("doc_id") >= 400)
+        val w = Window.partitionBy("h")
+        batch
+          .join(existing, Seq("h"), "left")
+          .withColumn("batch_min", min(col("doc_id")).over(w))
+          .select(col("doc_id"), col("h").as("text_hash"),
+            when(col("existing_id").isNotNull, lit("dup_of_existing"))
+              .when(col("doc_id") =!= col("batch_min"), lit("dup_in_batch"))
+              .otherwise(lit("accepted")).as("status"),
+            coalesce(col("existing_id"),
+              when(col("doc_id") =!= col("batch_min"), col("batch_min"))).as("dup_of"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        existing AS (
+          SELECT h, min(doc_id) AS existing_id FROM h WHERE doc_id < 400 GROUP BY h),
+        batch AS (
+          SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS batch_min
+          FROM h WHERE doc_id >= 400)
+        SELECT b.doc_id, b.h AS text_hash,
+               CASE WHEN e.existing_id IS NOT NULL THEN 'dup_of_existing'
+                    WHEN b.doc_id <> b.batch_min THEN 'dup_in_batch'
+                    ELSE 'accepted' END AS status,
+               coalesce(e.existing_id,
+                 CASE WHEN b.doc_id <> b.batch_min THEN b.batch_min END) AS dup_of
+        FROM batch b LEFT JOIN existing e ON b.h = e.h
+        ORDER BY b.doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Composite quality filter (the Gopher-rules family as a keep/drop
+    // decision with machine-readable reasons): token-count range,
+    // duplicate-bigram fraction, top-token dominance, mean word length.
+    // Pure narrow per-row arithmetic over exact integer counts — zero
+    // shuffle before the presentation sort; the reasons string is
+    // concat_ws, which skips NULL arms identically in both engines.
+    QueryDef("p07_quality_filter",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .withColumn("bg", expr(
+          "transform(sequence(0, n - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+        .withColumn("dup_bg", expr(
+          "CAST(size(bg) - size(array_distinct(bg)) AS DOUBLE) / size(bg)"))
+        .withColumn("top_frac", expr(
+          """CAST(array_max(transform(array_distinct(toks),
+             t -> size(filter(toks, x -> x = t)))) AS DOUBLE) / n"""))
+        .withColumn("mwl", expr(
+          "CAST(n_chars - (n - 1) AS DOUBLE) / n"))
+        .select(col("doc_id"),
+          concat_ws(",",
+            when(col("n") < 5, lit("too_short")),
+            when(col("n") > 1000, lit("too_long")),
+            when(col("dup_bg") > 0.4, lit("repetitive")),
+            when(col("top_frac") > 0.2, lit("dominated")),
+            when(col("mwl") < 3.0 || col("mwl") > 12.0, lit("odd_word_len")))
+            .as("reasons"))
+        .withColumn("keep", col("reasons") === "")
+        .select(col("doc_id"), col("keep"), col("reasons"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, n_chars, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        m AS (
+          SELECT doc_id, n,
+                 CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bg,
+                 CAST(list_max(list_transform(list_distinct(toks),
+                   x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / n AS top_frac,
+                 CAST(n_chars - (n - 1) AS DOUBLE) / n AS mwl
+          FROM (SELECT doc_id, n_chars, toks, n,
+                       list_transform(generate_series(1, n - 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1])) AS bg
+                FROM t)),
+        r AS (
+          SELECT doc_id,
+                 concat_ws(',',
+                   CASE WHEN n < 5 THEN 'too_short' END,
+                   CASE WHEN n > 1000 THEN 'too_long' END,
+                   CASE WHEN dup_bg > 0.4 THEN 'repetitive' END,
+                   CASE WHEN top_frac > 0.2 THEN 'dominated' END,
+                   CASE WHEN mwl < 3.0 OR mwl > 12.0 THEN 'odd_word_len' END) AS reasons
+          FROM m)
+        SELECT doc_id, reasons = '' AS keep, reasons
+        FROM r
         ORDER BY doc_id"""))
   )
 }

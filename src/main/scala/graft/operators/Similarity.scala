@@ -254,6 +254,60 @@ object Similarity {
           FROM cands)
         SELECT qid, rank, neighbor, cosine
         FROM ranked WHERE rank <= $TOPK
+        ORDER BY qid, rank""")),
+
+    // -------------------------------------------------------------------
+    // Matryoshka truncation retrieval: rank neighbors by the cosine of
+    // the FIRST 16 of 64 dimensions (the MRL pattern — nested prefixes
+    // of one embedding reused at lower cost), reporting the full-dim
+    // cosine alongside for the quality gap. At 100 TB the truncated
+    // scan reads/computes 1/4 of the vector bytes in the candidate
+    // pass; re-scoring the top-k at full precision is output-sized.
+    // Same determinism recipe as s01: sequential-fold dots, rounded
+    // ranking keys, neighbor-id tie-break.
+    QueryDef("s05_matryoshka",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("v16", expr("slice(v, 1, 16)"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+          .withColumn("nrm16", sqrt(expr(Ns.dot("v16", "v16"))))
+        val q = e.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("v16").as("qv16"),
+            col("nrm").as("qn"), col("nrm16").as("qn16"))
+        val scored = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor"),
+            round(expr(Ns.dot("qv16", "v16")) / (col("qn16") * col("nrm16")), 6).as("cos_trunc"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cos_full"))
+        val w = Window.partitionBy("qid").orderBy(col("cos_trunc").desc, col("neighbor"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TOPK)
+          .select(col("qid"), col("rank").cast("int").as("rank"),
+            col("neighbor"), col("cos_trunc"), col("cos_full"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (
+          SELECT vec_id, v, list_slice(v, 1, 16) AS v16,
+                 sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        n2 AS (
+          SELECT vec_id, v, v16, nrm, sqrt(${Ns.oDot("v16", "v16")}) AS nrm16 FROM n),
+        q AS (SELECT vec_id AS qid, v AS qv, v16 AS qv16, nrm AS qn, nrm16 AS qn16
+              FROM n2 WHERE $QFILTER),
+        scored AS (
+          SELECT qid, vec_id AS neighbor,
+                 round(${Ns.oDot("qv16", "v16")} / (qn16 * nrm16), 6) AS cos_trunc,
+                 round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) AS cos_full
+          FROM q JOIN n2 ON vec_id <> qid),
+        ranked AS (
+          SELECT qid, neighbor, cos_trunc, cos_full,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_trunc DESC, neighbor) AS INT) AS rank
+          FROM scored)
+        SELECT qid, rank, neighbor, cos_trunc, cos_full
+        FROM ranked WHERE rank <= $TOPK
         ORDER BY qid, rank"""))
   )
 }

@@ -171,6 +171,36 @@ object Streams {
                (max(us) - min(us)) / 1000000.0 AS duration_s
         FROM z
         GROUP BY user_id, session_id
-        ORDER BY user_id, session_id"""))
+        ORDER BY user_id, session_id""")),
+
+    // -------------------------------------------------------------------
+    // Windowed top-k (batch form): the trending-now query — top 3 event
+    // types per hour window. As a stream this is the standard
+    // complete/foreachBatch ranking over the windowed counts (the
+    // stateful agg is st01's; the rank is a per-window postprocess of
+    // at most |event_type| rows per window, so the window function
+    // never sees unbounded state).
+    QueryDef("st04_window_topk",
+      (s, d) => {
+        val hc = hourlyCounts(Tables.events(s, d))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("hour_start").orderBy(col("n_events").desc, col("event_type"))
+        hc.withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 3)
+          .select(col("hour_start"), col("rank"), col("event_type"), col("n_events"))
+          .orderBy("hour_start", "rank")
+      },
+      Some("""
+        WITH hc AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                 event_type, count(*) AS n_events
+          FROM events
+          GROUP BY 1, 2)
+        SELECT hour_start,
+               CAST(row_number() OVER (PARTITION BY hour_start ORDER BY n_events DESC, event_type) AS INT) AS rank,
+               event_type, n_events
+        FROM hc
+        QUALIFY rank <= 3
+        ORDER BY hour_start, rank"""))
   )
 }
