@@ -157,6 +157,9 @@ object GraftFunctions {
     fns.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // the full graft fast path: rank-limit queries also get the
+    // sort-free per-key top-k operator
+    graft.plans.GraftStrategies.install(spark)
   }
 }
 
@@ -174,5 +177,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
       (exprs: Seq[Expression]) => VecL2Sq(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -182,6 +182,7 @@ object Streams {
     // never sees unbounded state).
     QueryDef("st04_window_topk",
       (s, d) => {
+        graft.plans.GraftStrategies.install(s)
         val hc = hourlyCounts(Tables.events(s, d))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("hour_start").orderBy(col("n_events").desc, col("event_type"))

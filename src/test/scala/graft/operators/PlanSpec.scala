@@ -104,4 +104,48 @@ class PlanSpec extends SparkSpec {
     assert(scanIdx >= 0, p)
     assert(exchangeIdx < 0 || exchangeIdx < scanIdx, "filter must precede any exchange")
   }
+
+  test("g01: PageRank contributions join on keys — no cartesian anywhere") {
+    val p = plan("g01_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("c02: semantic-dedup pairing is an equi-join on the cluster id") {
+    val p = plan("c02_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t09: BM25 df and corpus stats ride broadcast joins") {
+    val p = plan("t09_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the postings shuffle carries only query-term rows: the token
+    // filter must sit on the scan side, before any exchange
+    val scanIdx = p.indexOf("FileScan parquet")
+    assert(scanIdx >= 0, p)
+  }
+
+  test("q29: the stats side of the outlier join is broadcast") {
+    val p = plan("q29_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q26/q31: one shuffle per window chain (sort reused, not repeated)") {
+    for (q <- Seq("q26_scd2", "q31_resample_ffill")) {
+      val p = plan(q)
+      // the user_id hash-partitioning exchange appears once for the
+      // windowed passes (the final presentation sort is a separate
+      // range exchange)
+      val hashExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+      assert(hashExchanges >= 1, s"$q: $p")
+    }
+  }
+
+  test("p06: the historical side joins on 32-byte hashes only (column-pruned)") {
+    val p = plan("p06_incremental_dedup")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty, p)
+    // neither scan reads the full document text beyond what the hash needs
+    scans.foreach(s => assert(!s.contains("lang"), s))
+  }
 }

@@ -1,0 +1,78 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom per-key top-k physical operator: recognized from the
+  * canonical row_number idiom, two bounded phases instead of a full
+  * sort+window, and bit-identical output to WindowExec on total orders.
+  */
+class TopKPerKeySpec extends SparkSpec {
+
+  private def topkDf(k: Int) = {
+    val w = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice").desc,
+      col("l_orderkey"), col("l_linenumber"))
+    graft.Tables.lineitem(spark, sf0001)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  test("strategy plans Filter(Window(row_number)) as two TopKPerKey phases") {
+    GraftStrategies.install(spark)
+    try {
+      val p = topkDf(3).queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKey(k=3, final)"), p)
+      assert(p.contains("TopKPerKey(k=3, partial)"), p)
+      // neither WindowExec nor Spark's sort-requiring WindowGroupLimit
+      // survives, and the ONLY sort left is post-shuffle over survivors
+      assert(!p.contains("WindowGroupLimit"), p)
+      val preShuffle = p.substring(p.indexOf("Exchange"))
+      assert(!preShuffle.contains("Sort"), s"partial phase must not sort:\n$p")
+    } finally {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+    }
+  }
+
+  test("results are identical to the WindowExec path, at several k") {
+    for (k <- Seq(1, 3, 10)) {
+      val expected = topkDf(k).collect().toSet // WindowExec (not installed)
+      GraftStrategies.install(spark)
+      val got = try topkDf(k).collect().toSet finally {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+      }
+      assert(got == expected, s"k=$k: ${got.size} vs ${expected.size}")
+    }
+  }
+
+  test("result is shuffle-partition-count invariant under the strategy") {
+    GraftStrategies.install(spark)
+    try {
+      def runWith(n: String) = {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try topkDf(5).collect().toSet
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      assert(runWith("2") == runWith("17"))
+    } finally {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+    }
+  }
+
+  test("the rank predicate still composes with downstream projections") {
+    GraftStrategies.install(spark)
+    try {
+      val rows = topkDf(2).select("l_returnflag", "rn").collect()
+      assert(rows.map(_.getInt(1)).forall(r => r == 1 || r == 2))
+      assert(rows.groupBy(_.getString(0)).values.forall(_.length == 2))
+    } finally {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+    }
+  }
+}
