@@ -57,6 +57,36 @@ class FormatsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(n_chars)"), plan)
   }
 
+  test("z-order clustered write: per-file zval ranges are disjoint (skippable)") {
+    // the write pattern q25_zorder's scale note promises: range-partition
+    // on the interleaved key + sort within partitions, then prove the
+    // resulting files carry non-overlapping min/max stats — the property
+    // file-skipping needs on EITHER original dimension
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select(
+        pmod(col("o_custkey"), lit(65536L)).as("x"),
+        pmod(expr("CAST(floor(o_totalprice) AS BIGINT)"), lit(65536L)).as("y"))
+      .withColumn("zval", expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+           (acc, b) -> acc + shiftleft(shiftright(x, b) % 2, 2*b)
+                           + shiftleft(shiftright(y, b) % 2, 2*b + 1))"""))
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    orders.repartitionByRange(8, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(dir)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zval").as("lo"), max("zval").as("hi"))
+      .orderBy("lo")
+      .collect()
+    assert(ranges.length >= 4, s"expected several files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1),
+        s"overlap: ${a.getString(0)} [..${a.getLong(2)}] vs ${b.getString(0)} [${b.getLong(1)}..]")
+      case _ =>
+    }
+  }
+
   test("JSON round-trip with explicit schema preserves all rows") {
     val dir = Files.createTempDirectory("graft-json").toString
     Formats.writeJson(docs, dir)

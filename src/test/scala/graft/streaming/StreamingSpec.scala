@@ -59,6 +59,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-k: foreachBatch rank over the streamed agg == batch st04") {
+    val dir = Files.createTempDirectory("graft-stream-topk")
+    eventsBatch.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(Streams.eventsSchema).parquet(s"$dir/in")
+    val sink = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    val q = Streams.hourlyCounts(stream)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the st04 postprocess: rank within each window of the completed agg
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("hour_start")
+          .orderBy(col("n_events").desc, col("event_type"))
+        sink.synchronized {
+          sink.clear() // complete mode: each batch is the full state
+          sink ++= batch.withColumn("rank", row_number().over(w).cast("int"))
+            .filter(col("rank") <= 3)
+            .select("hour_start", "rank", "event_type", "n_events")
+            .collect()
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val want = graft.SparkEntry.queries("st04_window_topk")(spark, sf0001)
+        .collect()
+      val got = sink.synchronized {
+        sink.sortBy(r => (r.getString(0), r.getInt(1))).toArray
+      }
+      assert(got.sameElements(want))
+    } finally q.stop()
+  }
+
   test("watermarked append-mode windows finalize correctly over micro-batches") {
     val dir = Files.createTempDirectory("graft-stream-wm")
     writeOrderedFiles(dir, 4)
