@@ -141,6 +141,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the 100 TB join-pruning machinery: a selective predicate on the
+    // dim side injects a bloom filter that drops fact rows at the scan.
+    // Size thresholds are lowered because the fixture tables are tiny;
+    // on a real cluster the defaults (10 GB application side) gate it.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // tiny fixtures would broadcast-join, where runtime filtering is
+      // moot; force the shuffle-join shape the rule targets at scale
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = graft.Tables.orders(spark, sf0001)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val li = graft.Tables.lineitem(spark, sf0001)
+      val joined = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("p06: the historical side joins on 32-byte hashes only (column-pruned)") {
     val p = plan("p06_incremental_dedup")
     val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
