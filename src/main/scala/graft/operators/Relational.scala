@@ -1028,6 +1028,105 @@ object Relational {
         SELECT a.cohort_day, a."offset", a.n_active,
                round(CAST(a.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
         FROM act a JOIN sz s ON a.cohort_day = s.cohort_day
-        ORDER BY a.cohort_day, a."offset""""))
+        ORDER BY a.cohort_day, a."offset"""")),
+
+    // -------------------------------------------------------------------
+    // The classic TPC-H trio (Q3/Q10/Q18 shapes) on the driver's
+    // fixtures — the canonical multi-join + decimal-agg + top-k
+    // benchmark queries every warehouse engine is judged on. Dims ride
+    // broadcast joins; revenue math is the exact-decimal recipe of
+    // q01/q03; every ranking is rounded + key-tie-broken.
+    //
+    // Q3: shipping priority — unshipped orders of one segment, top 10
+    // by discounted revenue.
+    QueryDef("q34_tpch_q3",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > to_timestamp(lit("1996-06-30 00:00:00")))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(Sql.dsumProd(col("l_extendedprice"), ONE - col("l_discount")).as("revenue"))
+        .select(col("l_orderkey"), round(col("revenue"), 6).as("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some(s"""
+        SELECT l_orderkey,
+               round(${Sql.oDsumProd("l_extendedprice", "1 - l_discount")}, 6) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+        GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")),
+
+    // Q10: returned-item reporting — customers who returned goods,
+    // ranked by lost revenue. Top 20.
+    QueryDef("q35_tpch_q10",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(Sql.dsumProd(col("l_extendedprice"), ONE - col("l_discount")).as("revenue"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("revenue"), 6).as("revenue"), col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some(s"""
+        SELECT c_custkey, c_name,
+               round(${Sql.oDsumProd("l_extendedprice", "1 - l_discount")}, 6) AS revenue,
+               c_acctbal, n_name
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")),
+
+    // Q18: large-volume customers — orders whose total quantity exceeds
+    // a threshold; the group-then-semi-join-back shape (the inner
+    // aggregate is the only shuffle of the fact).
+    QueryDef("q36_tpch_q18",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(Sql.dsum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 300)
+        big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some(s"""
+        WITH big AS (
+          SELECT l_orderkey, ${Sql.oDsum("l_quantity")} AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING ${Sql.oDsum("l_quantity")} > 300)
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey"""))
   )
 }

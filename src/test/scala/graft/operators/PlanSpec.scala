@@ -141,6 +141,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q34/q35: TPC-H dims broadcast and the top-k avoids a global sort") {
+    for (q <- Seq("q34_tpch_q3", "q35_tpch_q10")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // the 100 TB join-pruning machinery: a selective predicate on the
     // dim side injects a bloom filter that drops fact rows at the scan.
