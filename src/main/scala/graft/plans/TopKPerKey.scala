@@ -113,25 +113,55 @@ case class TopKPerKeyExec(
     val ps = partSpec
     val os = orderSpec
     if (!isFinal) {
+      val flushKeys = conf.getConfString("spark.graft.topk.partialFlushKeys",
+        TopKPerKeyExec.DefaultFlushKeys.toString).toInt
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(ps, childOutput)
         val ord = GenerateOrdering.generate(os, childOutput)
         // PriorityQueue dequeues the MAX w.r.t. the ordering = the worst
-        // kept row; evict it when a better candidate arrives
-        val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-        iter.foreach { row =>
-          val key = keyProj(row)
-          heaps.get(key) match {
-            case None =>
-              val h = mutable.PriorityQueue.empty[InternalRow](ord)
-              h.enqueue(row.copy())
-              heaps.put(key.copy(), h)
-            case Some(h) =>
-              if (h.size < ks) h.enqueue(row.copy())
-              else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
+        // kept row; evict it when a better candidate arrives.
+        // Memory bound: when the number of distinct keys in this
+        // partition exceeds flushKeys, emit everything held and reset —
+        // the partial phase then prunes less for those keys, but the
+        // final phase re-cuts to k, so high-cardinality keys degrade
+        // gracefully instead of growing the map without bound.
+        new Iterator[InternalRow] {
+          private var heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+          private val pending = mutable.Queue.empty[InternalRow]
+          private var inputDone = false
+
+          private def drainHeaps(): Unit = {
+            heaps.valuesIterator.foreach(h => pending ++= h.iterator)
+            heaps = mutable.HashMap.empty
           }
+
+          // consume input until something is emittable: a flush batch
+          // (streamed straight to the shuffle writer, keeping memory at
+          // flushKeys*k rows) or end-of-input
+          private def fill(): Unit = {
+            while (pending.isEmpty && iter.hasNext) {
+              val row = iter.next()
+              val key = keyProj(row)
+              heaps.get(key) match {
+                case None =>
+                  if (heaps.size >= flushKeys) drainHeaps()
+                  val h = mutable.PriorityQueue.empty[InternalRow](ord)
+                  h.enqueue(row.copy())
+                  heaps.put(key.copy(), h)
+                case Some(h) =>
+                  if (h.size < ks) h.enqueue(row.copy())
+                  else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
+              }
+            }
+            if (pending.isEmpty && !iter.hasNext && !inputDone) {
+              inputDone = true
+              drainHeaps()
+            }
+          }
+
+          override def hasNext: Boolean = { fill(); pending.nonEmpty }
+          override def next(): InternalRow = { fill(); pending.dequeue() }
         }
-        heaps.valuesIterator.flatMap(_.iterator)
       }, preservesPartitioning = true)
     } else {
       child.execute().mapPartitions({ iter =>
@@ -162,6 +192,11 @@ case class TopKPerKeyExec(
 
   override def simpleString(maxFields: Int): String =
     s"TopKPerKey(k=$k, ${if (isFinal) "final" else "partial"})"
+}
+
+object TopKPerKeyExec {
+  /** Partial-phase distinct-key cap before an emit-and-reset flush. */
+  val DefaultFlushKeys: Int = 1 << 20
 }
 
 object GraftStrategies {

@@ -64,6 +64,30 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("high-cardinality keys: partial-phase flush keeps results exact") {
+    // top-1 per ORDER (thousands of keys) with the flush threshold
+    // forced tiny, so the emit-and-reset memory guard triggers
+    // constantly; the final phase must still cut exactly
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_extendedprice").desc,
+      col("l_linenumber"))
+    def q = graft.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val expected = q.collect().toSet // WindowExec path
+    spark.conf.set("spark.graft.topk.partialFlushKeys", "3")
+    GraftStrategies.install(spark)
+    try {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKey(k=1, partial)"), p)
+      assert(q.collect().toSet == expected)
+    } finally {
+      spark.conf.unset("spark.graft.topk.partialFlushKeys")
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+    }
+  }
+
   test("the rank predicate still composes with downstream projections") {
     GraftStrategies.install(spark)
     try {
