@@ -146,7 +146,8 @@ object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { exprs => VecDot(exprs(0), exprs(1)) },
-    "vec_l2sq" -> { exprs => VecL2Sq(exprs(0), exprs(1)) }
+    "vec_l2sq" -> { exprs => VecL2Sq(exprs(0), exprs(1)) },
+    "topk_structs" -> { exprs => TopKStructAgg(exprs(0), exprs(1)).toAggregateExpression() }
   )
 
   /** Imperative registration for sessions created without extensions

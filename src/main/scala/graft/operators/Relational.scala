@@ -1127,6 +1127,39 @@ object Relational {
         FROM big
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
-        ORDER BY o_totalprice DESC, o_orderkey"""))
+        ORDER BY o_totalprice DESC, o_orderkey""")),
+
+    // -------------------------------------------------------------------
+    // Custom TypedImperativeAggregate: `topk_structs` keeps the k
+    // smallest (price, orderkey, linenumber) structs per group inside
+    // the aggregation tree itself — bounded binary state, partial +
+    // merge, so at 100 TB only k rows per group per partition ever
+    // exist (the aggregate-expression form of the TopKPerKey physical
+    // operator). The unique (orderkey, linenumber) tie-break makes the
+    // kept set merge-order-independent; DuckDB reproduces it with a
+    // rank window.
+    QueryDef("q37_topk_agg",
+      (s, d) => {
+        Ns.registerFast(s)
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(expr("topk_structs(struct(l_extendedprice, l_orderkey, l_linenumber), 3)").as("tk"))
+          .select(col("l_returnflag"), posexplode(col("tk")))
+          .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("pos"),
+            col("col.l_extendedprice").as("l_extendedprice"),
+            col("col.l_orderkey").as("l_orderkey"),
+            col("col.l_linenumber").as("l_linenumber"))
+          .orderBy("l_returnflag", "pos")
+      },
+      Some("""
+        WITH r AS (
+          SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+          FROM lineitem)
+        SELECT l_returnflag, CAST(rn AS INT) AS pos,
+               l_extendedprice, l_orderkey, l_linenumber
+        FROM r WHERE rn <= 3
+        ORDER BY l_returnflag, pos"""))
   )
 }
