@@ -309,6 +309,43 @@ object Pipeline {
           FROM m)
         SELECT doc_id, reasons = '' AS keep, reasons
         FROM r
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Curriculum / quality-weighted sampling: documents are kept with a
+    // probability proportional to a quality tier (longer docs here as
+    // the stand-in signal), decided by comparing the 60-bit doc hash
+    // against the tier's rate — the deterministic coin-flip of q23
+    // weighted per tier. Reproducible on any cluster AND incremental:
+    // re-running on a grown corpus keeps exactly the same decisions for
+    // old docs. Pure narrow projection + one partial-agg report.
+    QueryDef("p08_curriculum_sample",
+      (s, d) => {
+        val rate = "CASE WHEN n_chars >= 300 THEN 90 WHEN n_chars >= 150 THEN 50 ELSE 20 END"
+        Tables.documents(s, d)
+          .withColumn("tier", expr(
+            "CASE WHEN n_chars >= 300 THEN 'hi' WHEN n_chars >= 150 THEN 'mid' ELSE 'lo' END"))
+          .withColumn("kept", expr(
+            s"${Ns.hash60("CAST(doc_id AS STRING)")} % 100 < $rate"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+          .select(col("tier"), col("n_docs"), col("n_kept"),
+            round(col("n_kept").cast("double") / col("n_docs"), 6).as("kept_frac"))
+          .orderBy("tier")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN n_chars >= 300 THEN 'hi' WHEN n_chars >= 150 THEN 'mid' ELSE 'lo' END AS tier,
+                 ${Ns.oHash60("CAST(doc_id AS VARCHAR)")} % 100 <
+                   CASE WHEN n_chars >= 300 THEN 90 WHEN n_chars >= 150 THEN 50 ELSE 20 END AS kept
+          FROM documents)
+        SELECT tier, count(*) AS n_docs,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_frac
+        FROM t
+        GROUP BY tier
+        ORDER BY tier"""))
   )
 }

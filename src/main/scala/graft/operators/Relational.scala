@@ -1160,6 +1160,25 @@ object Relational {
         SELECT l_returnflag, CAST(rn AS INT) AS pos,
                l_extendedprice, l_orderkey, l_linenumber
         FROM r WHERE rn <= 3
-        ORDER BY l_returnflag, pos"""))
+        ORDER BY l_returnflag, pos""")),
+
+    // -------------------------------------------------------------------
+    // Ordered string aggregation (LISTAGG): the report-building
+    // primitive. Spark's collect_list is unordered by contract, so the
+    // deterministic spelling is sort_array first — which is also the
+    // partitioning-invariance recipe. DuckDB: string_agg ORDER BY.
+    QueryDef("q38_string_agg",
+      (s, d) => Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(ONE).as("n_nations"),
+          expr("array_join(sort_array(collect_list(n_name)), ',')").as("nations"))
+        .orderBy("r_name"),
+      Some("""
+        SELECT r_name, count(*) AS n_nations,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name"""))
   )
 }
