@@ -435,6 +435,81 @@ object TextAnalysis {
                w1, w2, n_xy, pmi
         FROM pmi
         ORDER BY pmi DESC, w1, w2
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // -------------------------------------------------------------------
+    // RAG chunking: fixed-size character windows (200 chars, 50
+    // overlap, stride 150) per document — the retrieval-prep shape.
+    // Chunk boundaries are pure integer arithmetic on n_chars (floor
+    // division spelled div/// on both sides), the explode is the only
+    // row-multiplying step, and each chunk leaves as an md5 content
+    // address. Narrow + one explode: at 100 TB this is a map-only
+    // stage feeding the embedding pipeline.
+    QueryDef("t11_chunking",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, CAST((n_chars - 1) div 150 AS INT))")).as("k"))
+        .select(col("doc_id"), col("k").cast("int").as("chunk_idx"),
+          expr("length(substring(text, k * 150 + 1, 200))").cast("long").as("chunk_len"),
+          md5(expr("substring(text, k * 150 + 1, 200)")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""
+        SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+               CAST(length(substr(text, k * 150 + 1, 200)) AS BIGINT) AS chunk_len,
+               md5(substr(text, k * 150 + 1, 200)) AS chunk_hash
+        FROM (SELECT doc_id, text, unnest(generate_series(0, (n_chars - 1) // 150)) AS k
+              FROM documents)
+        ORDER BY doc_id, chunk_idx""")),
+
+    // -------------------------------------------------------------------
+    // Unigram-LM pseudo-perplexity (the CCNet-style LM quality filter,
+    // with the corpus itself as the model): lp(token) = ln(count/total)
+    // over exact integer counts; the per-doc log-likelihood is a
+    // sequential fold over the contributions in TOKEN ORDER (the d06/
+    // g01 recipe), so the float sum is identical on any partitioning
+    // and in DuckDB. The model side (31-word vocab here; bounded by
+    // |V| generally) broadcasts.
+    QueryDef("t12_lm_perplexity",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("token"))
+        val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum(col("c")).as("t"))
+        val scored = toks.join(broadcast(counts), "token")
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("pos"),
+            expr("ln(CAST(c AS DOUBLE) / t)").as("lp"))
+        scored.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            expr("""aggregate(transform(sort_array(collect_list(struct(pos, lp))), x -> x.lp),
+                    CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("ll"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("ll"), 6).as("log_likelihood"),
+            round(expr("exp(-(ll) / n_tokens)"), 6).as("pseudo_ppl"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, s.pos AS pos, s.token AS token FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks)),
+                     i -> struct_pack(pos := i - 1, token := toks[i]))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+        counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        total AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM counts),
+        scored AS (
+          SELECT doc_id, pos, ln(CAST(c AS DOUBLE) / t) AS lp
+          FROM toks JOIN counts USING (token) CROSS JOIN total),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)),
+                             (acc, x) -> acc + x) AS ll
+          FROM scored GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               round(ll, 6) AS log_likelihood,
+               round(exp(-(ll) / n_tokens), 6) AS pseudo_ppl
+        FROM per_doc
+        ORDER BY doc_id"""))
   )
 }

@@ -50,6 +50,35 @@ class PipelineOps2Spec extends SparkSpec {
     }
   }
 
+  test("t11: chunks tile each document with the promised stride and overlap") {
+    val nChars = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.SparkEntry.queries("t11_chunking")(spark, sf0001).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val n = nChars(doc)
+      val expected = ((n - 1) / 150 + 1).toInt
+      assert(rs.length == expected, s"doc $doc chunks")
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (0 until expected))
+      // every chunk except possibly the last is full-size
+      sorted.init.foreach(r => assert(r.getLong(2) == 200 ||
+        150L * r.getInt(1) + r.getLong(2) == n, s"doc $doc idx ${r.getInt(1)}"))
+    }
+  }
+
+  test("t12: likelihood is negative, ppl >= 1, and short docs score harsher ppl variance") {
+    val rows = graft.SparkEntry.queries("t12_lm_perplexity")(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0, s"doc ${r.getLong(0)} ll")
+      assert(r.getDouble(3) >= 1.0, s"doc ${r.getLong(0)} ppl")
+      // sanity bound: ppl can exceed the 31-word vocab size only when a
+      // doc leans on rare tokens; anything far beyond is a math bug
+      assert(r.getDouble(3) <= 100.0, s"doc ${r.getLong(0)} ppl too high")
+    }
+  }
+
   test("st04: at most 3 contiguous ranks per hour, counts non-increasing") {
     val rows = graft.SparkEntry.queries("st04_window_topk")(spark, sf0001).collect()
     assert(rows.nonEmpty)
