@@ -308,6 +308,93 @@ object Similarity {
           FROM scored)
         SELECT qid, rank, neighbor, cos_trunc, cos_full
         FROM ranked WHERE rank <= $TOPK
-        ORDER BY qid, rank"""))
+        ORDER BY qid, rank""")),
+
+    // -------------------------------------------------------------------
+    // Product quantization (PQ): split the 64-dim vector into 4
+    // subspaces of 16 dims; per subspace, learn a 4-entry codebook (one
+    // Lloyd sweep from deterministic seeds — the c01 recipe) and assign
+    // each subvector its nearest code. The vector compresses 64 floats
+    // -> 4 byte-codes; the report carries the per-vector reconstruction
+    // error (exact sequential-fold L2 against the decimal-exact
+    // centroids). Scale: codebooks are K*dim broadcast constants;
+    // assignment is the argmin-as-partial-agg shape (min(struct)), so
+    // the corpus is one narrow pass per subspace — the standard
+    // billion-vector compression pipeline.
+    QueryDef("s06_pq",
+      (s, d) => {
+        Ns.registerFast(s)
+        val S = 4; val KC = 4 // subspaces x codebook entries
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+        val sub = e.select(col("vec_id"), explode(expr(
+            s"transform(sequence(0, ${S - 1}), s -> struct(s AS sp, slice(v, s * 16 + 1, 16) AS sv))")).as("x"))
+          .select(col("vec_id"), col("x.sp"), col("x.sv"))
+        val seed = sub.filter(col("vec_id") < KC)
+          .select(col("sp"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+        // one Lloyd sweep: assign to seeds, recompute decimal-exact means
+        def assign(cb: org.apache.spark.sql.DataFrame) = sub
+          .join(broadcast(cb), "sp")
+          .select(col("vec_id"), col("sp"),
+            struct(round(expr("vec_l2sq(sv, cv)"), 6).as("d2"), col("code")).as("dc"))
+          .groupBy("vec_id", "sp").agg(min(col("dc")).as("m"))
+          .select(col("vec_id"), col("sp"), col("m.code").as("code"), col("m.d2").as("d2"))
+        val cb1 = assign(seed).join(sub, Seq("vec_id", "sp"))
+          .select(col("sp"), col("code"), posexplode(col("sv")))
+          .groupBy("sp", "code", "pos")
+          .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+          .groupBy("sp", "code")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
+        assign(cb1)
+          .groupBy("vec_id")
+          .agg(expr("transform(sort_array(collect_list(struct(sp, code))), x -> x.code)").as("codes"),
+            sum(col("d2").cast("decimal(18,6)")).cast("double").as("recon_err"))
+          .select(col("vec_id"),
+            col("codes")(0).as("c0"), col("codes")(1).as("c1"),
+            col("codes")(2).as("c2"), col("codes")(3).as("c3"),
+            round(col("recon_err"), 6).as("recon_err"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val l2sub = (v: String) =>
+          s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform($v, (x, i) -> (x - cv[i]) * (x - cv[i]))), (acc, x) -> acc + x), 6)""".stripMargin
+        s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        sub AS (
+          SELECT vec_id, x.sp AS sp, x.sv AS sv FROM (
+            SELECT vec_id, unnest(list_transform(generate_series(0, 3),
+                   s -> struct_pack(sp := s, sv := list_slice(v, s * 16 + 1, s * 16 + 16)))) AS x
+            FROM v)),
+        seed AS (
+          SELECT sp, CAST(vec_id AS INT) AS code, sv AS cv FROM sub WHERE vec_id < 4),
+        a1 AS (
+          SELECT vec_id, sp, code, d2 FROM (
+            SELECT vec_id, sub.sp, code, ${l2sub("sv")} AS d2,
+                   row_number() OVER (PARTITION BY vec_id, sub.sp
+                     ORDER BY ${l2sub("sv")}, code) AS rn
+            FROM sub JOIN seed ON sub.sp = seed.sp) WHERE rn = 1),
+        cd AS (
+          SELECT sub.sp, a1.code, i AS pos,
+                 CAST(sum(CAST(sv[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+          FROM sub JOIN a1 ON sub.vec_id = a1.vec_id AND sub.sp = a1.sp
+          CROSS JOIN generate_series(1, 16) t(i)
+          GROUP BY sub.sp, a1.code, i),
+        cb1 AS (SELECT sp, code, list(c ORDER BY pos) AS cv FROM cd GROUP BY sp, code),
+        a2 AS (
+          SELECT vec_id, sp, code, d2 FROM (
+            SELECT vec_id, sub.sp, code, ${l2sub("sv")} AS d2,
+                   row_number() OVER (PARTITION BY vec_id, sub.sp
+                     ORDER BY ${l2sub("sv")}, code) AS rn
+            FROM sub JOIN cb1 ON sub.sp = cb1.sp) WHERE rn = 1)
+        SELECT vec_id,
+               list(code ORDER BY sp)[1] AS c0, list(code ORDER BY sp)[2] AS c1,
+               list(code ORDER BY sp)[3] AS c2, list(code ORDER BY sp)[4] AS c3,
+               round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE), 6) AS recon_err
+        FROM a2
+        GROUP BY vec_id
+        ORDER BY vec_id"""
+      })
   )
 }

@@ -79,6 +79,17 @@ class PipelineOps2Spec extends SparkSpec {
     }
   }
 
+  test("s06: every vector gets 4 codes in range and a nonnegative error") {
+    val rows = graft.SparkEntry.queries("s06_pq")(spark, sf0001).collect()
+    assert(rows.length == 500)
+    val tuples = rows.map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    tuples.foreach { t =>
+      Seq(t._1, t._2, t._3, t._4).foreach(c => assert(c >= 0 && c < 4))
+    }
+    assert(tuples.distinct.length > 10, "codebooks must actually partition the corpus")
+    rows.foreach(r => assert(r.getDouble(5) >= 0))
+  }
+
   test("st04: at most 3 contiguous ranks per hour, counts non-increasing") {
     val rows = graft.SparkEntry.queries("st04_window_topk")(spark, sf0001).collect()
     assert(rows.nonEmpty)
