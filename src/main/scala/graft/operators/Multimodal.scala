@@ -189,6 +189,67 @@ object Multimodal {
         FROM documents JOIN emb ON doc_id = vec_id
         WHERE len(string_split(text, ' ')) >= 20 AND nrm >= 1.0
         GROUP BY lang, label
-        ORDER BY lang, label"""))
+        ORDER BY lang, label""")),
+
+    // -------------------------------------------------------------------
+    // Media near-duplicate detection without codecs: 16-bin
+    // byte-histogram per payload (exact integer counts over the byte
+    // stream — the codec-free analogue of a perceptual hash), candidate
+    // pairs blocked by payload length band (|len/32| same or adjacent —
+    // near-dups of re-encoded media differ slightly in size, never
+    // wildly), histogram cosine via the sequential fold, top-20 most
+    // similar pairs. Scale: the histogram is a narrow per-row map; the
+    // pairing is an equi-join on the band key, never all-pairs.
+    QueryDef("m04_media_neardup",
+      (s, d) => {
+        Ns.registerFast(s)
+        val h = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))").as("codes"))
+          .select(col("doc_id"), col("n_chars"),
+            expr("""transform(sequence(0, 15),
+                    b -> CAST(size(filter(codes, c -> c div 16 = b)) AS DOUBLE))""").as("hist"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("hist", "hist"))))
+          .withColumn("band", expr("n_chars div 32"))
+        val probes = h.select(col("doc_id"), col("hist"), col("nrm"),
+          explode(expr("array(band, band + 1)")).as("pb"))
+        val a = probes.select(col("doc_id").as("doc_a"), col("hist").as("ha"),
+          col("nrm").as("na"), col("pb"))
+        val b = h.select(col("doc_id").as("doc_b"), col("hist").as("hb"),
+          col("nrm").as("nb"), col("band").as("pb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+        a.join(b, Seq("pb")).filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            round(expr(Ns.dot("ha", "hb")) / (col("na") * col("nb")), 6).as("cosine"))
+          .distinct()
+          .orderBy(col("cosine").desc, col("doc_a"), col("doc_b")).limit(20)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .select(col("rank"), col("doc_a"), col("doc_b"), col("cosine"))
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH codes AS (
+          SELECT doc_id, n_chars,
+                 list_transform(generate_series(1, length(text)),
+                   i -> ascii(substr(text, i, 1))) AS codes
+          FROM documents),
+        h AS (
+          SELECT doc_id, n_chars // 32 AS band,
+                 list_transform(generate_series(0, 15),
+                   b -> CAST(len(list_filter(codes, c -> c // 16 = b)) AS DOUBLE)) AS hist
+          FROM codes),
+        n AS (SELECT doc_id, band, hist, sqrt(${Ns.oDot("hist", "hist")}) AS nrm FROM h),
+        probes AS (
+          SELECT doc_id, hist, nrm, unnest([band, band + 1]) AS pb FROM n),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(${Ns.oDot("a.hist", "b.hist")} / (a.nrm * b.nrm), 6) AS cosine
+          FROM probes a JOIN n b ON a.pb = b.band AND a.doc_id < b.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY cosine DESC, doc_a, doc_b) AS INT) AS rank,
+               doc_a, doc_b, cosine
+        FROM pairs
+        ORDER BY cosine DESC, doc_a, doc_b
+        LIMIT 20"""))
   )
 }

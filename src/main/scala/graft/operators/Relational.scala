@@ -1179,6 +1179,80 @@ object Relational {
                string_agg(n_name, ',' ORDER BY n_name) AS nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
-        ORDER BY r_name"""))
+        ORDER BY r_name""")),
+
+    // -------------------------------------------------------------------
+    // Extended window family beyond q06: ntile bucketing, percent_rank /
+    // cume_dist, bounded-frame first/last values, and a centered moving
+    // average — one shuffle+sort serves every function (same window
+    // key). Rates are exact divisions of integer window positions; the
+    // moving average is a decimal-exact sum over a 3-row frame.
+    QueryDef("q39_window_family",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val frame = w.rowsBetween(-1, 1)
+        Tables.orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("quartile", ntile(4).over(w).cast("int"))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .withColumn("cheapest_neighbor",
+            first(col("o_totalprice")).over(frame))
+          .withColumn("moving_avg",
+            round((sum(col("o_totalprice").cast("decimal(18,2)")).over(frame).cast("double") /
+              count(lit(1)).over(frame)), 6))
+          .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               first_value(o_totalprice) OVER
+                 (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS cheapest_neighbor,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                 (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) /
+                 count(*) OVER
+                 (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS moving_avg
+        FROM orders
+        WHERE o_orderkey % 20 = 0
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderpriority, o_totalprice, o_orderkey""")),
+
+    // -------------------------------------------------------------------
+    // Conditional aggregation family: FILTER-style counts, bool
+    // aggregates, arg-max via the deterministic max(struct) recipe
+    // (unique orderkey tie-break), all in ONE partial-aggregated pass.
+    QueryDef("q41_conditional_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(ONE).as("n"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          max(col("o_orderstatus") === "P").as("any_pending"),
+          min(col("o_orderstatus") === "F").as("all_finished"),
+          max(struct(col("o_totalprice"), col("o_orderkey"))).as("top"))
+        .select(col("o_orderpriority"), col("n"), col("n_finished"), col("n_big"),
+          col("any_pending"), col("all_finished"),
+          col("top.o_orderkey").as("max_price_orderkey"),
+          col("top.o_totalprice").as("max_price"))
+        .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               bool_or(o_orderstatus = 'P') AS any_pending,
+               bool_and(o_orderstatus = 'F') AS all_finished,
+               max(struct_pack(o_totalprice := o_totalprice, o_orderkey := o_orderkey)).o_orderkey AS max_price_orderkey,
+               max(struct_pack(o_totalprice := o_totalprice, o_orderkey := o_orderkey)).o_totalprice AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))
   )
 }
