@@ -1253,6 +1253,71 @@ object Relational {
                max(struct_pack(o_totalprice := o_totalprice, o_orderkey := o_orderkey)).o_totalprice AS max_price
         FROM orders
         GROUP BY o_orderpriority
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------------
+    // Date/time arithmetic family beyond q11: day arithmetic against an
+    // epoch anchor, month addition, end-of-month, quarter, day-of-week
+    // (aligned to Spark's 1=Sunday convention on both sides). All
+    // results leave as ISO strings or exact integers — the cross-engine
+    // safe renderings.
+    QueryDef("q40_date_arithmetic",
+      (s, d) => Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("days_since_epoch"),
+          date_format(add_months(to_date(col("o_orderdate")), 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(last_day(to_date(col("o_orderdate"))), "yyyy-MM-dd").as("month_end"),
+          quarter(col("o_orderdate")).cast("int").as("q"),
+          dayofweek(col("o_orderdate")).cast("int").as("dow"))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS d,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch,
+               strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+               strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+               CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+        ORDER BY o_orderkey""")),
+
+    // -------------------------------------------------------------------
+    // LATERAL correlated subquery (SQL surface): for each high-balance
+    // customer, the 2 most recent orders — the "top-n per row" join
+    // Spark 4 decorrelates into a ranked join under the hood. Both
+    // engines run the same ANSI text.
+    QueryDef("q44_lateral",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT c_custkey, t.o_orderkey,
+                 date_format(t.o_orderdate, 'yyyy-MM-dd') AS o_orderdate
+          FROM customer_v c,
+          LATERAL (
+            SELECT o_orderkey, o_orderdate FROM orders_v o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+            LIMIT 2
+          ) t
+          WHERE c.c_acctbal > 9000
+          ORDER BY c_custkey, t.o_orderkey""")
+      },
+      Some("""
+        SELECT c_custkey, t.o_orderkey,
+               strftime(t.o_orderdate, '%Y-%m-%d') AS o_orderdate
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_orderdate FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC
+          LIMIT 2
+        ) t
+        WHERE c.c_acctbal > 9000
+        ORDER BY c_custkey, t.o_orderkey"""))
   )
 }
