@@ -203,14 +203,28 @@ object Multimodal {
     QueryDef("m04_media_neardup",
       (s, d) => {
         Ns.registerFast(s)
-        val h = Tables.documents(s, d)
+        // O(n) per doc: char split (not positional substring, which is
+        // O(n^2)), then ONE fold building all 16 counters — `codes`
+        // appears once in the tree, so projection collapse cannot
+        // multiply the scan. localCheckpoint stops the self-join from
+        // recomputing the histograms on both sides.
+        // histogram via explode -> partial-aggregated (doc, bin) counts ->
+        // dense 16-vector reassembly: the byte stream is scanned ONCE and
+        // combines map-side (the per-row 16-pass HOF spelling measured 4x
+        // slower at sf0.1's 5000 docs and scales worse with doc length)
+        val binned = Tables.documents(s, d)
           .select(col("doc_id"), col("n_chars"),
-            expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))").as("codes"))
+            explode(expr("transform(split(text, ''), ch -> ascii(ch) div 16)")).as("b"))
+          .groupBy("doc_id", "n_chars", "b").agg(count(lit(1)).as("n"))
+        val h = binned
+          .groupBy("doc_id", "n_chars")
+          .agg(expr("map_from_entries(collect_list(struct(b, n)))").as("m"))
           .select(col("doc_id"), col("n_chars"),
             expr("""transform(sequence(0, 15),
-                    b -> CAST(size(filter(codes, c -> c div 16 = b)) AS DOUBLE))""").as("hist"))
+                    i -> CAST(coalesce(element_at(m, i), 0) AS DOUBLE))""").as("hist"))
           .withColumn("nrm", sqrt(expr(Ns.dot("hist", "hist"))))
           .withColumn("band", expr("n_chars div 32"))
+          .localCheckpoint() // reused by both sides of the pair join
         val probes = h.select(col("doc_id"), col("hist"), col("nrm"),
           explode(expr("array(band, band + 1)")).as("pb"))
         val a = probes.select(col("doc_id").as("doc_a"), col("hist").as("ha"),
