@@ -1318,6 +1318,98 @@ object Relational {
           LIMIT 2
         ) t
         WHERE c.c_acctbal > 9000
-        ORDER BY c_custkey, t.o_orderkey"""))
+        ORDER BY c_custkey, t.o_orderkey""")),
+
+    // -------------------------------------------------------------------
+    // Right-to-be-forgotten cascade (GDPR purge): given a tombstone set
+    // (users whose latest event is an 'error'), report what a purge
+    // would delete vs retain — the anti-join audit every privacy
+    // pipeline runs before the destructive write. The tombstone set is
+    // tiny by nature and broadcasts; the facts are scanned once.
+    QueryDef("q45_purge_audit",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val tombstones = ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("event_type") === "error")
+          .select(col("user_id"))
+        ev.join(broadcast(tombstones.withColumn("purge", lit(true))), Seq("user_id"), "left")
+          .groupBy("event_type")
+          .agg(count(ONE).as("n_events"),
+            count(when(col("purge"), 1)).as("n_purged"),
+            countDistinct(when(col("purge"), col("user_id"))).as("n_purged_users"))
+          .select(col("event_type"), col("n_events"), col("n_purged"),
+            (col("n_events") - col("n_purged")).as("n_retained"),
+            col("n_purged_users"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        t AS (
+          SELECT user_id FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+            FROM e) WHERE rn = 1 AND event_type = 'error')
+        SELECT e.event_type, count(*) AS n_events,
+               count(*) FILTER (WHERE t.user_id IS NOT NULL) AS n_purged,
+               count(*) - count(*) FILTER (WHERE t.user_id IS NOT NULL) AS n_retained,
+               count(DISTINCT CASE WHEN t.user_id IS NOT NULL THEN e.user_id END) AS n_purged_users
+        FROM e LEFT JOIN t ON e.user_id = t.user_id
+        GROUP BY e.event_type
+        ORDER BY e.event_type""")),
+
+    // -------------------------------------------------------------------
+    // A/B-test lift analysis: users split into deterministic hash
+    // variants, per-metric lift and a two-sample z statistic from
+    // EXACT decimal moments (the q29 recipe) — every float op is one
+    // expression written identically in both engines, so even the
+    // significance boolean is bit-deterministic.
+    QueryDef("q46_ab_lift",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value"),
+            pmod(expr(graft.operators.Ns.hash60("CAST(user_id AS STRING)")), lit(2L)).as("variant"))
+        val stats = ev.groupBy("event_type", "variant")
+          .agg(count(ONE).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("dsum"),
+            sum(expr("CAST(value * value AS DECIMAL(28,8))")).as("dsumsq"))
+          .select(col("event_type"), col("variant"), col("n"),
+            expr("CAST(dsum AS DOUBLE) / n").as("mean"),
+            expr("(CAST(dsumsq AS DOUBLE) / n - (CAST(dsum AS DOUBLE) / n) * (CAST(dsum AS DOUBLE) / n)) / n").as("sem2"))
+        val a = stats.filter(col("variant") === 0)
+          .select(col("event_type"), col("n").as("n0"), col("mean").as("mean0"), col("sem2").as("s0"))
+        a.join(stats.filter(col("variant") === 1)
+            .select(col("event_type"), col("n").as("n1"), col("mean").as("mean1"), col("sem2").as("s1")),
+          "event_type")
+          .select(col("event_type"), col("n0"), col("n1"),
+            round(col("mean0"), 6).as("mean0"), round(col("mean1"), 6).as("mean1"),
+            round(expr("(mean1 - mean0) / mean0"), 6).as("lift"),
+            round(expr("(mean1 - mean0) / sqrt(s0 + s1)"), 6).as("z"),
+            expr("abs((mean1 - mean0) / sqrt(s0 + s1)) > CAST(1.96 AS DOUBLE)").as("significant"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT event_type, value,
+                 ${graft.operators.Ns.oHash60("CAST(user_id AS VARCHAR)")} % 2 AS variant
+          FROM events),
+        stats AS (
+          SELECT event_type, variant, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+                 (CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) / count(*)
+                  - (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                    * (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))) / count(*) AS sem2
+          FROM v GROUP BY event_type, variant)
+        SELECT a.event_type, a.n AS n0, b.n AS n1,
+               round(a.mean, 6) AS mean0, round(b.mean, 6) AS mean1,
+               round((b.mean - a.mean) / a.mean, 6) AS lift,
+               round((b.mean - a.mean) / sqrt(a.sem2 + b.sem2), 6) AS z,
+               abs((b.mean - a.mean) / sqrt(a.sem2 + b.sem2)) > CAST(1.96 AS DOUBLE) AS significant
+        FROM stats a JOIN stats b ON a.event_type = b.event_type
+        WHERE a.variant = 0 AND b.variant = 1
+        ORDER BY a.event_type"""))
   )
 }
