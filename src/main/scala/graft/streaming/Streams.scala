@@ -202,6 +202,38 @@ object Streams {
                event_type, n_events
         FROM hc
         QUALIFY rank <= 3
-        ORDER BY hour_start, rank"""))
+        ORDER BY hour_start, rank""")),
+
+    // -------------------------------------------------------------------
+    // Native session windows: Spark's built-in session_window() gap
+    // aggregation (streamable with watermarks as-is) — the engine-level
+    // counterpart of st03's hand-rolled lag+cumsum sessionization. Same
+    // 30-minute gap; the oracle derives session bounds with the st03
+    // window recipe and epoch-micro arithmetic.
+    QueryDef("st05_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us"),
+      Some("""
+        WITH x AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        y AS (
+          SELECT user_id, us,
+                 sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+        SELECT user_id, min(us) AS session_start_us,
+               max(us) + 1800000000 AS session_end_us,
+               count(*) AS n_events
+        FROM y
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us"""))
   )
 }

@@ -91,6 +91,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st05 native session_window agrees with st03's lag+cumsum sessions") {
+    val native = graft.SparkEntry.queries("st05_session_window")(spark, sf0001)
+      .collect()
+    val custom = Streams.sessionizeBatch(eventsBatch).collect()
+    // same session structure: per user, same number of sessions and the
+    // same multiset of per-session event counts
+    val nByUser = native.groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getLong(3)).sorted.toSeq }
+    val cByUser = custom.groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getLong(2)).sorted.toSeq }
+    assert(nByUser == cByUser)
+    // session bounds are consistent: end = last event + gap > start
+    native.foreach(r => assert(r.getLong(2) > r.getLong(1)))
+  }
+
   test("watermarked append-mode windows finalize correctly over micro-batches") {
     val dir = Files.createTempDirectory("graft-stream-wm")
     writeOrderedFiles(dir, 4)
