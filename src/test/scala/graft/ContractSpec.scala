@@ -30,4 +30,22 @@ class ContractSpec extends SparkSpec {
     assert(counts1 == counts2)
     counts1.foreach { case (n, c) => assert(c >= 0, n) }
   }
+
+  test("EVERY query's full content is shuffle-partition-count invariant") {
+    // the direct whole-surface proof of the scale claim: identical
+    // results under different parallelism (family specs prove it per
+    // operator; this sweeps all of them)
+    def contentHashes(parts: String): Map[String, Int] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SparkEntry.queries.map { case (n, fn) =>
+        n -> fn(spark, sf0001).collect().map(_.toString).toSeq.sorted.hashCode
+      }
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = contentHashes("7")
+    val b = contentHashes("32")
+    val diff = a.keySet.filter(k => a(k) != b(k))
+    assert(diff.isEmpty, s"partition-sensitive queries: $diff")
+  }
 }
