@@ -30,6 +30,21 @@ object SparkEntry {
                     ELSE 0.0 END AS v
         FROM range(32) t(i) CROSS JOIN range(32) s(j)
         ORDER BY i, j""")),
+    // O1 again through the DataSource V2 connector: the same grid served
+    // by a first-class TableProvider with partition planning + column
+    // pruning (sources/GridSource.scala); same oracle as the DataFrame
+    // generator above proves connector parity.
+    QueryDef("laplace_grid_dsv2",
+      (s, _) => s.read.format("graft.sources.GridSourceProvider")
+        .option("n", "32").option("partitions", "8").load()
+        .orderBy("i", "j"),
+      Some("""
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               CASE WHEN i = 0 THEN 4.56 WHEN i = 31 THEN 9.85
+                    WHEN j = 0 THEN 7.32 WHEN j = 31 THEN 6.88
+                    ELSE 0.0 END AS v
+        FROM range(32) t(i) CROSS JOIN range(32) s(j)
+        ORDER BY i, j""")),
     // O3-O7: red-black SOR on the canonical cell-table plan. Capped at 12
     // iterations: this entry demonstrates the declarative sweep (one
     // job/iteration = pure scheduling overhead on a 64-cell demo grid);

@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The DSv2 grid connector: value parity with the DataFrame generator,
+  * the reference's remainder-aware block partitioning, and column
+  * pruning reaching the partition reader.
+  */
+class GridSourceSpec extends SparkSpec {
+
+  private def grid(n: Int, parts: Int) =
+    spark.read.format("graft.sources.GridSourceProvider")
+      .option("n", n.toString).option("partitions", parts.toString).load()
+
+  test("connector rows equal the DataFrame generator bit-for-bit") {
+    for (n <- Seq(2, 5, 16)) {
+      val got = grid(n, 3).orderBy("i", "j").collect()
+      val want = graft.laplace.GridGen.cells(spark, n).orderBy("i", "j").collect()
+      assert(got.sameElements(want), s"n=$n")
+    }
+  }
+
+  test("partition planning follows the reference's remainder-aware block split") {
+    // n=10 over 4 partitions -> widths 3,3,2,2 (first n%p blocks +1 row)
+    val perPartition = grid(10, 4)
+      .select(col("i"), expr("spark_partition_id()").as("p"))
+      .groupBy("p").agg(countDistinct(col("i")).as("rows"))
+      .orderBy("p").collect().map(r => r.getLong(1))
+    assert(perPartition.toSeq == Seq(3L, 3L, 2L, 2L), perPartition.toSeq)
+    // more partitions than rows: planner caps at n non-empty blocks
+    assert(grid(3, 8).rdd.getNumPartitions == 3)
+  }
+
+  test("column pruning reaches the reader (scan schema drops unused columns)") {
+    val df = grid(32, 4).filter(col("i") === 0).select("i")
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("BatchScan")).getOrElse("")
+    // DSv2 scans print their pruned output list: only `i` may appear
+    assert(scanLine.contains("[i#"), scanLine)
+    assert(!scanLine.contains("j#") && !scanLine.contains("v#"), scanLine)
+    assert(df.count() == 32)
+  }
+}
