@@ -1410,6 +1410,45 @@ object Relational {
                abs((b.mean - a.mean) / sqrt(a.sem2 + b.sem2)) > CAST(1.96 AS DOUBLE) AS significant
         FROM stats a JOIN stats b ON a.event_type = b.event_type
         WHERE a.variant = 0 AND b.variant = 1
-        ORDER BY a.event_type"""))
+        ORDER BY a.event_type""")),
+
+    // -------------------------------------------------------------------
+    // Map-typed columns (completing the nested types next to structs and
+    // arrays): build a per-flag map of linestatus -> row count, then
+    // transform values, filter entries, and flatten back to rows — maps
+    // never reach the comparator un-flattened (engines render map
+    // literals differently), which is also the right shape for a
+    // downstream consumer.
+    QueryDef("q47_map_funcs",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(ONE).as("n"))
+        .groupBy("l_returnflag")
+        .agg(expr("map_from_entries(sort_array(collect_list(struct(l_linestatus, n))))").as("m"))
+        .select(col("l_returnflag"),
+          expr("map_keys(m)").as("ks"),
+          expr("transform(map_values(m), v -> v * 2)").as("doubled"),
+          expr("size(map_filter(m, (k, v) -> v > 100))").cast("int").as("n_big_entries"))
+        .select(col("l_returnflag"), col("doubled"), col("n_big_entries"),
+          posexplode(col("ks")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("linestatus"),
+          expr("doubled[pos]").as("doubled_n"), col("n_big_entries"))
+        .orderBy("l_returnflag", "pos"),
+      Some("""
+        WITH c AS (
+          SELECT l_returnflag, l_linestatus, count(*) AS n
+          FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        f AS (
+          SELECT l_returnflag,
+                 CAST(count(*) FILTER (WHERE n > 100) AS INT) AS n_big_entries
+          FROM c GROUP BY l_returnflag)
+        SELECT c.l_returnflag,
+               CAST(row_number() OVER (PARTITION BY c.l_returnflag ORDER BY c.l_linestatus) AS INT) AS pos,
+               c.l_linestatus AS linestatus,
+               c.n * 2 AS doubled_n,
+               f.n_big_entries
+        FROM c JOIN f ON c.l_returnflag = f.l_returnflag
+        ORDER BY c.l_returnflag, pos"""))
   )
 }
