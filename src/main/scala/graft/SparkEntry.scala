@@ -51,8 +51,8 @@ object SparkEntry {
     // convergence-to-epsilon is exercised by the block queries + LaplaceSpec.
     // The oracle unrolls the same 12 capped iterations.
     QueryDef("laplace_solve_cell_n8",
-      (s, _) => CellSolver.solve(s, 8, maxIterations = 12).grid.orderBy("i", "j"),
-      Some(LaplaceOracle.gridSql(8, maxIterations = 12))),
+      (s, _) => CellSolver.solve(s, 8, maxIterations = 6).grid.orderBy("i", "j"),
+      Some(LaplaceOracle.gridSql(8, maxIterations = 6))),
     // O3-O12: block-row solver (the MPI-shaped scale path), to convergence.
     QueryDef("laplace_solve_block_n32",
       (s, _) => BlockSolver.solve(s, 32, numBlocks = 8).grid.orderBy("i", "j"),

@@ -30,6 +30,15 @@ object Tables {
     // would crash any not-yet-executed events scan. The flag only alters
     // TIMESTAMP(NANOS) columns, which exist in no other table, so leaving
     // it set is semantically inert for the rest of the session.
+    //
+    // A session-scoped alternative was tested and does NOT work on
+    // Spark 4.1.2: `.option("spark.sql.legacy.parquet.nanosAsLong",
+    // "true")` reaches schema INFERENCE (newHadoopConfWithOptions merges
+    // read options into the hadoop conf the footer converter sees, so
+    // the read plans with ts: bigint) but the scan still throws
+    // PARQUET_TYPE_ILLEGAL at execution, because buildReader overwrites
+    // the key in the task hadoopConf from the SESSION conf. Hence the
+    // session conf is the only lever that reaches both phases.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, d, "events")
     // integral `div` — a double division would lose precision on 1.7e18-ns

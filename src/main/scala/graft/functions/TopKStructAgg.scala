@@ -48,13 +48,19 @@ case class TopKStructAgg(
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val integralK = kExpr.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     if (!child.dataType.isInstanceOf[StructType])
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "topk_structs needs a struct input")
-    else if (!kExpr.foldable || kExpr.eval() == null ||
+    // type check BEFORE eval: a foldable non-integral k (e.g. a string
+    // literal) must fail analysis cleanly, not ClassCastException
+    else if (!integralK || !kExpr.foldable || kExpr.eval() == null ||
       kExpr.eval().asInstanceOf[Number].intValue() < 1)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "topk_structs needs a positive literal k")
+        "topk_structs needs a positive integral literal k")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 

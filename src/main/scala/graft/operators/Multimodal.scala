@@ -225,8 +225,12 @@ object Multimodal {
           .withColumn("nrm", sqrt(expr(Ns.dot("hist", "hist"))))
           .withColumn("band", expr("n_chars div 32"))
           .localCheckpoint() // reused by both sides of the pair join
+        // probe all three of {band-1, band, band+1}: the join also keeps
+        // only doc_a < doc_b, and the lower-id doc may sit in the HIGHER
+        // band, so a one-sided {band, band+1} probe silently drops those
+        // adjacent pairs. distinct() below dedups the same-band double hit.
         val probes = h.select(col("doc_id"), col("hist"), col("nrm"),
-          explode(expr("array(band, band + 1)")).as("pb"))
+          explode(expr("array(band - 1, band, band + 1)")).as("pb"))
         val a = probes.select(col("doc_id").as("doc_a"), col("hist").as("ha"),
           col("nrm").as("na"), col("pb"))
         val b = h.select(col("doc_id").as("doc_b"), col("hist").as("hb"),
@@ -255,7 +259,7 @@ object Multimodal {
           FROM codes),
         n AS (SELECT doc_id, band, hist, sqrt(${Ns.oDot("hist", "hist")}) AS nrm FROM h),
         probes AS (
-          SELECT doc_id, hist, nrm, unnest([band, band + 1]) AS pb FROM n),
+          SELECT doc_id, hist, nrm, unnest([band - 1, band, band + 1]) AS pb FROM n),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  round(${Ns.oDot("a.hist", "b.hist")} / (a.nrm * b.nrm), 6) AS cosine

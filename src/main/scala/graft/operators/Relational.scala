@@ -802,49 +802,48 @@ object Relational {
         ORDER BY s.event_type""")),
 
     // -------------------------------------------------------------------
-    // Data profiling (ANALYZE-table shape): one pass over orders
-    // computes per-column non-null counts, exact distinct counts, and
-    // min/max rendered to engine-identical strings (bigints verbatim,
-    // doubles via DECIMAL(18,2), timestamps as epoch micros); the
-    // single agg row is then unpivoted with stack(). At 100 TB this is
-    // one scan + one partial agg — the distinct counts are the only
-    // shuffled state.
+    // Data profiling (ANALYZE-table shape): per-column exact distinct
+    // counts and min/max rendered to engine-identical strings (bigints
+    // verbatim, doubles via DECIMAL(18,2), timestamps as epoch micros).
+    // Each column gets its own narrow pass — a column-pruned parquet
+    // scan feeding a two-phase hash distinct (map-side combine shrinks
+    // each partition to its distinct values before the shuffle), then a
+    // scalar agg over the distinct set (count == n_distinct; min/max
+    // over distinct values == min/max over all values). Six one-column
+    // scans beat one all-column scan amplified ×7 by the Expand that a
+    // multi-countDistinct agg plans: at 100 TB the Expand shape
+    // materializes 7 copies of every row before the partial agg, while
+    // this shape reads each column's pages once and shuffles only
+    // distinct values. n_rows is one metadata-served count(*) broadcast
+    // onto the 6-row result.
     QueryDef("q30_profile",
-      (s, d) => Tables.orders(s, d)
-        .agg(
-          count(ONE).as("n_rows"),
-          countDistinct(col("o_orderkey")).as("nd_key"),
-          expr("CAST(min(o_orderkey) AS STRING)").as("mn_key"),
-          expr("CAST(max(o_orderkey) AS STRING)").as("mx_key"),
-          countDistinct(col("o_custkey")).as("nd_cust"),
-          expr("CAST(min(o_custkey) AS STRING)").as("mn_cust"),
-          expr("CAST(max(o_custkey) AS STRING)").as("mx_cust"),
-          countDistinct(col("o_orderstatus")).as("nd_status"),
-          min(col("o_orderstatus")).as("mn_status"),
-          max(col("o_orderstatus")).as("mx_status"),
-          countDistinct(col("o_totalprice")).as("nd_price"),
-          expr("CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS STRING)").as("mn_price"),
-          expr("CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS STRING)").as("mx_price"),
-          countDistinct(col("o_orderdate")).as("nd_date"),
-          // o_orderdate is TIMESTAMP_NTZ; the session tz is UTC, so the
-          // TIMESTAMP cast is instant-preserving and micros match DuckDB
-          expr("CAST(unix_micros(CAST(min(o_orderdate) AS TIMESTAMP)) AS STRING)").as("mn_date"),
-          expr("CAST(unix_micros(CAST(max(o_orderdate) AS TIMESTAMP)) AS STRING)").as("mx_date"),
-          countDistinct(col("o_orderpriority")).as("nd_prio"),
-          min(col("o_orderpriority")).as("mn_prio"),
-          max(col("o_orderpriority")).as("mx_prio"))
-        .select(col("n_rows"), expr(
-          """stack(6,
-               'o_orderkey', nd_key, mn_key, mx_key,
-               'o_custkey', nd_cust, mn_cust, mx_cust,
-               'o_orderstatus', nd_status, mn_status, mx_status,
-               'o_totalprice', nd_price, mn_price, mx_price,
-               'o_orderdate', nd_date, mn_date, mx_date,
-               'o_orderpriority', nd_prio, mn_prio, mx_prio)
-             AS (column_name, n_distinct, min_value, max_value)"""))
-        .select(col("column_name"), col("n_rows"), col("n_distinct"),
-          col("min_value"), col("max_value"))
-        .orderBy("column_name"),
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        // render: how to turn min(v)/max(v) into the cross-engine string form
+        def prof(c: String, render: String => String) =
+          orders.select(col(c).as("v")).distinct()
+            .agg(count(ONE).as("n_distinct"),
+              expr(render("min(v)")).cast("string").as("min_value"),
+              expr(render("max(v)")).cast("string").as("max_value"))
+            .select(lit(c).as("column_name"), col("n_distinct"),
+              col("min_value"), col("max_value"))
+        val ident = (e: String) => e
+        val money = (e: String) => s"CAST($e AS DECIMAL(18,2))"
+        // o_orderdate is TIMESTAMP_NTZ; the session tz is UTC, so the
+        // TIMESTAMP cast is instant-preserving and micros match DuckDB
+        val micros = (e: String) => s"unix_micros(CAST($e AS TIMESTAMP))"
+        val cols = prof("o_orderkey", ident)
+          .unionAll(prof("o_custkey", ident))
+          .unionAll(prof("o_orderstatus", ident))
+          .unionAll(prof("o_totalprice", money))
+          .unionAll(prof("o_orderdate", micros))
+          .unionAll(prof("o_orderpriority", ident))
+        val nRows = orders.agg(count(ONE).as("n_rows"))
+        cols.crossJoin(broadcast(nRows))
+          .select(col("column_name"), col("n_rows"), col("n_distinct"),
+            col("min_value"), col("max_value"))
+          .orderBy("column_name")
+      },
       Some("""
         WITH a AS (
           SELECT count(*) AS n_rows,
@@ -890,14 +889,17 @@ object Relational {
       (s, d) => {
         val dayStart = 1704067200000000L // 2024-01-01T00:00:00Z
         val ev = Tables.events(s, d)
-          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
           .filter(pmod(col("user_id"), lit(100)) === 3)
           .filter(col("us") >= dayStart && col("us") < dayStart + 86400000000L)
           // integer floor division on BOTH sides: Spark Column `/` would
           // produce a double whose cast truncates while DuckDB's rounds
           .withColumn("slot", expr(s"(us - $dayStart) div 3600000000"))
-        // last event per (user, slot) decides the slot's observed value
-        val wSlot = Window.partitionBy("user_id", "slot").orderBy(col("us").desc)
+        // last event per (user, slot) decides the slot's observed value;
+        // event_id breaks equal-timestamp ties so the pick is total-ordered
+        val wSlot = Window.partitionBy("user_id", "slot")
+          .orderBy(col("us").desc, col("event_id").desc)
         val obs = ev.withColumn("rn", row_number().over(wSlot)).filter(col("rn") === 1)
           .select(col("user_id"), col("slot"), col("value"))
         val grid = obs.select("user_id").distinct()
@@ -912,7 +914,7 @@ object Relational {
       },
       Some("""
         WITH ev AS (
-          SELECT user_id, epoch_us(ts) AS us, value,
+          SELECT user_id, event_id, epoch_us(ts) AS us, value,
                  (epoch_us(ts) - 1704067200000000) // 3600000000 AS slot
           FROM events
           WHERE user_id % 100 = 3
@@ -921,7 +923,8 @@ object Relational {
         obs AS (
           SELECT user_id, slot, value FROM (
             SELECT user_id, slot, value,
-                   row_number() OVER (PARTITION BY user_id, slot ORDER BY us DESC) AS rn
+                   row_number() OVER (PARTITION BY user_id, slot
+                                      ORDER BY us DESC, event_id DESC) AS rn
             FROM ev) WHERE rn = 1),
         grid AS (
           SELECT user_id, CAST(s AS BIGINT) AS slot

@@ -65,6 +65,38 @@ object Streams {
         ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_s"))
   }
 
+  /** Error-context interval join: for every error event, the same user's
+    * events in the 5 minutes before it. One definition serves both modes:
+    * batch (the st06 oracle row) and stream-stream (pass a watermarked
+    * source; both branches inherit the watermark, and the time-range
+    * predicate lets Spark bound each side's buffered state to the 5-minute
+    * horizon instead of keeping the whole stream).
+    */
+  def errorContextJoin(events: DataFrame): DataFrame = {
+    val err = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("u"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+    val all = events.select(col("user_id"), col("event_id"), col("ts"))
+    err.join(all,
+        col("u") === col("user_id") &&
+          col("ts") >= col("err_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("ts") < col("err_ts"))
+      .select(col("err_id"), col("event_id").as("ctx_event_id"))
+  }
+
+  /** Exactly-once counts from an at-least-once feed: dedup by event_id,
+    * then count per type. Streaming form uses
+    * dropDuplicatesWithinWatermark (state bounded by the watermark
+    * horizon); batch form uses dropDuplicates — identical results
+    * whenever every replay lands within the horizon, which
+    * StreamingSpec proves on a two-file replay.
+    */
+  def dedupCounts(events: DataFrame, streaming: Boolean = false): DataFrame = {
+    val deduped =
+      if (streaming) events.dropDuplicatesWithinWatermark("event_id")
+      else events.dropDuplicates("event_id")
+    deduped.groupBy("event_type").agg(count(lit(1)).as("n"))
+  }
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
 
   /** Microseconds since epoch incl. the sub-ms part (getTime truncates
@@ -234,6 +266,43 @@ object Streams {
                count(*) AS n_events
         FROM y
         GROUP BY user_id, sid
-        ORDER BY user_id, session_start_us"""))
+        ORDER BY user_id, session_start_us""")),
+
+    // -------------------------------------------------------------------
+    // Stream-stream interval join (batch form; StreamingSpec runs the
+    // SAME errorContextJoin on a watermarked file stream and proves the
+    // emitted pairs match). Pair-level q16: every (error, preceding
+    // event within 5 min, same user) edge.
+    QueryDef("st06_stream_stream_join",
+      (s, d) => errorContextJoin(Tables.events(s, d))
+        .orderBy("err_id", "ctx_event_id"),
+      Some("""
+        SELECT e1.event_id AS err_id, e2.event_id AS ctx_event_id
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts >= e1.ts - INTERVAL 5 MINUTE
+         AND e2.ts < e1.ts
+        WHERE e1.event_type = 'error'
+        ORDER BY err_id, ctx_event_id""")),
+
+    // -------------------------------------------------------------------
+    // Streaming exact dedup (batch form): an at-least-once feed (events
+    // replayed twice) deduplicated by event_id, counted per type —
+    // dropDuplicatesWithinWatermark's semantics, which the oracle
+    // expresses as count(DISTINCT event_id).
+    QueryDef("st07_stream_dedup",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
+        dedupCounts(ev.unionAll(ev)).orderBy("event_type")
+      },
+      Some("""
+        WITH replayed AS (
+          SELECT event_id, event_type FROM events
+          UNION ALL
+          SELECT event_id, event_type FROM events)
+        SELECT event_type, count(DISTINCT event_id) AS n
+        FROM replayed
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

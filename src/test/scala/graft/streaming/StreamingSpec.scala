@@ -140,9 +140,8 @@ class StreamingSpec extends SparkSpec {
     writeFlatFile(eventsBatch, dir, "b.parquet", 1700000060000L)
     val stream = spark.readStream.schema(Streams.eventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-    val q = stream.withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    // SAME transform as the st07 batch oracle row, streaming form
+    val q = Streams.dedupCounts(stream.withWatermark("ts", "1 hour"), streaming = true)
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("complete").start()
     try {
@@ -160,20 +159,13 @@ class StreamingSpec extends SparkSpec {
     writeOrderedFiles(dir, 3)
     val src = spark.readStream.schema(Streams.eventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-    val err = src.filter(col("event_type") === "error")
-      .withWatermark("ts", "10 minutes")
-      .select(col("user_id").as("u"), col("event_id").as("err_id"), col("ts").as("err_ts"))
-    val all = src.withWatermark("ts", "10 minutes")
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val joined = err.join(all,
-      col("u") === col("user_id") &&
-        col("ts") >= col("err_ts") - expr("INTERVAL 5 MINUTES") &&
-        col("ts") < col("err_ts"))
+    // SAME transform as the st06 batch oracle row, on a watermarked stream
+    val joined = Streams.errorContextJoin(src.withWatermark("ts", "10 minutes"))
     val q = joined.writeStream.format("memory").queryName("ss_join")
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      val got = spark.table("ss_join").select("err_id", "event_id")
+      val got = spark.table("ss_join").select("err_id", "ctx_event_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val want = graft.SparkEntry.queries("q16_range_join")(spark, sf0001)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
