@@ -45,11 +45,11 @@ object SparkEntry {
                     ELSE 0.0 END AS v
         FROM range(32) t(i) CROSS JOIN range(32) s(j)
         ORDER BY i, j""")),
-    // O3-O7: red-black SOR on the canonical cell-table plan. Capped at 12
+    // O3-O7: red-black SOR on the canonical cell-table plan. Capped at 6
     // iterations: this entry demonstrates the declarative sweep (one
     // job/iteration = pure scheduling overhead on a 64-cell demo grid);
     // convergence-to-epsilon is exercised by the block queries + LaplaceSpec.
-    // The oracle unrolls the same 12 capped iterations.
+    // The oracle unrolls the same 6 capped iterations.
     QueryDef("laplace_solve_cell_n8",
       (s, _) => CellSolver.solve(s, 8, maxIterations = 6).grid.orderBy("i", "j"),
       Some(LaplaceOracle.gridSql(8, maxIterations = 6))),

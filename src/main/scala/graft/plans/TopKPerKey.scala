@@ -61,7 +61,16 @@ object TopKPerKeyStrategy extends SparkStrategy {
     case LogicalFilter(cond, w: LogicalWindow)
         if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
       w.windowExpressions.head match {
-        case alias @ Alias(WindowExpression(_: RowNumber, _), _) =>
+        case alias @ Alias(WindowExpression(fn, _), _)
+            if fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] =>
+          // rank() differs from row_number() only on order-key ties:
+          // tied rows share a rank and `rank <= k` keeps ALL boundary
+          // ties. rankTies=true makes the partial phase keep rows tied
+          // with its k-th candidate and the final phase emit true
+          // (gapped) ranks — so the operator is exact under ties, and
+          // identical to row_number when the order is total (every
+          // graft query tie-breaks on a unique id).
+          val rankTies = fn.isInstanceOf[Rank]
           kOf(cond, alias.toAttribute) match {
             case Some(k) if k >= 1 && k <= MaxK =>
               // If InferWindowGroupLimit already wrapped the child in its
@@ -72,9 +81,9 @@ object TopKPerKeyStrategy extends SparkStrategy {
                 case other => other
               }
               val partial = TopKPerKeyExec(k, w.partitionSpec, w.orderSpec,
-                rankAttr = None, planLater(realChild))
+                rankAttr = None, rankTies, planLater(realChild))
               TopKPerKeyExec(k, w.partitionSpec, w.orderSpec,
-                rankAttr = Some(alias.toAttribute), partial) :: Nil
+                rankAttr = Some(alias.toAttribute), rankTies, partial) :: Nil
             case _ => Nil
           }
         case _ => Nil
@@ -93,6 +102,7 @@ case class TopKPerKeyExec(
     partSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
     rankAttr: Option[Attribute],
+    rankTies: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   private def isFinal = rankAttr.isDefined
@@ -112,6 +122,7 @@ case class TopKPerKeyExec(
     val ks = k
     val ps = partSpec
     val os = orderSpec
+    val ties = rankTies
     if (!isFinal) {
       val flushKeys = conf.getConfString("spark.graft.topk.partialFlushKeys",
         TopKPerKeyExec.DefaultFlushKeys.toString).toInt
@@ -120,18 +131,42 @@ case class TopKPerKeyExec(
         val ord = GenerateOrdering.generate(os, childOutput)
         // PriorityQueue dequeues the MAX w.r.t. the ordering = the worst
         // kept row; evict it when a better candidate arrives.
+        // rank() semantics (ties=true) additionally keeps every row TIED
+        // with the current k-th candidate — `rank <= k` retains all
+        // boundary ties, so dropping them would be wrong, and the tie
+        // buffer is only as large as the true result's boundary group.
         // Memory bound: when the number of distinct keys in this
         // partition exceeds flushKeys, emit everything held and reset —
         // the partial phase then prunes less for those keys, but the
         // final phase re-cuts to k, so high-cardinality keys degrade
         // gracefully instead of growing the map without bound.
+        final class KeyState {
+          val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+          val tied = mutable.ArrayBuffer.empty[InternalRow]
+          def insert(row: InternalRow): Unit =
+            if (heap.size < ks) heap.enqueue(row.copy())
+            else {
+              val c = ord.compare(row, heap.head)
+              if (c < 0) {
+                val evicted = heap.dequeue()
+                heap.enqueue(row.copy())
+                if (ties) {
+                  // tie buffer rows all equal the OLD head; keep them (and
+                  // the evictee) only if the boundary value is unchanged
+                  if (ord.compare(evicted, heap.head) == 0) tied += evicted
+                  else tied.clear()
+                }
+              } else if (ties && c == 0) tied += row.copy()
+            }
+          def rows: Iterator[InternalRow] = heap.iterator ++ tied.iterator
+        }
         new Iterator[InternalRow] {
-          private var heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+          private var heaps = mutable.HashMap.empty[UnsafeRow, KeyState]
           private val pending = mutable.Queue.empty[InternalRow]
           private var inputDone = false
 
           private def drainHeaps(): Unit = {
-            heaps.valuesIterator.foreach(h => pending ++= h.iterator)
+            heaps.valuesIterator.foreach(s => pending ++= s.rows)
             heaps = mutable.HashMap.empty
           }
 
@@ -145,12 +180,10 @@ case class TopKPerKeyExec(
               heaps.get(key) match {
                 case None =>
                   if (heaps.size >= flushKeys) drainHeaps()
-                  val h = mutable.PriorityQueue.empty[InternalRow](ord)
-                  h.enqueue(row.copy())
-                  heaps.put(key.copy(), h)
-                case Some(h) =>
-                  if (h.size < ks) h.enqueue(row.copy())
-                  else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
+                  val s = new KeyState
+                  s.insert(row)
+                  heaps.put(key.copy(), s)
+                case Some(s) => s.insert(row)
               }
             }
             if (pending.isEmpty && !iter.hasNext && !inputDone) {
@@ -166,18 +199,29 @@ case class TopKPerKeyExec(
     } else {
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(ps, childOutput)
+        val ord = GenerateOrdering.generate(os, childOutput)
         val outProj = UnsafeProjection.create(output, childOutput :+ rankAttr.get)
         val joined = new JoinedRow
         val rankRow = new GenericInternalRow(1)
         var currentKey: UnsafeRow = null
+        var pos = 0
         var rank = 0
+        // tie detection needs the previous row (rank() only; row_number
+        // never compares, so the per-row copy is not paid there)
+        var prev: InternalRow = null
         iter.flatMap { row =>
           val key = keyProj(row)
           if (currentKey == null || key != currentKey) {
             currentKey = key.copy()
+            pos = 0
             rank = 0
+            prev = null
           }
-          rank += 1
+          pos += 1
+          if (ties) {
+            if (prev == null || ord.compare(row, prev) != 0) rank = pos
+            prev = row.copy()
+          } else rank = pos
           if (rank <= ks) {
             rankRow.setInt(0, rank)
             Some(outProj(joined(row, rankRow)): InternalRow)
@@ -191,7 +235,7 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 
   override def simpleString(maxFields: Int): String =
-    s"TopKPerKey(k=$k, ${if (isFinal) "final" else "partial"})"
+    s"TopKPerKey(k=$k, ${if (isFinal) "final" else "partial"}${if (rankTies) ", rank" else ""})"
 }
 
 object TopKPerKeyExec {

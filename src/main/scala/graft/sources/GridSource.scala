@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -51,32 +52,78 @@ class GridTable(n: Int, parts: Int) extends Table with SupportsRead {
 }
 
 class GridScanBuilder(n: Int, parts: Int)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
 
   private var required: StructType = GridSourceProvider.schema
+  private var accepted: Array[sources.Filter] = Array.empty
+  // i-range the accepted filters bound: [lo, hi) row interval
+  private var lo: Long = 0L
+  private var hi: Long = n.toLong
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GridScan(n, parts, required)
+  /** Row-range pushdown (the reference's per-rank row ownership,
+    * laplace-par.c:245-251, as scan pruning): conjunctive range
+    * predicates on `i` are consumed EXACTLY — they narrow both the
+    * partition plan (non-overlapping row blocks are never scheduled)
+    * and each reader's row interval (no post-scan residual needed).
+    * Anything else stays with Spark.
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val (ok, residual) = filters.partition(consume)
+    accepted = ok
+    residual
+  }
+
+  private def consume(f: sources.Filter): Boolean = f match {
+    case sources.And(l, r) =>
+      // both arms must be consumable; probe without mutating first
+      val (l0, h0) = (lo, hi)
+      if (consume(l) && consume(r)) true
+      else { lo = l0; hi = h0; false }
+    case sources.EqualTo("i", v: Number) =>
+      lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1); true
+    case sources.GreaterThan("i", v: Number) =>
+      lo = math.max(lo, v.longValue + 1); true
+    case sources.GreaterThanOrEqual("i", v: Number) =>
+      lo = math.max(lo, v.longValue); true
+    case sources.LessThan("i", v: Number) =>
+      hi = math.min(hi, v.longValue); true
+    case sources.LessThanOrEqual("i", v: Number) =>
+      hi = math.min(hi, v.longValue + 1); true
+    case _ => false
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = accepted
+
+  override def build(): Scan = new GridScan(n, parts, required, lo, hi)
 }
 
-class GridScan(n: Int, parts: Int, required: StructType) extends Scan with Batch {
+class GridScan(n: Int, parts: Int, required: StructType, lo: Long, hi: Long)
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft.GridScan n=$n rows=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}]"
 
   /** The reference's block-row split: first `n % parts` blocks get one
-    * extra row (laplace-par.c:245-251).
+    * extra row (laplace-par.c:245-251). Blocks outside the pushed
+    * [lo, hi) i-range are pruned here — they never become tasks — and
+    * surviving blocks are clamped to the range so readers emit exactly
+    * the matching rows.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val base = n / parts
     val rem = n % parts
     var from = 0L
-    (0 until math.min(parts, n)).map { p =>
+    (0 until math.min(parts, n)).flatMap { p =>
       val width = base + (if (p < rem) 1 else 0)
-      val ip = GridInputPartition(from, from + width)
+      val (bFrom, bTo) = (from, from + width)
       from += width
-      ip
+      val (cFrom, cTo) = (math.max(bFrom, lo), math.min(bTo, hi))
+      if (cFrom < cTo) Some(GridInputPartition(cFrom, cTo)) else None
     }.toArray
   }
 

@@ -88,6 +88,65 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  private def rankDf(k: Int, totalOrder: Boolean) = {
+    // totalOrder=false orders by coarse l_quantity only — real rank ties
+    val w =
+      if (totalOrder) Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      else Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
+    graft.Tables.lineitem(spark, sf0001)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  test("rank() with a total order: fires and equals the WindowExec path") {
+    for (k <- Seq(1, 3, 10)) {
+      val expected = rankDf(k, totalOrder = true).collect().toSet // WindowExec
+      GraftStrategies.install(spark)
+      try {
+        val df = rankDf(k, totalOrder = true)
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains(s"TopKPerKey(k=$k, final, rank)"), p)
+        assert(df.collect().toSet == expected, s"k=$k")
+      } finally {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+      }
+    }
+  }
+
+  test("rank() with ties: ALL boundary ties kept, ranks gapped like WindowExec") {
+    val expected = rankDf(3, totalOrder = false).collect().toSet // WindowExec
+    // sanity: the coarse order really produced ties beyond k rows/group
+    assert(expected.size > 12, s"want real ties, got ${expected.size} rows")
+    GraftStrategies.install(spark)
+    try {
+      val got = rankDf(3, totalOrder = false).collect().toSet
+      assert(got == expected, s"${got.size} vs ${expected.size}")
+    } finally {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+    }
+  }
+
+  test("AQE interplay: strategy fires and survives into the final adaptive plan") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val expected = topkDf(4).collect().toSet // WindowExec
+    GraftStrategies.install(spark)
+    try {
+      val df = topkDf(4)
+      assert(df.collect().toSet == expected)
+      // post-execution: the FINAL adaptive plan still runs both phases
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("TopKPerKey(k=4, final)") && p.contains("TopKPerKey(k=4, partial)"), p)
+    } finally {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+    }
+  }
+
   test("the rank predicate still composes with downstream projections") {
     GraftStrategies.install(spark)
     try {

@@ -41,4 +41,32 @@ class GridSourceSpec extends SparkSpec {
     assert(!scanLine.contains("j#") && !scanLine.contains("v#"), scanLine)
     assert(df.count() == 32)
   }
+
+  test("i-range pushdown prunes partitions (reference per-rank row ownership)") {
+    // n=64 over 8 partitions -> 8-row blocks; i in [8, 24) covers blocks 1,2
+    val df = grid(64, 8).filter(col("i") >= 8 && col("i") < 24)
+    assert(df.rdd.getNumPartitions == 2, s"planned ${df.rdd.getNumPartitions} blocks")
+    // values identical to filtering the unpruned generator
+    val want = graft.laplace.GridGen.cells(spark, 64)
+      .filter(col("i") >= 8 && col("i") < 24).orderBy("i", "j").collect()
+    assert(df.orderBy("i", "j").collect().sameElements(want))
+    // the consumed range is visible in the scan's description
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rows=[8,24)"), plan)
+  }
+
+  test("i-range pushdown is exact: no residual rows outside the range") {
+    // equality picks exactly one block and one row slice
+    val eq = grid(10, 4).filter(col("i") === 7)
+    assert(eq.rdd.getNumPartitions == 1)
+    assert(eq.select(countDistinct(col("j"))).head().getLong(0) == 10)
+    assert(eq.count() == 10)
+    // empty intersection plans zero partitions and returns nothing
+    val none = grid(10, 4).filter(col("i") >= 100)
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0)
+    // a j-predicate is NOT consumed: stays a residual Spark filter, result right
+    val mixed = grid(10, 4).filter(col("i") >= 5 && col("j") === 0)
+    assert(mixed.count() == 5)
+  }
 }
