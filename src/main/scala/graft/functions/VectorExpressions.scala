@@ -147,6 +147,7 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { exprs => VecDot(exprs(0), exprs(1)) },
     "vec_l2sq" -> { exprs => VecL2Sq(exprs(0), exprs(1)) },
+    "char_hist16" -> { exprs => CharHist16(exprs(0)) },
     "topk_structs" -> { exprs => TopKStructAgg(exprs(0), exprs(1)).toAggregateExpression() }
   )
 
@@ -177,6 +178,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_l2sq"),
       new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
       (exprs: Seq[Expression]) => VecL2Sq(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("char_hist16"),
+      new ExpressionInfo(classOf[CharHist16].getName, "char_hist16"),
+      (exprs: Seq[Expression]) => CharHist16(exprs(0))))
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }

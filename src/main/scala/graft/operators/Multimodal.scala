@@ -203,32 +203,28 @@ object Multimodal {
     QueryDef("m04_media_neardup",
       (s, d) => {
         Ns.registerFast(s)
-        // O(n) per doc: char split (not positional substring, which is
-        // O(n^2)), then ONE fold building all 16 counters — `codes`
-        // appears once in the tree, so projection collapse cannot
-        // multiply the scan. localCheckpoint stops the self-join from
-        // recomputing the histograms on both sides.
-        // histogram via explode -> partial-aggregated (doc, bin) counts ->
-        // dense 16-vector reassembly: the byte stream is scanned ONCE and
-        // combines map-side (the per-row 16-pass HOF spelling measured 4x
-        // slower at sf0.1's 5000 docs and scales worse with doc length)
-        val binned = Tables.documents(s, d)
+        // 16-bin histogram in ONE codegen pass per row (char_hist16,
+        // [[graft.functions.CharHist16]]): no explode, no shuffle. The
+        // explode → count-per-(doc,bin) → dense-reassembly spelling this
+        // replaces materialized one row PER CHARACTER (~1.5M at sf0.1)
+        // and paid two hash-aggregation shuffles to rebuild a value
+        // that is a narrow per-row projection. Integer counts convert
+        // exactly to double, so downstream cosines are bit-identical.
+        // localCheckpoint stops the self-join from recomputing the
+        // histograms on both sides.
+        val h = Tables.documents(s, d)
           .select(col("doc_id"), col("n_chars"),
-            explode(expr("transform(split(text, ''), ch -> ascii(ch) div 16)")).as("b"))
-          .groupBy("doc_id", "n_chars", "b").agg(count(lit(1)).as("n"))
-        val h = binned
-          .groupBy("doc_id", "n_chars")
-          .agg(expr("map_from_entries(collect_list(struct(b, n)))").as("m"))
-          .select(col("doc_id"), col("n_chars"),
-            expr("""transform(sequence(0, 15),
-                    i -> CAST(coalesce(element_at(m, i), 0) AS DOUBLE))""").as("hist"))
+            expr("transform(char_hist16(text), x -> CAST(x AS DOUBLE))").as("hist"))
           .withColumn("nrm", sqrt(expr(Ns.dot("hist", "hist"))))
           .withColumn("band", expr("n_chars div 32"))
           .localCheckpoint() // reused by both sides of the pair join
         // probe all three of {band-1, band, band+1}: the join also keeps
         // only doc_a < doc_b, and the lower-id doc may sit in the HIGHER
         // band, so a one-sided {band, band+1} probe silently drops those
-        // adjacent pairs. distinct() below dedups the same-band double hit.
+        // adjacent pairs. Each ordered pair matches at exactly ONE probe
+        // band (pb = band_b) and the filter keeps one orientation, so
+        // every unordered pair survives exactly once — no dedup step,
+        // and the whole pairing runs shuffle-free into the top-20.
         val probes = h.select(col("doc_id"), col("hist"), col("nrm"),
           explode(expr("array(band - 1, band, band + 1)")).as("pb"))
         val a = probes.select(col("doc_id").as("doc_a"), col("hist").as("ha"),
@@ -240,7 +236,6 @@ object Multimodal {
         a.join(b, Seq("pb")).filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             round(expr(Ns.dot("ha", "hb")) / (col("na") * col("nb")), 6).as("cosine"))
-          .distinct()
           .orderBy(col("cosine").desc, col("doc_a"), col("doc_b")).limit(20)
           .withColumn("rank", row_number().over(w).cast("int"))
           .select(col("rank"), col("doc_a"), col("doc_b"), col("cosine"))
@@ -261,7 +256,7 @@ object Multimodal {
         probes AS (
           SELECT doc_id, hist, nrm, unnest([band - 1, band, band + 1]) AS pb FROM n),
         pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  round(${Ns.oDot("a.hist", "b.hist")} / (a.nrm * b.nrm), 6) AS cosine
           FROM probes a JOIN n b ON a.pb = b.band AND a.doc_id < b.doc_id)
         SELECT CAST(row_number() OVER (ORDER BY cosine DESC, doc_a, doc_b) AS INT) AS rank,
