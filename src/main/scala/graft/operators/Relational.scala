@@ -1259,6 +1259,78 @@ object Relational {
         ORDER BY o_orderpriority""")),
 
     // -------------------------------------------------------------------
+    // UNPIVOT / melt: the wide-aggregate -> long reporting shape, via
+    // Spark's native Dataset.unpivot (an Expand of exactly
+    // |measures| rows per input row — here over a 3-row aggregate, so
+    // the expansion is on the reduced side, never the scan). Measures
+    // are decimal-exact doubles so both engines unpivot identical
+    // values.
+    QueryDef("q42_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(Sql.dsum(col("l_quantity")).as("sum_qty"),
+          Sql.dsumProd(col("l_extendedprice"), ONE - col("l_discount")).as("sum_revenue"),
+          count(ONE).cast("double").as("n_rows"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_revenue"), col("n_rows")),
+          "measure", "value")
+        .select(col("l_returnflag"), col("measure"),
+          round(col("value"), 6).as("value"))
+        .orderBy("l_returnflag", "measure"),
+      Some(s"""
+        WITH wide AS (
+          SELECT l_returnflag,
+                 ${Sql.oDsum("l_quantity")} AS sum_qty,
+                 ${Sql.oDsumProd("l_extendedprice", "1 - l_discount")} AS sum_revenue,
+                 CAST(count(*) AS DOUBLE) AS n_rows
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, measure, round(value, 6) AS value
+        FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_revenue, n_rows))
+        ORDER BY l_returnflag, measure""")),
+
+    // -------------------------------------------------------------------
+    // TPC-H Q5: local-supplier volume — the 6-table join with the
+    // customer-nation = supplier-nation equality. Shape for scale: the
+    // one fact-fact shuffle is lineitem JOIN orders on orderkey;
+    // customer, supplier and the nation⋈region dim chain all broadcast,
+    // so the nation equality is checked inside the broadcast probes and
+    // the only wide exchange is the final 25-group aggregate.
+    QueryDef("q43_tpch_q5",
+      (s, d) => {
+        val asiaNations = broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(Sql.dsumProd(col("l_extendedprice"), ONE - col("l_discount")).as("revenue"))
+          .select(col("n_name"), round(col("revenue"), 6).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""
+        SELECT n_name,
+               round(${Sql.oDsumProd("l_extendedprice", "1 - l_discount")}, 6) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")),
+
+    // -------------------------------------------------------------------
     // Date/time arithmetic family beyond q11: day arithmetic against an
     // epoch anchor, month addition, end-of-month, quarter, day-of-week
     // (aligned to Spark's 1=Sunday convention on both sides). All

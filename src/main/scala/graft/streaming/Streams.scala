@@ -83,6 +83,21 @@ object Streams {
       .select(col("err_id"), col("event_id").as("ctx_event_id"))
   }
 
+  /** Stream-static enrichment join: the events stream against a static
+    * customer dimension. The static side is broadcast, so each
+    * micro-batch joins map-side with NO stream-side shuffle before the
+    * aggregate — the canonical "enrich a 100 TB/day stream with a dim
+    * table" shape. One definition serves batch (the st08 oracle row)
+    * and streaming (StreamingSpec runs it on a file stream in Complete
+    * mode and proves stream==batch).
+    */
+  def enrichedSegmentCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"), Sql.dsum(col("value")).as("sum_value"))
+
   /** Exactly-once counts from an at-least-once feed: dedup by event_id,
     * then count per type. Streaming form uses
     * dropDuplicatesWithinWatermark (state bounded by the watermark
@@ -303,6 +318,20 @@ object Streams {
         SELECT event_type, count(DISTINCT event_id) AS n
         FROM replayed
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // -------------------------------------------------------------------
+    // Stream-static enrichment join (batch form; StreamingSpec runs the
+    // SAME enrichedSegmentCounts on a file stream with the static
+    // broadcast side and proves the aggregates match).
+    QueryDef("st08_stream_static_join",
+      (s, d) => enrichedSegmentCounts(Tables.events(s, d), Tables.customer(s, d))
+        .orderBy("c_mktsegment", "event_type"),
+      Some(s"""
+        SELECT c_mktsegment, event_type,
+               count(*) AS n_events, ${Sql.oDsum("value")} AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment, event_type
+        ORDER BY c_mktsegment, event_type"""))
   )
 }

@@ -175,24 +175,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stream-static join: streaming events enriched by a static dimension == batch") {
+  test("stream-static join: st08's enrichedSegmentCounts on a stream == batch") {
     val dir = Files.createTempDirectory("graft-ss-static")
     eventsBatch.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
-    val dim = spark.range(200)
-      .select(col("id").as("user_id"), (col("id") % 3).cast("int").as("tier"))
+    val dim = Tables.customer(spark, sf0001)
     val stream = spark.readStream.schema(Streams.eventsSchema).parquet(s"$dir/in")
-    val q = stream.join(dim, "user_id")
-      .groupBy("tier").agg(count(lit(1)).as("n"))
+    val q = Streams.enrichedSegmentCounts(stream, dim)
       .writeStream.format("memory").queryName("ss_static")
       .outputMode("complete").start()
     try {
       q.processAllAvailable()
-      val got = spark.table("ss_static").collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val want = eventsBatch.join(dim, "user_id")
-        .groupBy("tier").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      assert(got == want && got.values.sum > 0)
+      def keyed(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val got = keyed(spark.table("ss_static").collect())
+      val want = keyed(
+        Streams.enrichedSegmentCounts(eventsBatch, dim).collect())
+      assert(got == want && got.nonEmpty)
     } finally q.stop()
   }
 
