@@ -41,6 +41,22 @@ class CharHistSpec extends SparkSpec {
     assert(r.getSeq[Long](0).forall(_ == 0L) && r.isNullAt(1))
   }
 
+  test("random strings (codepoints 1..255) match a scalar reference count") {
+    Ns.registerFast(spark)
+    val rnd = new scala.util.Random(7)
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq.fill(200)(
+      (0 until rnd.nextInt(80)).map(_ => (rnd.nextInt(255) + 1).toChar).mkString)
+    val got = cases.toDF("s").select(expr("char_hist16(s)").as("h"))
+      .collect().map(_.getSeq[Long](0))
+    cases.zip(got).foreach { case (s, h) =>
+      val want = Array.fill(16)(0L)
+      s.codePoints().forEach(cp => if ((cp >>> 4) < 16) want(cp >>> 4) += 1)
+      assert(h == want.toSeq, s"mismatch on ${s.map(_.toInt).mkString(",")}")
+    }
+  }
+
   test("m04's histogram phase plans no shuffle") {
     Ns.registerFast(spark)
     val plan = Tables.documents(spark, sf0001)
