@@ -30,6 +30,18 @@ object Dedup {
   private val K = 16 // minhash signature length
   private val R = 4  // LSH rows per band -> 4 bands
 
+  /** The K hash functions are affine permutations of ONE md5-derived
+    * 32-bit base hash: h_k(t) = (a_k * h32(t) + b_k) mod (2^31 - 1).
+    * One md5 per shingle instead of K (16x less hashing — the classic
+    * MinHash trick, e.g. Broder 1997), and the K running minima are
+    * BIGINT comparisons instead of 32-char-string comparisons. The
+    * products stay < 2^56 so the arithmetic is exact (and overflow-free)
+    * in both engines; constants are fixed odd values < 2^25.
+    */
+  private val MOD = 2147483647L // 2^31 - 1, prime
+  private def hashA(k: Int): Long = 2L * (1000003L * k + 12345L) + 1L
+  private def hashB(k: Int): Long = 7000003L * k + 424243L
+
   /** MinHash-LSH candidate pairs with estimated jaccard (d02 / d06). */
   private[operators] def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val B = K / R
@@ -39,8 +51,9 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(expr(
           "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("token"))
+      .select(col("doc_id"), expr(Ns.hash32("token")).as("h"))
     val mhCols = (0 until K).map(k =>
-      min(md5(concat(lit(s"$k:"), col("token")))).as(s"mh$k"))
+      min(expr(s"(${hashA(k)}L * h + ${hashB(k)}L) % ${MOD}L")).as(s"mh$k"))
     val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
       .withColumn("sigv", array((0 until K).map(k => col(s"mh$k")): _*))
     val bands = sig.select(col("doc_id"), col("sigv"),
@@ -63,9 +76,10 @@ object Dedup {
     */
   private[operators] def minhashPairsOracleCtes: String = {
     val B = K / R
-    val mhSelect = (0 until K).map(k => s"min(md5('$k:' || token)) AS mh$k").mkString(",\n                 ")
+    val mhSelect = (0 until K).map(k =>
+      s"min((${hashA(k)} * h + ${hashB(k)}) % $MOD) AS mh$k").mkString(",\n                 ")
     val bandArms = (0 until B).map(b =>
-      s"WHEN $b THEN md5(${(0 until R).map(r => s"mh${b * R + r}").mkString(" || ',' || ")})").mkString(" ")
+      s"WHEN $b THEN md5(concat_ws(',', ${(0 until R).map(r => s"mh${b * R + r}").mkString(", ")}))").mkString(" ")
     val sigList = (0 until K).map(k => s"mh$k").mkString(", ")
     s"""t0 AS (
           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -74,10 +88,12 @@ object Dedup {
                  unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS token
           FROM t0 WHERE len(toks) >= 3),
+        th AS (
+          SELECT doc_id, ${Ns.oHash32("token")} AS h FROM tok),
         sig AS (
           SELECT doc_id,
                  $mhSelect
-          FROM tok GROUP BY doc_id),
+          FROM th GROUP BY doc_id),
         bands AS (
           SELECT doc_id, [$sigList] AS sigv, b.band,
                  CASE b.band $bandArms END AS sig
@@ -127,13 +143,14 @@ object Dedup {
 
     // -------------------------------------------------------------------
     // MinHash + LSH near-dup candidates: shingle (3-token) -> minhash ->
-    // band -> bucket-join. K=16 hash functions h_s(t) = md5(s || ':' || t)
-    // (min taken lexicographically on the hex string — identical in both
-    // engines); 4 bands x 4 rows. Candidate pairs = equal band signature
-    // in >= 1 band; est_jaccard = matching signature components / K.
-    // The K minhashes are K min-aggregates in ONE groupBy (map-side
-    // partial min combine — the whole signature computation is a single
-    // narrow shuffle of (doc_id, 16 strings), no seed explosion).
+    // band -> bucket-join. K=16 hash functions derived from ONE
+    // md5-based 32-bit shingle hash by affine permutation mod 2^31-1
+    // (see minhashPairs — one md5 per shingle, not K); 4 bands x 4
+    // rows. Candidate pairs = equal band signature in >= 1 band;
+    // est_jaccard = matching signature components / K. The K minhashes
+    // are K integer min-aggregates in ONE groupBy (map-side partial min
+    // combine — the whole signature computation is a single narrow
+    // shuffle of (doc_id, 16 bigints), no seed explosion).
     QueryDef("d02_minhash_lsh",
       (s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b"),
       Some(s"""
