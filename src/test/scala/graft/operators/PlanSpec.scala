@@ -150,6 +150,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q43: Q5's only fact-fact exchange is lineitem-orders; all dims broadcast") {
+    val p = plan("q43_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly the lineitem<->orders sort-merge/shuffle pair plus the final
+    // 25-group aggregate — customer/supplier/nation/region never shuffle
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 3, s"expected <=3 hash exchanges (fact join + agg), got $shuffles:\n$p")
+  }
+
+  test("q42: the unpivot Expand sits above the aggregate, not the scan") {
+    val p = plan("q42_unpivot")
+    assert(p.contains("Expand"), p)
+    // Expand multiplies the 3-row aggregate, so the partial agg must be
+    // BELOW it in the plan text (scan-side amplification would invert that)
+    assert(p.indexOf("Expand") < p.indexOf("HashAggregate"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // the 100 TB join-pruning machinery: a selective predicate on the
     // dim side injects a bloom filter that drops fact rows at the scan.
