@@ -395,6 +395,75 @@ object Similarity {
         FROM a2
         GROUP BY vec_id
         ORDER BY vec_id"""
-      })
+      }),
+
+    // -------------------------------------------------------------------
+    // Hybrid retrieval: reciprocal-rank fusion (k=60) of a lexical BM25
+    // arm (t09's scoring, fixed query terms) and a dense arm (cosine
+    // against the vec_id=0 query embedding), candidate lists capped at
+    // 50 per arm, fused on doc_id = vec_id. A doc missing from one arm
+    // contributes 0 from it. Scale: each arm is its own distributed
+    // top-k (TakeOrderedAndProject); the fusion is a full-outer join of
+    // two 50-row lists — driver-free and deterministic (integer ranks,
+    // exact 1/(60+r) doubles, rounded fused score + id tie-break).
+    QueryDef("s07_rrf_fusion",
+      (s, d) => {
+        Ns.registerFast(s)
+        val textTop = TextAnalysis.bm25PerDoc(s, d, TextAnalysis.bm25Terms)
+          .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+          .withColumn("r_text", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("r_text"))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val q0 = e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nrm").as("qn"))
+        val vecTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+          .select(col("vec_id").as("doc_id"),
+            round(expr(Ns.dot("v", "qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+          .withColumn("r_vec", row_number().over(
+            Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("r_vec"))
+        textTop.join(vecTop, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            round(coalesce(expr("CAST(1 AS DOUBLE) / (60 + r_text)"), lit(0.0)) +
+              coalesce(expr("CAST(1 AS DOUBLE) / (60 + r_vec)"), lit(0.0)), 6).as("rrf"),
+            coalesce(col("r_text"), lit(0L)).as("r_text"),
+            coalesce(col("r_vec"), lit(0L)).as("r_vec"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+          .select(col("rank"), col("doc_id"), col("rrf"), col("r_text"), col("r_vec"))
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH ${TextAnalysis.bm25OracleCtes(TextAnalysis.bm25Terms)},
+        text_top AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_text
+          FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 50),
+        v AS (SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        q0 AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+        vec_scored AS (
+          SELECT vec_id AS doc_id, round(${Ns.oDot("v", "qv")} / (nrm * qn), 6) AS cosine
+          FROM n CROSS JOIN q0 WHERE vec_id <> 0),
+        vec_top AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS r_vec
+          FROM vec_scored ORDER BY cosine DESC, doc_id LIMIT 50),
+        fused AS (
+          SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+                 round(coalesce(CAST(1 AS DOUBLE) / (60 + r_text), CAST(0 AS DOUBLE)) +
+                       coalesce(CAST(1 AS DOUBLE) / (60 + r_vec), CAST(0 AS DOUBLE)), 6) AS rrf,
+                 coalesce(r_text, 0) AS r_text, coalesce(r_vec, 0) AS r_vec
+          FROM text_top t FULL OUTER JOIN vec_top u ON t.doc_id = u.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+               doc_id, rrf, r_text, r_vec
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+        LIMIT 10"""))
   )
 }

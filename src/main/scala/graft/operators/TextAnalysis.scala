@@ -15,6 +15,67 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Fixed query-term set for the retrieval queries (t09, s07). */
+  private[operators] val bm25Terms = Seq("join", "scan", "merge")
+
+  /** BM25 per-doc scores for `terms` (k1=1.2, b=0.75): inverted-index
+    * postings restricted to the query terms, df + corpus stats ride
+    * broadcast joins, per-doc total is the token-sorted sequential fold.
+    * Shared by t09 (ranked list) and s07 (fusion arm).
+    */
+  private[operators] def bm25PerDoc(s: org.apache.spark.sql.SparkSession,
+      d: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val t = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = t.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
+    val inv = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = inv.groupBy("token").agg(count(lit(1)).as("df"))
+    inv.join(broadcast(dfreq), "token").crossJoin(broadcast(stats))
+      .withColumn("sc", expr(
+        """ln((CAST(nd AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
+           * (tf * CAST(2.2 AS DOUBLE))
+           / (tf + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+              + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / nd)))"""))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        expr("""aggregate(transform(sort_array(collect_list(struct(token, sc))), x -> x.sc),
+                CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("raw"))
+      .select(col("doc_id"), col("n_terms"), round(col("raw"), 6).as("bm25"))
+  }
+
+  /** DuckDB CTE chain mirroring [[bm25PerDoc]], ending in
+    * `per_doc(doc_id, n_terms, bm25)`.
+    */
+  private[operators] def bm25OracleCtes(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+          FROM documents),
+        stats AS (SELECT count(*) AS nd, sum(dl) AS sumdl FROM t),
+        inv AS (
+          SELECT doc_id, dl, token, count(*) AS tf FROM (
+            SELECT doc_id, dl, unnest(toks) AS token FROM t)
+          WHERE token IN ($inList)
+          GROUP BY doc_id, dl, token),
+        dfreq AS (SELECT token, count(*) AS df FROM inv GROUP BY token),
+        scored AS (
+          SELECT doc_id, token,
+                 ln((CAST(nd AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
+                 * (tf * CAST(2.2 AS DOUBLE))
+                 / (tf + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / nd))) AS sc
+          FROM inv JOIN dfreq USING (token) CROSS JOIN stats),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_terms,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY token)),
+                       (acc, x) -> acc + x), 6) AS bm25
+          FROM scored GROUP BY doc_id)"""
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // -------------------------------------------------------------------
@@ -320,26 +381,7 @@ object TextAnalysis {
     // arithmetic expression over exact integer tf/df/dl counts.
     QueryDef("t09_bm25",
       (s, d) => {
-        val terms = Seq("join", "scan", "merge")
-        val t = Tables.documents(s, d)
-          .withColumn("toks", split(col("text"), " "))
-          .withColumn("dl", size(col("toks")).cast("long"))
-        val stats = t.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
-        val inv = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
-          .filter(col("token").isin(terms: _*))
-          .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-        val dfreq = inv.groupBy("token").agg(count(lit(1)).as("df"))
-        val scored = inv.join(broadcast(dfreq), "token").crossJoin(broadcast(stats))
-          .withColumn("sc", expr(
-            """ln((CAST(nd AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
-               * (tf * CAST(2.2 AS DOUBLE))
-               / (tf + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-                  + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / nd)))"""))
-        val perDoc = scored.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_terms"),
-            expr("""aggregate(transform(sort_array(collect_list(struct(token, sc))), x -> x.sc),
-                    CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("raw"))
-          .select(col("doc_id"), col("n_terms"), round(col("raw"), 6).as("bm25"))
+        val perDoc = bm25PerDoc(s, d, bm25Terms)
         // top-k via TakeOrderedAndProject (distributed partial top-k per
         // partition, merged on the driver); the rank window then runs on
         // 20 rows only.
@@ -350,30 +392,8 @@ object TextAnalysis {
           .select(col("rank"), col("doc_id"), col("n_terms"), col("bm25"))
           .orderBy("rank")
       },
-      Some("""
-        WITH t AS (
-          SELECT doc_id, string_split(text, ' ') AS toks,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-          FROM documents),
-        stats AS (SELECT count(*) AS nd, sum(dl) AS sumdl FROM t),
-        inv AS (
-          SELECT doc_id, dl, token, count(*) AS tf FROM (
-            SELECT doc_id, dl, unnest(toks) AS token FROM t)
-          WHERE token IN ('join', 'scan', 'merge')
-          GROUP BY doc_id, dl, token),
-        dfreq AS (SELECT token, count(*) AS df FROM inv GROUP BY token),
-        scored AS (
-          SELECT doc_id, token,
-                 ln((CAST(nd AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
-                 * (tf * CAST(2.2 AS DOUBLE))
-                 / (tf + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-                    + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / nd))) AS sc
-          FROM inv JOIN dfreq USING (token) CROSS JOIN stats),
-        per_doc AS (
-          SELECT doc_id, count(*) AS n_terms,
-                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY token)),
-                       (acc, x) -> acc + x), 6) AS bm25
-          FROM scored GROUP BY doc_id)
+      Some(s"""
+        WITH ${bm25OracleCtes(bm25Terms)}
         SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank,
                doc_id, n_terms, bm25
         FROM per_doc
@@ -510,6 +530,64 @@ object TextAnalysis {
                round(ll, 6) AS log_likelihood,
                round(exp(-(ll) / n_tokens), 6) AS pseudo_ppl
         FROM per_doc
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Heavy hitters with a count-min sketch witness. The CMS (depth 4 x
+    // width 64) is built DISTRIBUTIVELY: token counts partial-aggregate,
+    // then fold into the 4x64 bucket table — at 100 TB the sketch is the
+    // only global state (1 KB of counters), the pattern streaming
+    // frequency estimation uses. Buckets are md5-derived so the sketch
+    // is bit-identical in both engines, making the estimate itself
+    // oracle-checkable (not just bounds): the output pins exact counts,
+    // CMS estimates, and the never-underestimates invariant per row.
+    QueryDef("t13_heavy_hitters",
+      (s, d) => {
+        val D = 4; val W = 64
+        val counts = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+        val buckets = counts.select(col("token"), col("n"),
+          explode(expr(s"""transform(sequence(0, ${D - 1}),
+            r -> struct(r AS r,
+              ${Ns.hash32("concat(CAST(r AS STRING), ':', token)")} % $W AS b))""")).as("x"))
+          .select(col("token"), col("n"), col("x.r"), col("x.b"))
+        val cms = buckets.groupBy("r", "b").agg(sum(col("n")).as("cnt"))
+        val top = counts
+          .orderBy(col("n").desc, col("token")).limit(20)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("token"))).cast("int"))
+        top.select(col("rank"), col("token"), col("n"),
+            explode(expr(s"""transform(sequence(0, ${D - 1}),
+              r -> struct(r AS r,
+                ${Ns.hash32("concat(CAST(r AS STRING), ':', token)")} % $W AS b))""")).as("x"))
+          .select(col("rank"), col("token"), col("n"), col("x.r"), col("x.b"))
+          .join(broadcast(cms), Seq("r", "b"))
+          .groupBy("rank", "token", "n").agg(min(col("cnt")).as("cms_est"))
+          .withColumn("never_under", col("cms_est") >= col("n"))
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH counts AS (
+          SELECT token, count(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          GROUP BY token),
+        buckets AS (
+          SELECT token, n, r,
+                 ${Ns.oHash32("CAST(r AS VARCHAR) || ':' || token")} % 64 AS b
+          FROM counts CROSS JOIN generate_series(0, 3) t(r)),
+        cms AS (SELECT r, b, CAST(sum(n) AS BIGINT) AS cnt FROM buckets GROUP BY r, b),
+        top AS (
+          SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+                 token, n
+          FROM counts ORDER BY n DESC, token LIMIT 20)
+        SELECT rank, top.token, top.n, min(cnt) AS cms_est,
+               min(cnt) >= top.n AS never_under
+        FROM top
+        JOIN buckets USING (token)
+        JOIN cms ON buckets.r = cms.r AND buckets.b = cms.b
+        GROUP BY rank, top.token, top.n
+        ORDER BY rank"""))
   )
 }
