@@ -57,6 +57,23 @@ object SparkEntry {
     QueryDef("laplace_solve_block_n32",
       (s, _) => BlockSolver.solve(s, 32, numBlocks = 8).grid.orderBy("i", "j"),
       Some(LaplaceOracle.gridSql(32))),
+    // O5/O6 observable: the per-iteration global max-diff series (the
+    // reference loop's convergence signal, laplace-seq.c:184-209) as a
+    // table — one row per full red-black iteration, bit-exact against
+    // the recursive CTE's own `d` column. The history rides the block
+    // solver's existing max-vector accumulator: zero extra jobs.
+    QueryDef("laplace_convergence_n16",
+      (s, _) => {
+        val r = BlockSolver.solve(s, 16, numBlocks = 4)
+        val sp = s
+        import sp.implicits._
+        r.history.zipWithIndex
+          .map { case (dv, i) => (i + 1, dv) }
+          .toDF("iteration", "max_diff")
+          .select(col("iteration").cast("int").as("iteration"), col("max_diff"))
+          .orderBy("iteration")
+      },
+      Some(LaplaceOracle.convergenceSql(16))),
     // O15: metrics sink — the reference's `Statistics:` line as one row.
     QueryDef("laplace_stats_n16",
       (s, _) => {

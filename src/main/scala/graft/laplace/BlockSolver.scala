@@ -230,6 +230,7 @@ object BlockSolver {
     var iterations = 0
     var maxDiff = 0.0
     var converged = false
+    val history = Seq.newBuilder[Double]
     while (!converged && iterations < maxIterations) {
       val kk = math.min(stepK.toLong, maxIterations.toLong - iterations).toInt
       val acc = new MaxVecAccumulator(kk)
@@ -242,6 +243,7 @@ object BlockSolver {
       if (idx < 0 || idx == kk - 1) {
         state.unpersist(blocking = false)
         state = next; iterations += kk
+        history ++= maxes
         maxDiff = maxes(kk - 1); converged = idx >= 0
       } else {
         // converged mid-superstep: redo exactly idx+1 iterations so the
@@ -256,11 +258,13 @@ object BlockSolver {
         tail.count()
         state.unpersist(blocking = false)
         state = tail
-        iterations += kk2; maxDiff = acc2.value(kk2 - 1); converged = true
+        iterations += kk2; history ++= acc2.value
+        maxDiff = acc2.value(kk2 - 1); converged = true
       }
     }
     import spark.implicits._
-    Laplace.Result(toCells(spark.createDataset(state.values)), iterations, maxDiff)
+    Laplace.Result(toCells(spark.createDataset(state.values)), iterations, maxDiff,
+      history.result())
   }
 
   /** Flatten GridRow back to the canonical (i, j, v) cell table. */

@@ -102,6 +102,7 @@ object CellSolver {
       var iterations = 0
       var maxDiff = 0.0
       var continue = true
+      val history = Seq.newBuilder[Double]
       while (continue && iterations < maxIterations) {
         // Gauss-Seidel needs the color-1 sweep to READ the color-0 output —
         // that's plan composition, not materialization; one localCheckpoint
@@ -116,10 +117,11 @@ object CellSolver {
           .observe(obs, max(col("d")).as("maxd"))
           .localCheckpoint(true)
         maxDiff = obs.get("maxd").asInstanceOf[Double]
+        history += maxDiff
         iterations += 1
         continue = maxDiff > eps
       }
-      Laplace.Result(grid.select("i", "j", "v"), iterations, maxDiff)
+      Laplace.Result(grid.select("i", "j", "v"), iterations, maxDiff, history.result())
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevAqe match {

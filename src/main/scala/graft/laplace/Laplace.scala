@@ -32,9 +32,13 @@ object Laplace {
     else XX
 
   /** Solver result: final grid as a cell table (i, j, v), plus the stats the
-    * reference prints (`Statistics: ... #iters=.. diff=..`).
+    * reference prints (`Statistics: ... #iters=.. diff=..`) and the full
+    * per-iteration max-diff series (the loop-condition signal of
+    * `laplace-seq.c:184-209` — O(iterations) doubles on the driver, the
+    * same footprint as the stats themselves).
     */
-  final case class Result(grid: DataFrame, iterations: Int, finalDiff: Double)
+  final case class Result(grid: DataFrame, iterations: Int, finalDiff: Double,
+      history: Seq[Double] = Nil)
 }
 
 /** O1: distributed grid generation — the reference's scatter step (rank 0

@@ -86,4 +86,14 @@ object LaplaceOracle {
            ${dlit(Laplace.epsilon(n))} AS epsilon,
            ${dlit(Laplace.omega(n))} AS omega
     FROM fin"""
+
+  /** Oracle for the per-iteration convergence history: the `d` column the
+    * recursive CTE already carries, one row per full red-black iteration
+    * (it = 0 is the initial state whose `d` is the +inf sentinel — excluded).
+    */
+  def convergenceSql(n: Int): String =
+    s"""WITH RECURSIVE ${ctes(n)}
+    SELECT CAST(it AS INT) AS iteration, d AS max_diff
+    FROM sor WHERE it >= 1
+    ORDER BY iteration"""
 }
