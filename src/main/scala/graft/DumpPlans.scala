@@ -12,7 +12,8 @@ object DumpPlans {
       "q04_top_orders", "q16_range_join", "q19_salted_join", "d02_minhash_lsh",
       "s01_cosine_topk", "s04_ann_lsh", "st01_hourly_window",
       "g01_pagerank", "c01_kmeans", "q34_tpch_q3", "q37_topk_agg", "t09_bm25",
-      "q30_profile", "m04_media_neardup", "st06_stream_stream_join")
+      "q30_profile", "m04_media_neardup", "st06_stream_stream_join",
+      "q43_tpch_q5", "s07_rrf_fusion", "t13_heavy_hitters")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")
