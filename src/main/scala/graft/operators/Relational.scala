@@ -1331,6 +1331,40 @@ object Relational {
         ORDER BY revenue DESC, n_name""")),
 
     // -------------------------------------------------------------------
+    // Equi-depth (decile-edged) histogram — the profiling complement of
+    // q28's equi-width bins. Scale shape: NO global-sort ntile window;
+    // the 9 decile edges come from one exact-percentile aggregate (the
+    // q17 recipe; at 100 TB swap in the q24 t-digest for the edges, the
+    // binning pass is unchanged), broadcast to a narrow per-row bin
+    // assignment, then one partial-agg groupBy. Edges are rounded to 6
+    // before comparison so binning is ulp-robust across engines.
+    QueryDef("q48_equidepth_histogram",
+      (s, d) => {
+        val edges = Tables.orders(s, d).agg(
+          expr("""transform(percentile(o_totalprice,
+                    array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)),
+                  e -> round(e, 6))""").as("edges"))
+        Tables.orders(s, d).crossJoin(broadcast(edges))
+          .select(col("o_totalprice"),
+            expr("CAST(1 + size(filter(edges, e -> o_totalprice > e)) AS INT)").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+          .orderBy("bin")
+      },
+      Some("""
+        WITH edges AS (
+          SELECT list_transform(
+                   quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                   e -> round(e, 6)) AS edges
+          FROM orders)
+        SELECT CAST(1 + len(list_filter(edges, e -> o_totalprice > e)) AS INT) AS bin,
+               count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM orders CROSS JOIN edges
+        GROUP BY 1
+        ORDER BY bin""")),
+
+    // -------------------------------------------------------------------
     // Date/time arithmetic family beyond q11: day arithmetic against an
     // epoch anchor, month addition, end-of-month, quarter, day-of-week
     // (aligned to Spark's 1=Sunday convention on both sides). All
