@@ -48,8 +48,10 @@ object Bench {
     }
     def jmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (n, _, med, ok) => (n, if (ok) med else -med) })
-    val firsts = jmap(results.map { case (n, first, _, ok) => (n, if (ok) first else -first) })
+    // failure sentinel is ALREADY -1.0 — negate nothing, or the marker
+    // flips to a plausible-looking +1.0 "success"
+    val qs = jmap(results.map { case (n, _, med, _) => (n, med) })
+    val firsts = jmap(results.map { case (n, first, _, _) => (n, first) })
     val total = results.collect { case (_, _, med, true) => med }.sum
     val nFailed = results.count(!_._4)
     val witness = if (sys.env.contains("SPARK_GRAFT_SKIP_WITNESS")) ""
@@ -93,8 +95,14 @@ object Bench {
     spark.sparkContext.removeSparkListener(listener)
     val supersteps = (r.iterations + stepK - 1) / stepK
     val measuredMb = shuffleBytes.get / 1e6
-    // each block ships 2 ghost zones of 2k rows x N doubles per superstep
-    val predictedMb = supersteps.toLong * blocks * 2 * 2 * stepK * n * 8 / 1e6
+    // ghost zones per superstep: interior blocks ship 2, the two boundary
+    // blocks ship 1 -> 2*blocks - 2 zones of 2k rows x N doubles. When
+    // convergence lands mid-superstep the solver runs one aborted full
+    // superstep plus the redo tail (both shuffle ghosts), so count one
+    // extra superstep in that case (iterations not a multiple of stepK).
+    val ghostSupersteps = supersteps + (if (r.iterations % stepK == 0) 0 else 1)
+    val predictedMb =
+      ghostSupersteps.toLong * (2 * blocks - 2) * 2 * stepK * n * 8 / 1e6
     val tb0 = System.nanoTime()
     graft.laplace.BlockSolver.solve(spark, n, numBlocks = blocks, maxIterations = 96).grid.count()
     val blockSecPerIter = (System.nanoTime() - tb0) / 1e9 / 96

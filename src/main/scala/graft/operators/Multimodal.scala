@@ -213,6 +213,10 @@ object Multimodal {
         // localCheckpoint stops the self-join from recomputing the
         // histograms on both sides.
         val h = Tables.documents(s, d)
+          // char_hist16 maps empty docs to all-zero bins (nrm = 0 ->
+          // 0/0 NaN cosines) where the old explode dropped them — keep
+          // the drop explicit, per the expression's contract note
+          .filter(col("n_chars") > 0)
           .select(col("doc_id"), col("n_chars"),
             expr("transform(char_hist16(text), x -> CAST(x AS DOUBLE))").as("hist"))
           .withColumn("nrm", sqrt(expr(Ns.dot("hist", "hist"))))
@@ -246,7 +250,7 @@ object Multimodal {
           SELECT doc_id, n_chars,
                  list_transform(generate_series(1, length(text)),
                    i -> ascii(substr(text, i, 1))) AS codes
-          FROM documents),
+          FROM documents WHERE n_chars > 0),
         h AS (
           SELECT doc_id, n_chars // 32 AS band,
                  list_transform(generate_series(0, 15),

@@ -391,19 +391,14 @@ object Relational {
     // the range predicate filters inside each hash bucket — scales as a
     // normal shuffled hash join, not a cross join.
     QueryDef("q16_range_join",
-      (s, d) => {
-        val e = Tables.events(s, d)
-        val err = e.filter(col("event_type") === "error")
-          .select(col("user_id").as("u"), col("event_id").as("err_id"), col("ts").as("err_ts"))
-        val all = e.select(col("user_id"), col("event_id"), col("ts"))
-        err.join(all,
-            col("u") === col("user_id") &&
-            col("ts") >= col("err_ts") - expr("INTERVAL 5 MINUTES") &&
-            col("ts") < col("err_ts"))
-          .groupBy("err_id")
-          .agg(count(ONE).as("n_preceding"))
-          .orderBy("err_id")
-      },
+      // the join itself is Streams.errorContextJoin — ONE definition of
+      // the (user equi + 5-minute range) predicate serves q16, st06 and
+      // the watermarked stream-stream form, so the three can never
+      // silently diverge
+      (s, d) => graft.streaming.Streams.errorContextJoin(Tables.events(s, d))
+        .groupBy("err_id")
+        .agg(count(ONE).as("n_preceding"))
+        .orderBy("err_id"),
       Some("""
         SELECT e1.event_id AS err_id, count(*) AS n_preceding
         FROM events e1 JOIN events e2
@@ -821,7 +816,11 @@ object Relational {
         val orders = Tables.orders(s, d)
         // render: how to turn min(v)/max(v) into the cross-engine string form
         def prof(c: String, render: String => String) =
-          orders.select(col(c).as("v")).distinct()
+          // NULL is filtered BEFORE the distinct so n_distinct matches
+          // count(DISTINCT col) semantics (which never counts NULL) —
+          // inert on the NULL-free fixture, load-bearing the moment a
+          // nullable column joins the profile
+          orders.select(col(c).as("v")).filter(col("v").isNotNull).distinct()
             .agg(count(ONE).as("n_distinct"),
               expr(render("min(v)")).cast("string").as("min_value"),
               expr(render("max(v)")).cast("string").as("max_value"))

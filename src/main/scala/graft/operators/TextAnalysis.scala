@@ -544,13 +544,16 @@ object TextAnalysis {
     QueryDef("t13_heavy_hitters",
       (s, d) => {
         val D = 4; val W = 64
+        // ONE definition of the bucket hash for both the build and the
+        // probe side — the estimate is only correct if they agree exactly
+        val bucketExpr = expr(s"""transform(sequence(0, ${D - 1}),
+          r -> struct(r AS r,
+            ${Ns.hash32("concat(CAST(r AS STRING), ':', token)")} % $W AS b))""")
         val counts = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("token"))
           .groupBy("token").agg(count(lit(1)).as("n"))
         val buckets = counts.select(col("token"), col("n"),
-          explode(expr(s"""transform(sequence(0, ${D - 1}),
-            r -> struct(r AS r,
-              ${Ns.hash32("concat(CAST(r AS STRING), ':', token)")} % $W AS b))""")).as("x"))
+          explode(bucketExpr).as("x"))
           .select(col("token"), col("n"), col("x.r"), col("x.b"))
         val cms = buckets.groupBy("r", "b").agg(sum(col("n")).as("cnt"))
         val top = counts
@@ -558,10 +561,7 @@ object TextAnalysis {
           .withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window
               .orderBy(col("n").desc, col("token"))).cast("int"))
-        top.select(col("rank"), col("token"), col("n"),
-            explode(expr(s"""transform(sequence(0, ${D - 1}),
-              r -> struct(r AS r,
-                ${Ns.hash32("concat(CAST(r AS STRING), ':', token)")} % $W AS b))""")).as("x"))
+        top.select(col("rank"), col("token"), col("n"), explode(bucketExpr).as("x"))
           .select(col("rank"), col("token"), col("n"), col("x.r"), col("x.b"))
           .join(broadcast(cms), Seq("r", "b"))
           .groupBy("rank", "token", "n").agg(min(col("cnt")).as("cms_est"))
