@@ -160,6 +160,12 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 3, s"expected <=3 hash exchanges (fact join + agg), got $shuffles:\n$p")
   }
 
+  test("st08: the static dimension rides a broadcast join (no stream-side shuffle)") {
+    val p = plan("st08_stream_static_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q42: the unpivot Expand sits above the aggregate, not the scan") {
     val p = plan("q42_unpivot")
     assert(p.contains("Expand"), p)
