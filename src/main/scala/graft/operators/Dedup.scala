@@ -105,8 +105,8 @@ object Dedup {
             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
   }
 
-  /** 32-bit SimHash fingerprint per doc (shared by d03 / d03b). */
-  private def simhashFp(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** 32-bit SimHash fingerprint per doc (shared by d03 / d03b / g02). */
+  private[operators] def simhashFp(s: org.apache.spark.sql.SparkSession, d: String) = {
     val h = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .withColumn("h", expr(Ns.hash32("token")))
@@ -117,6 +117,40 @@ object Dedup {
     h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
   }
+
+  /** SimHash near-dup pairs at hamming <= 3, byte-banded (the d03b
+    * pairing, shared with the g02 triangle count). `doc_a < doc_b`.
+    */
+  private[operators] def simhashPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val fp = simhashFp(s, d)
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(t => struct(lit(t).as("band"),
+        expr(s"shiftright(simhash, ${8 * t}) % 256").as("byte"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.byte"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+      col("band"), col("byte"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+      col("band").as("band_b"), col("byte").as("byte_b"))
+    a.join(b, col("band") === col("band_b") && col("byte") === col("byte_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
+  /** DuckDB CTE chain ending in `fp(doc_id, simhash)` — the SimHash
+    * fingerprints [[simhashFp]] computes (shared by d03b / g02 oracles).
+    */
+  private[operators] def simhashFpOracleCtes: String = s"""tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        h AS (SELECT doc_id, ${Ns.oHash32("token")} AS h FROM tok),
+        s AS (SELECT doc_id,
+              ${(0 until 32).map(p => s"sum(CASE WHEN (h >> $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$p").mkString(", ")}
+              FROM h GROUP BY doc_id),
+        fp AS (SELECT doc_id,
+               ${(0 until 32).map(p => s"CASE WHEN s$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(" + ")} AS simhash
+               FROM s)"""
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -186,34 +220,9 @@ object Dedup {
     // Output is identical to the quadratic form (PlanSpec pins the plan
     // to a non-nested-loop equi-join).
     QueryDef("d03b_simhash_pairs",
-      (s, d) => {
-        val fp = simhashFp(s, d)
-        val bands = fp.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(t => struct(lit(t).as("band"),
-            expr(s"shiftright(simhash, ${8 * t}) % 256").as("byte"))): _*)).as("bb"))
-          .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.byte"))
-        val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
-          col("band"), col("byte"))
-        val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
-          col("band").as("band_b"), col("byte").as("byte_b"))
-        a.join(b, col("band") === col("band_b") && col("byte") === col("byte_b") &&
-            col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
-          .filter(col("hamming") <= 3)
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => simhashPairs(s, d).orderBy("doc_a", "doc_b"),
       Some(s"""
-        WITH tok AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        h AS (SELECT doc_id, ${Ns.oHash32("token")} AS h FROM tok),
-        s AS (SELECT doc_id,
-              ${(0 until 32).map(p => s"sum(CASE WHEN (h >> $p) % 2 = 1 THEN 1 ELSE -1 END) AS s$p").mkString(", ")}
-              FROM h GROUP BY doc_id),
-        fp AS (SELECT doc_id,
-               ${(0 until 32).map(p => s"CASE WHEN s$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(" + ")} AS simhash
-               FROM s)
+        WITH $simhashFpOracleCtes
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -267,6 +276,63 @@ object Dedup {
         JOIN sizes x ON doc_a = x.doc_id
         JOIN sizes y ON doc_b = y.doc_id
         WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) >= 0.03
+        ORDER BY doc_a, doc_b""")),
+
+    // -------------------------------------------------------------------
+    // Containment dedup: the quote / subset detector exact Jaccard (d04)
+    // misses. A short document pasted inside a long one has LOW Jaccard
+    // (the union is dominated by the long doc) but HIGH containment
+    //   |A ∩ B| / min(|A|, |B|),
+    // the overlap coefficient used by quote-removal / boilerplate passes
+    // (cf. Broder's containment in "On the resemblance and containment
+    // of documents", 1997). Same shingle equi-join + lang blocking as
+    // d04 — one extra projection, zero extra shuffles; `contained_doc`
+    // names the smaller side (ties -> doc_a), the deletion candidate.
+    QueryDef("d07_containment",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(expr(
+              "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("s"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("s"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("s").as("s_b"))
+        val common = a.join(b,
+            col("s") === col("s_b") && col("lang") === col("lang_b") &&
+              col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+        common
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("n_common"),
+            (col("n_common").cast("double") / least(col("na"), col("nb"))).as("containment"),
+            when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("contained_doc"))
+          .filter(col("containment") >= 0.12)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+          FROM t WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b
+            ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / least(x.n, y.n) AS containment,
+               CASE WHEN x.n <= y.n THEN doc_a ELSE doc_b END AS contained_doc
+        FROM common
+        JOIN sizes x ON doc_a = x.doc_id
+        JOIN sizes y ON doc_b = y.doc_id
+        WHERE CAST(n_common AS DOUBLE) / least(x.n, y.n) >= 0.12
         ORDER BY doc_a, doc_b""")),
 
     // -------------------------------------------------------------------

@@ -96,7 +96,50 @@ object Graph {
     sb.toString
   }
 
+  /** Triangle enumeration over the SimHash near-dup graph (the d03b
+    * edge set, hamming <= 3): triangles are the strongest dup-cluster
+    * signal — three documents pairwise-near is far stronger evidence
+    * than a chain — and the triangle count per node feeds clustering
+    * coefficients / community detection over the dup graph.
+    *
+    * Shape: the classic two-join enumeration over id-oriented edges
+    * (src < dst always, so each triangle a<b<c is produced exactly once
+    * as e(a,b) ⋈ e(b,c) ⋈ e(a,c)) — the MapReduce algorithm of Suri &
+    * Vassilvitskii ("Counting triangles and the curse of the last
+    * reducer", WWW'11). Both joins are shuffle equi-joins on a vertex
+    * id; at 100 TB scale the orientation would be by degree (low-degree
+    * endpoint first) to bound wedge fan-out — with id-orientation noted
+    * as the fixture-adequate simplification. The edge list is
+    * localCheckpoint'd: three join arms would otherwise recompute the
+    * banded SimHash pairing three times.
+    */
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.simhashPairs(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
+    val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = edges.select(col("src").as("b2"), col("dst").as("c"))
+    val e3 = edges.select(col("src").as("a3"), col("dst").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+      .orderBy("a", "b", "c")
+  }
+
+  private def trianglesOracle: String = s"""
+      WITH ${Dedup.simhashFpOracleCtes},
+      e AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM fp a JOIN fp b
+          ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e1.dst = e2.src
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      ORDER BY a, b, c"""
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("g01_pagerank", (s, d) => pagerank(s, d), Some(oracle))
+    QueryDef("g01_pagerank", (s, d) => pagerank(s, d), Some(oracle)),
+    QueryDef("g02_triangles", (s, d) => triangles(s, d), Some(trianglesOracle))
   )
 }

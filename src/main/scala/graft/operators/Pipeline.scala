@@ -346,6 +346,57 @@ object Pipeline {
                round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_frac
         FROM t
         GROUP BY tier
-        ORDER BY tier"""))
+        ORDER BY tier""")),
+
+    // -------------------------------------------------------------------
+    // Vocabulary pruning / OOV-rate audit: the tokenizer-coverage pass a
+    // training pipeline runs before committing to a vocab. The corpus
+    // vocabulary is every token with relative frequency >= 0.1% (the
+    // integer-exact comparison 1000·count >= total avoids a float
+    // threshold and makes the cut scale-invariant — a fixed absolute
+    // count would silently change meaning between sf0.01 and 100 TB);
+    // each document then reports its occurrence-weighted OOV rate and a
+    // keep/flag decision at 10%. Plan shape: one explode + token-count
+    // groupBy (map-side combine), the vocab joined back BROADCAST (its
+    // size is bounded by 1000 by construction — at most 1/0.001 tokens
+    // can clear a 0.1% bar), one per-doc agg. No shuffle carries texts.
+    QueryDef("p09_vocab_prune",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val counts = tok.groupBy("token").agg(count(lit(1)).as("n"))
+        // corpus total as a broadcast scalar, NOT a global window (which
+        // would shuffle every token count into one partition)
+        val total = counts.agg(sum(col("n")).as("total"))
+        val vocab = counts.crossJoin(broadcast(total))
+          .filter(col("n") * 1000 >= col("total")).select("token")
+        val perDoc = tok.join(broadcast(vocab.withColumn("in_vocab", lit(true))),
+            Seq("token"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        perDoc
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+          .withColumn("keep", col("n_oov") * 10 < col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        vocab AS (
+          SELECT token FROM counts
+          WHERE n * 1000 >= (SELECT sum(n) FROM counts)),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+          FROM tok LEFT JOIN vocab v USING (token)
+          GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_oov,
+               round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate,
+               n_oov * 10 < n_tokens AS keep
+        FROM per_doc
+        ORDER BY doc_id"""))
   )
 }

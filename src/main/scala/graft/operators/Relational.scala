@@ -1557,6 +1557,52 @@ object Relational {
                c.n * 2 AS doubled_n,
                f.n_big_entries
         FROM c JOIN f ON c.l_returnflag = f.l_returnflag
-        ORDER BY c.l_returnflag, pos"""))
+        ORDER BY c.l_returnflag, pos""")),
+
+    // -------------------------------------------------------------------
+    // ANSI NOT IN null semantics vs NOT EXISTS vs EXCEPT — the classic
+    // anti-join trap, exercised deliberately: the subquery's key list
+    // contains NULLs ('P'-status orders mapped to NULL), so `NOT IN`
+    // is three-valued-logic-empty (no row can be proven absent from a
+    // list containing NULL), while `NOT EXISTS` (equality never matches
+    // NULL) and `EXCEPT` (distinct set difference, NULL-safe) both
+    // return real survivors. One row, four counts. Spark plans the
+    // NOT IN as a null-aware anti join (BroadcastNestedLoopJoin with
+    // the null-aware flag) and NOT EXISTS as a plain left-anti hash
+    // join — both engines implement ANSI semantics, so the counts
+    // hash-match. Goes through spark.sql to exercise the SQL front-end
+    // path (subqueries, CTEs) rather than the DataFrame builders the
+    // rest of the suite uses.
+    QueryDef("q49_null_antijoin",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("q49_customer")
+        Tables.orders(s, d).createOrReplaceTempView("q49_orders")
+        s.sql("""
+          WITH keys AS (
+            SELECT CASE WHEN o_orderstatus = 'P' THEN CAST(NULL AS BIGINT)
+                        ELSE o_custkey END AS k
+            FROM q49_orders)
+          SELECT
+            (SELECT count(*) FROM q49_customer
+             WHERE c_custkey NOT IN (SELECT k FROM keys)) AS n_not_in,
+            (SELECT count(*) FROM q49_customer c
+             WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey)) AS n_not_exists,
+            (SELECT count(*) FROM
+              (SELECT c_custkey FROM q49_customer EXCEPT SELECT k FROM keys)) AS n_except,
+            (SELECT count(*) FROM keys WHERE k IS NULL) AS n_null_keys""")
+      },
+      Some("""
+        WITH keys AS (
+          SELECT CASE WHEN o_orderstatus = 'P' THEN CAST(NULL AS BIGINT)
+                      ELSE o_custkey END AS k
+          FROM orders)
+        SELECT
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT k FROM keys)) AS n_not_in,
+          (SELECT count(*) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey)) AS n_not_exists,
+          (SELECT count(*) FROM
+            (SELECT c_custkey FROM customer EXCEPT SELECT k FROM keys)) AS n_except,
+          (SELECT count(*) FROM keys WHERE k IS NULL) AS n_null_keys"""))
   )
 }

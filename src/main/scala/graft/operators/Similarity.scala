@@ -464,6 +464,100 @@ object Similarity {
                doc_id, rrf, r_text, r_vec
         FROM fused
         ORDER BY rrf DESC, doc_id
-        LIMIT 10"""))
+        LIMIT 10""")),
+
+    // -------------------------------------------------------------------
+    // MMR diversity re-rank (Carbonell & Goldstein 1998): greedily pick
+    // 10 of the top-50 cosine candidates for the vec_id=0 query,
+    // maximizing  λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)  at each step
+    // (λ=0.7). The distributed work is the retrieval: corpus-wide
+    // scoring + top-50 (TakeOrderedAndProject) and the candidate
+    // pairwise-sim matrix (50×49 rows) — both shuffle-parallel and
+    // unchanged at 100 TB, where the shortlist stays 50 BY CONSTRUCTION.
+    // The greedy selection itself is inherently sequential (each pick
+    // conditions on the set picked so far), so it runs on the driver
+    // over the collected 50-row shortlist — the same bounded-driver-
+    // state pattern as k-means' K×dim centroids, not a scale concern.
+    // Determinism: sims/rels rounded to 6 via the same valueOf/HALF_UP
+    // rounding Spark's `round` uses; vec_id breaks ties at every pick.
+    // Oracle: DuckDB recursive CTE replaying the greedy loop.
+    QueryDef("s08_mmr_rerank",
+      (s, d) => {
+        Ns.registerFast(s)
+        // 0.3 as a LITERAL, not 1 - 0.7 (which is 0.30000000000000004 in
+        // IEEE doubles — the oracle's 0.3 constant would disagree)
+        val lam = 0.7
+        val mu = 0.3
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val q0 = e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nrm").as("qn"))
+        val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+          .select(col("vec_id"), col("v"), col("nrm"),
+            round(expr(Ns.dot("v", "qv")) / (col("nrm") * col("qn")), 6).as("rel"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(50)
+          .localCheckpoint() // reused by both pair arms + the collect
+        val ca = cand.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+        val cb = cand.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+        val pairSim = ca.join(cb, col("ia") =!= col("ib"))
+          .select(col("ia"), col("ib"),
+            round(expr(Ns.dot("va", "vb")) / (col("na") * col("nb")), 6).as("sim"))
+        val rels = cand.select("vec_id", "rel").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1))
+        val sim = pairSim.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        def r6(x: Double): Double = // Spark round(col, 6) semantics
+          java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        for (step <- 1 to 10) {
+          val (id, rel, mmr) = rels.iterator
+            .filterNot { case (id, _) => selected.contains(id) }
+            .map { case (id, rel) =>
+              val score = if (selected.isEmpty) rel
+                else r6(lam * rel - mu * selected.map(sid => sim(id -> sid)).max)
+              (id, rel, score)
+            }
+            .reduceLeft { (x, y) => if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x }
+          picked += ((step, id, rel, mmr))
+          selected += id
+        }
+        val sp = s
+        import sp.implicits._
+        picked.toSeq.toDF("step", "vec_id", "rel", "mmr_score")
+          .select(col("step").cast("int").as("step"), col("vec_id"),
+            col("rel"), col("mmr_score"))
+          .orderBy("step")
+      },
+      Some(s"""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        q AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+        cand AS (
+          SELECT n.vec_id, n.v, n.nrm,
+                 round(${Ns.oDot("n.v", "q.v")} / (n.nrm * q.nrm), 6) AS rel
+          FROM n CROSS JOIN q WHERE n.vec_id <> 0
+          ORDER BY rel DESC, n.vec_id LIMIT 50),
+        pairs AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS sim
+          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        sel(step, ids, pick, rel, mmr) AS (
+          SELECT 1, [vec_id], vec_id, rel, rel
+          FROM (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+          UNION ALL
+          SELECT s.step + 1, list_append(s.ids, nxt.vec_id), nxt.vec_id, nxt.rel, nxt.mmr
+          FROM sel s, LATERAL (
+            SELECT c.vec_id, c.rel,
+                   round(0.7 * c.rel - 0.3 * (SELECT max(p.sim) FROM pairs p
+                          WHERE p.ia = c.vec_id AND list_contains(s.ids, p.ib)), 6) AS mmr
+            FROM cand c WHERE NOT list_contains(s.ids, c.vec_id)
+            ORDER BY mmr DESC, c.vec_id LIMIT 1) nxt
+          WHERE s.step < 10)
+        SELECT CAST(step AS INT) AS step, pick AS vec_id, rel, mmr AS mmr_score
+        FROM sel ORDER BY step"""))
   )
 }

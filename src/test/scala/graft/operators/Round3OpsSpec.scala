@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-3 operator batch: triangle counting (g02),
+  * containment dedup (d07), MMR re-rank (s08), vocab pruning (p09) and
+  * the NOT IN null-semantics showcase (q49). The DuckDB oracles pin
+  * exact values at sf0.01; these pin the algorithms against independent
+  * scalar reimplementations at sf0.001 plus the semantic contracts.
+  */
+class Round3OpsSpec extends SparkSpec {
+
+  private def docsTokens: Map[Long, Array[String]] =
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+
+  test("g02: triangles match a quadratic scalar recomputation of the simhash graph") {
+    // scalar simhash (same md5-derived 32-bit token hash as the query)
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val fp = docsTokens.map { case (id, toks) =>
+      val sums = Array.fill(32)(0L)
+      toks.foreach { t =>
+        val h = h32(t)
+        (0 until 32).foreach(p => sums(p) += (if (((h >> p) & 1L) == 1L) 1 else -1))
+      }
+      id -> (0 until 32).map(p => if (sums(p) > 0) 1L << p else 0L).sum
+    }
+    val ids = fp.keys.toArray.sorted
+    val edges = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      if java.lang.Long.bitCount(fp(ids(i)) ^ fp(ids(j))) <= 3
+    } yield (ids(i), ids(j))).toSet
+    val expected = (for {
+      (a, b) <- edges.iterator; c <- ids
+      if b < c && edges.contains((b, c)) && edges.contains((a, c))
+    } yield (a, b, c)).toSet
+    val got = graft.SparkEntry.queries("g02_triangles")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture should contain triangles")
+  }
+
+  test("d07: containment matches scalar shingle-set overlap for every reported pair") {
+    val langs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shingles = docsTokens.collect { case (id, toks) if toks.length >= 3 =>
+      id -> toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val rows = graft.SparkEntry.queries("d07_containment")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, nCommon, cont, contained) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+      assert(a < b && langs(a) == langs(b))
+      val (sa, sb) = (shingles(a), shingles(b))
+      assert(nCommon == (sa & sb).size.toLong)
+      assert(cont == nCommon.toDouble / math.min(sa.size, sb.size))
+      assert(cont >= 0.12 && cont <= 1.0)
+      assert(contained == (if (sa.size <= sb.size) a else b))
+    }
+    // completeness: scalar side finds exactly the same pair set
+    val ids = shingles.keys.toArray.sorted
+    val expectedPairs = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      if langs(ids(i)) == langs(ids(j))
+      inter = (shingles(ids(i)) & shingles(ids(j))).size
+      if inter.toDouble / math.min(shingles(ids(i)).size, shingles(ids(j)).size) >= 0.12
+    } yield (ids(i), ids(j))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expectedPairs)
+  }
+
+  test("s08: greedy MMR selection matches a scalar reimplementation") {
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val q = vecs(0L); val qn = math.sqrt(dot(q, q))
+    def cos(a: Long, b: Array[Double], bn: Double): Double =
+      r6(dot(vecs(a), b) / (math.sqrt(dot(vecs(a), vecs(a))) * bn))
+    val cand = vecs.keys.filter(_ != 0L).toSeq
+      .map(id => id -> cos(id, q, qn))
+      .sortBy { case (id, rel) => (-rel, id) }.take(50)
+    val sim = (for ((a, _) <- cand; (b, _) <- cand if a != b)
+      yield (a, b) -> cos(a, vecs(b), math.sqrt(dot(vecs(b), vecs(b))))).toMap
+    var selected = Vector.empty[(Int, Long, Double, Double)]
+    for (step <- 1 to 10) {
+      val pick = cand.filterNot(c => selected.exists(_._2 == c._1))
+        .map { case (id, rel) =>
+          val score = if (selected.isEmpty) rel
+            else r6(0.7 * rel - 0.3 * selected.map(s => sim((id, s._2))).max)
+          (id, rel, score)
+        }
+        .reduceLeft((x, y) => if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x)
+      selected :+= ((step, pick._1, pick._2, pick._3))
+    }
+    val got = graft.SparkEntry.queries("s08_mmr_rerank")(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toVector
+    assert(got == selected)
+    // the picked set is duplicate-free and scores don't grow after step 2
+    assert(got.map(_._2).distinct.size == 10)
+    got.drop(1).zip(got.drop(2)).foreach { case (x, y) => assert(y._4 <= x._4) }
+  }
+
+  test("p09: vocab and per-doc OOV rates match a scalar recomputation") {
+    val toks = docsTokens
+    val counts = toks.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val total = counts.values.sum
+    val vocab = counts.collect { case (t, n) if n * 1000 >= total => t }.toSet
+    val rows = graft.SparkEntry.queries("p09_vocab_prune")(spark, sf0001).collect()
+    assert(rows.length == toks.size)
+    rows.foreach { r =>
+      val (id, nTok, nOov) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val t = toks(id)
+      assert(nTok == t.length.toLong)
+      assert(nOov == t.count(!vocab.contains(_)).toLong, s"doc $id")
+      assert(r.getBoolean(4) == (nOov * 10 < nTok))
+    }
+    // NOTE: at sf0.001 every one of the 31 fixture token types clears
+    // the 0.1% bar (vocab == all types, OOV all zero); the sf0.01
+    // oracle gate is where the threshold actually splits (one type at
+    // 0.096%). Here we only pin the per-doc arithmetic.
+    assert(vocab.nonEmpty && vocab.size <= counts.size)
+  }
+
+  test("q49: NOT IN is empty under null keys; NOT EXISTS and EXCEPT agree") {
+    val r = graft.SparkEntry.queries("q49_null_antijoin")(spark, sf0001).collect()(0)
+    val (nNotIn, nNotExists, nExcept, nNullKeys) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nNullKeys > 0, "fixture must produce NULL keys for the showcase")
+    assert(nNotIn == 0, "three-valued logic: NOT IN over a list with NULL is empty")
+    assert(nNotExists == nExcept, "both are null-safe and custkeys are unique")
+    // n_not_exists is 0 at sf0.001 (every customer has an order there);
+    // the sf0.01 oracle run pins the non-degenerate 3 / 3 / 0 split.
+    assert(nNotExists >= 0)
+  }
+}
