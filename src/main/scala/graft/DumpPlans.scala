@@ -13,7 +13,8 @@ object DumpPlans {
       "s01_cosine_topk", "s04_ann_lsh", "st01_hourly_window",
       "g01_pagerank", "c01_kmeans", "q34_tpch_q3", "q37_topk_agg", "t09_bm25",
       "q30_profile", "m04_media_neardup", "st06_stream_stream_join",
-      "q43_tpch_q5", "s07_rrf_fusion", "t13_heavy_hitters")
+      "q43_tpch_q5", "s07_rrf_fusion", "t13_heavy_hitters",
+      "d07_containment", "g02_triangles", "p09_vocab_prune", "q49_null_antijoin")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

@@ -210,4 +210,28 @@ class PlanSpec extends SparkSpec {
     // neither scan reads the full document text beyond what the hash needs
     scans.foreach(s => assert(!s.contains("lang"), s))
   }
+
+  test("d07: containment pairing is the shingle equi-join, no cartesian") {
+    val p = plan("d07_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("g02: all three triangle joins are equi-joins on vertex ids") {
+    val p = plan("g02_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p09: the vocab join is broadcast (token stream never shuffles for it)") {
+    val p = finalPlan("p09_vocab_prune")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q49: NOT IN plans as an anti join; no unbounded cartesian") {
+    val p = finalPlan("q49_null_antijoin")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
