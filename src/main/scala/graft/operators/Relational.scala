@@ -1603,6 +1603,94 @@ object Relational {
            WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey)) AS n_not_exists,
           (SELECT count(*) FROM
             (SELECT c_custkey FROM customer EXCEPT SELECT k FROM keys)) AS n_except,
-          (SELECT count(*) FROM keys WHERE k IS NULL) AS n_null_keys"""))
+          (SELECT count(*) FROM keys WHERE k IS NULL) AS n_null_keys""")),
+
+    // -------------------------------------------------------------------
+    // Rolling active users (trailing-24h DAU at hourly grain): for each
+    // hour h, the distinct users and event count over (h-23h, h]. Unlike
+    // the decomposable sliding counts of st02, DISTINCT over overlapping
+    // windows cannot be merged from per-slot partials — the classic
+    // approach is to EXPLODE each event into the 24 trailing slots it
+    // participates in and de-duplicate (slot, user) pairs in one shuffle.
+    // Scale: fan-out is a fixed x24 of (slot, user_id) pairs — two
+    // narrow longs, never the event payload; the exact count-distinct is
+    // a two-phase agg on those pairs (q15's HLL sketch is the lossy
+    // alternative when x24 is too hot).
+    QueryDef("q50_rolling_active",
+      (s, d) => Tables.events(s, d)
+        .select(col("user_id"),
+          explode(expr("sequence(0, 23)")).as("k"),
+          date_trunc("hour", col("ts")).as("h"))
+        .select(col("user_id"),
+          date_format(expr("timestampadd(HOUR, k, h)"),
+            "yyyy-MM-dd HH:mm:ss").as("slot_hour"))
+        .groupBy("slot_hour")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("slot_hour"),
+      Some("""
+        WITH slots AS (
+          SELECT user_id,
+                 strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR * k.k,
+                          '%Y-%m-%d %H:%M:%S') AS slot_hour
+          FROM events CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS k) k)
+        SELECT slot_hour, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        FROM slots
+        GROUP BY slot_hour
+        ORDER BY slot_hour""")),
+
+    // -------------------------------------------------------------------
+    // TPC-H Q21 shape (suppliers who kept orders waiting): for finalized
+    // orders, suppliers whose line item was LATE (shipped > 60 days
+    // after the order date) in a multi-supplier order where NO OTHER
+    // supplier was late — a double-correlated EXISTS + NOT EXISTS that
+    // stresses the decorrelator. Spark plans the EXISTS as a left-semi
+    // and the NOT EXISTS as a left-anti hash join, both equi on
+    // l_orderkey with the supplier inequality as a join residual; the
+    // supplier name lookup broadcasts. The late-flag subtree is read
+    // three times — at scale that re-scan is the standard Q21 plan (all
+    // three reads push the same o_orderstatus filter + 3-column prune).
+    QueryDef("q51_tpch_q21",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")).as("late"))
+        val l1 = l.filter(col("late"))
+        val others = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"),
+          col("late").as("late2"))
+        l1.join(others,
+            col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+            "left_semi")
+          .join(others.filter(col("late2")),
+            col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+            "left_anti")
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_suppkey", "s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+          .limit(20)
+      },
+      Some("""
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F')
+        SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+        FROM l l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM l l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late)
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY numwait DESC, s.s_suppkey
+        LIMIT 20"""))
   )
 }

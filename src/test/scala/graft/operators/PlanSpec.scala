@@ -234,4 +234,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q50: the x24 slot fan-out joins nothing — one explode, one agg chain") {
+    val p = plan("q50_rolling_active")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q51: EXISTS/NOT EXISTS plan as semi/anti equi-joins; supplier broadcasts") {
+    val p = finalPlan("q51_tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
