@@ -223,6 +223,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state API v2 sessionization (transformWithState + RocksDB) == batch plan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-sess-v2")
+    writeOrderedFiles(dir, 3)
+    val maxTs = eventsBatch.agg(max("ts")).head().getTimestamp(0)
+    val flush = eventsBatch.select("user_id").distinct()
+      .select(lit(-1L).as("event_id"),
+        lit(maxTs).cast("timestamp").plus(expr("INTERVAL 2 HOURS")).as("ts"),
+        col("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+    writeFlatFile(flush, dir, "z_flush.parquet", 1700009000000L)
+
+    // the v2 API requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("event_id"), col("ts"), col("user_id")).as[Streams.Ev]
+      val q = Streams.sessionizeStreamV2(spark, stream)
+        .writeStream.format("memory").queryName("sessions_stream_v2")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("sessions_stream_v2")
+          .orderBy("user_id", "session_id").collect()
+        val want = Streams.sessionizeBatch(eventsBatch)
+          .orderBy("user_id", "session_id").collect()
+        assert(got.length == want.length,
+          s"v2 stream sessions ${got.length} != batch ${want.length}")
+        got.zip(want).foreach { case (g, w) =>
+          assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1)
+            && g.getLong(2) == w.getLong(2)
+            && math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-9, s"$g != $w")
+        }
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful sessionization: stream across micro-batches == batch window plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-sess")
