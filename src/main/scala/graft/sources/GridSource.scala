@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
@@ -53,16 +54,55 @@ class GridTable(n: Int, parts: Int) extends Table with SupportsRead {
 
 class GridScanBuilder(n: Int, parts: Int)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = GridSourceProvider.schema
   private var accepted: Array[sources.Filter] = Array.empty
   // i-range the accepted filters bound: [lo, hi) row interval
   private var lo: Long = 0L
   private var hi: Long = n.toLong
+  // pushed aggregation: supported agg tokens + whether grouped by i
+  private var aggSpec: Option[GridAggSpec] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Aggregate pushdown (the footer-stats trick parquet scans use, in
+    * connector form): COUNT(*)/COUNT(col)/MIN/MAX over the generated
+    * grid — optionally GROUP BY i — have closed forms, so the scan
+    * answers them with one row per partition (or per grid row) and
+    * never materializes cells. Spark still runs the final merge agg
+    * (supportCompletePushDown stays false), which keeps the contract
+    * correct across partition pruning and multi-partition plans.
+    */
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    val groupByI = agg.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(g) if colOf(g).contains("i") => Some(true)
+      case _ => None
+    }
+    val toks = agg.aggregateExpressions().map {
+      case _: aggregate.CountStar => Some("count")
+      case c: aggregate.Count if !c.isDistinct && colOf(c.column).isDefined =>
+        Some("count") // i/j/v are non-nullable: COUNT(col) == COUNT(*)
+      case m: aggregate.Min =>
+        colOf(m.column).filter(Set("i", "j", "v")).map("min_" + _)
+      case m: aggregate.Max =>
+        colOf(m.column).filter(Set("i", "j", "v")).map("max_" + _)
+      case _ => None
+    }
+    (groupByI, toks) match {
+      case (Some(g), ts) if ts.forall(_.isDefined) =>
+        aggSpec = Some(GridAggSpec(ts.flatten.toSeq, g)); true
+      case _ => false
+    }
+  }
 
   /** Row-range pushdown (the reference's per-rank row ownership,
     * laplace-par.c:245-251, as scan pruning): conjunctive range
@@ -98,15 +138,35 @@ class GridScanBuilder(n: Int, parts: Int)
 
   override def pushedFilters(): Array[sources.Filter] = accepted
 
-  override def build(): Scan = new GridScan(n, parts, required, lo, hi)
+  override def build(): Scan = new GridScan(n, parts, required, lo, hi, aggSpec)
 }
 
-class GridScan(n: Int, parts: Int, required: StructType, lo: Long, hi: Long)
+/** A pushed-down aggregation: ordered agg tokens (count / min_x /
+  * max_x) plus whether the grouping is per grid row (GROUP BY i).
+  */
+case class GridAggSpec(tokens: Seq[String], groupByI: Boolean) {
+  def schema: StructType = {
+    val aggFields = tokens.map {
+      case "count" => StructField("count", LongType, nullable = false)
+      case t @ ("min_v" | "max_v") => StructField(t, DoubleType, nullable = false)
+      case t => StructField(t, LongType, nullable = false)
+    }
+    StructType(
+      (if (groupByI) Seq(StructField("i", LongType, nullable = false)) else Nil)
+        ++ aggFields)
+  }
+}
+
+class GridScan(n: Int, parts: Int, required: StructType, lo: Long, hi: Long,
+    aggSpec: Option[GridAggSpec] = None)
   extends Scan with Batch {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    aggSpec.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft.GridScan n=$n rows=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}]"
+    s"graft.GridScan n=$n rows=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}]" +
+      aggSpec.map(a => s" PushedAggregates=[${a.tokens.mkString(",")}]" +
+        (if (a.groupByI) " GroupBy=[i]" else "")).getOrElse("")
 
   /** The reference's block-row split: first `n % parts` blocks get one
     * extra row (laplace-par.c:245-251). Blocks outside the pushed
@@ -128,7 +188,10 @@ class GridScan(n: Int, parts: Int, required: StructType, lo: Long, hi: Long)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GridReaderFactory(n, required.fieldNames)
+    aggSpec match {
+      case Some(a) => new GridAggReaderFactory(n, a)
+      case None => new GridReaderFactory(n, required.fieldNames)
+    }
 }
 
 case class GridInputPartition(rowFrom: Long, rowTo: Long) extends InputPartition
@@ -169,5 +232,58 @@ class GridPartitionReader(n: Int, rowFrom: Long, rowTo: Long, columns: Array[Str
       case "v" => value(i, j)
     })
 
+  override def close(): Unit = ()
+}
+
+class GridAggReaderFactory(n: Int, spec: GridAggSpec)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GridInputPartition]
+    new GridAggPartitionReader(n, p.rowFrom, p.rowTo, spec)
+  }
+}
+
+/** Closed-form partial aggregates for one row block [rowFrom, rowTo):
+  * no cell is ever generated. Ungrouped: ONE row per partition (Spark's
+  * final agg merges the partials). GROUP BY i: one row per grid row —
+  * valid as a partial because each i lives entirely inside one block.
+  *
+  * v-statistics come from the boundary structure (the reader's `value`
+  * if-chain): row 0 is all 4.56, row n-1 all 9.85, and an interior row
+  * holds {7.32 at j=0, 0.0 between, 6.88 at j=n-1} (an interior row
+  * implies n >= 3, so the 0.0 cells exist whenever such a row does).
+  */
+class GridAggPartitionReader(n: Int, rowFrom: Long, rowTo: Long, spec: GridAggSpec)
+  extends PartitionReader[InternalRow] {
+
+  private def vStats(f: Long, t: Long): (Double, Double) = {
+    val cand = Seq.newBuilder[Double]
+    if (f == 0) cand += 4.56
+    if (t == n) cand += 9.85
+    if (math.max(f, 1L) < math.min(t, (n - 1).toLong)) cand ++= Seq(7.32, 0.0, 6.88)
+    val vs = cand.result()
+    (vs.min, vs.max)
+  }
+
+  private def row(f: Long, t: Long, withKey: Boolean): InternalRow = {
+    lazy val (minV, maxV) = vStats(f, t)
+    val aggs: Seq[Any] = spec.tokens.map {
+      case "count" => (t - f) * n
+      case "min_i" => f
+      case "max_i" => t - 1
+      case "min_j" => 0L
+      case "max_j" => (n - 1).toLong
+      case "min_v" => minV
+      case "max_v" => maxV
+    }
+    InternalRow.fromSeq(if (withKey) f +: aggs else aggs)
+  }
+
+  private var emitted = 0L
+  private val total = if (spec.groupByI) rowTo - rowFrom else 1L
+  override def next(): Boolean = { emitted += 1; emitted <= total }
+  override def get(): InternalRow =
+    if (spec.groupByI) row(rowFrom + emitted - 1, rowFrom + emitted, withKey = true)
+    else row(rowFrom, rowTo, withKey = false)
   override def close(): Unit = ()
 }

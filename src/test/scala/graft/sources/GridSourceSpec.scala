@@ -69,4 +69,56 @@ class GridSourceSpec extends SparkSpec {
     val mixed = grid(10, 4).filter(col("i") >= 5 && col("j") === 0)
     assert(mixed.count() == 5)
   }
+
+  test("aggregate pushdown: count/min/max answered without materializing cells") {
+    val df = grid(1000, 8).agg(
+      count(lit(1)).as("n"), min("i").as("mini"), max("i").as("maxi"),
+      min("j").as("minj"), max("j").as("maxj"),
+      min("v").as("minv"), max("v").as("maxv"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[count,min_i,max_i,min_j,max_j,min_v,max_v]"), plan)
+    val r = df.head()
+    assert(r.getLong(0) == 1000L * 1000)
+    assert(r.getLong(1) == 0 && r.getLong(2) == 999)
+    assert(r.getLong(3) == 0 && r.getLong(4) == 999)
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 9.85)
+    // independent value check at a size where the full scan is cheap
+    val small = grid(16, 3).agg(count(lit(1)), min("v"), max("v")).head()
+    val ref = graft.laplace.GridGen.cells(spark, 16)
+      .agg(count(lit(1)), min("v"), max("v")).head()
+    assert(small == ref)
+  }
+
+  test("aggregate pushdown composes with i-range partition pruning") {
+    // rows [8, 24) of a 64-grid: 2 of 8 blocks scheduled, closed forms clamped
+    val df = grid(64, 8).filter(col("i") >= 8 && col("i") < 24)
+      .agg(count(lit(1)).as("n"), min("v").as("minv"), max("v").as("maxv"))
+    assert(df.queryExecution.executedPlan.toString.contains("PushedAggregates=[count"),
+      df.queryExecution.executedPlan.toString)
+    val r = df.head()
+    assert(r.getLong(0) == 16L * 64)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 7.32) // interior rows only
+  }
+
+  test("GROUP BY i aggregate pushdown emits per-row closed forms") {
+    val df = grid(100, 4).groupBy("i")
+      .agg(count(lit(1)).as("n"), min("v").as("minv"), max("v").as("maxv"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupBy=[i]"), plan)
+    val rows = df.orderBy("i").collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getLong(1) == 100, s"i=$i")
+      val (lo, hi) = (r.getDouble(2), r.getDouble(3))
+      if (i == 0) assert(lo == 4.56 && hi == 4.56)
+      else if (i == 99) assert(lo == 9.85 && hi == 9.85)
+      else assert(lo == 0.0 && hi == 7.32, s"i=$i ($lo, $hi)")
+    }
+    // AVG is not supported -> NOT pushed, falls back to a full scan, right answer
+    val avg = grid(16, 3).agg(org.apache.spark.sql.functions.avg("v")).head().getDouble(0)
+    val ref = graft.laplace.GridGen.cells(spark, 16).agg(
+      org.apache.spark.sql.functions.avg("v")).head().getDouble(0)
+    assert(avg == ref)
+  }
 }
