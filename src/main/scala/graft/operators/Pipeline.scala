@@ -397,6 +397,61 @@ object Pipeline {
                round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate,
                n_oov * 10 < n_tokens AS keep
         FROM per_doc
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // End-to-end corpus curation (the composition showcase): normalize
+    // (t06's cleaning) -> exact dedup on the normalized hash (d01's
+    // min-id survivor) -> deterministic train/val/test split (p03's
+    // hash-mod) -> per-(split, lang) doc/token accounting, with the
+    // dedup loss reported per group. One linear DataFrame chain, three
+    // narrow stages + one hash-window + one final agg — the same
+    // operators a real 100 TB curation run strings together, proven
+    // end-to-end by one oracle instead of three.
+    QueryDef("p10_corpus_pipeline",
+      (s, d) => {
+        val normed = Tables.documents(s, d)
+          .withColumn("norm",
+            trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+          .select(col("doc_id"), col("lang"),
+            sha2(col("norm"), 256).as("norm_hash"),
+            size(split(col("norm"), " ")).cast("long").as("n_tokens"))
+        val survivors = normed
+          .withColumn("canonical_id",
+            min(col("doc_id")).over(Window.partitionBy("norm_hash")))
+          .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+        survivors
+          .withColumn("h",
+            expr(s"${Ns.hash60("concat('split:', CAST(doc_id AS STRING))")} % 10"))
+          .withColumn("split",
+            when(col("h") < 8, "train").when(col("h") === 8, "val").otherwise("test"))
+          .groupBy("split", "lang")
+          .agg(sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_docs"),
+            sum(when(col("is_canonical"), col("n_tokens")).otherwise(0L)).as("n_tokens"),
+            sum(when(col("is_canonical"), 0L).otherwise(1L)).as("n_dups_dropped"))
+          .orderBy("split", "lang")
+      },
+      Some(s"""
+        WITH normed AS (
+          SELECT doc_id, lang,
+                 sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+                 CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        surv AS (
+          SELECT doc_id, lang, n_tokens,
+                 doc_id = min(doc_id) OVER (PARTITION BY norm_hash) AS is_canonical
+          FROM normed),
+        tagged AS (
+          SELECT lang, n_tokens, is_canonical,
+                 CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT *, ${Ns.oHash60("'split:' || CAST(doc_id AS VARCHAR)")} % 10 AS h
+                FROM surv))
+        SELECT split, lang,
+               CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN is_canonical THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS BIGINT) AS n_dups_dropped
+        FROM tagged
+        GROUP BY split, lang
+        ORDER BY split, lang"""))
   )
 }

@@ -1624,9 +1624,14 @@ object Relational {
         .select(col("user_id"),
           date_format(expr("timestampadd(HOUR, k, h)"),
             "yyyy-MM-dd HH:mm:ss").as("slot_hour"))
+        // two-phase distinct: dedup (slot, user) while counting events,
+        // then count users — NOT countDistinct + count in one agg, which
+        // would plan an Expand x2 over the already x24-exploded rows
+        // (q30's scan-amplification lesson)
+        .groupBy("slot_hour", "user_id")
+        .agg(count(lit(1)).as("n_ev_user"))
         .groupBy("slot_hour")
-        .agg(countDistinct(col("user_id")).as("n_users"),
-          count(lit(1)).as("n_events"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_ev_user")).as("n_events"))
         .orderBy("slot_hour"),
       Some("""
         WITH slots AS (

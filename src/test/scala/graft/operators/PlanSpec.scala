@@ -240,6 +240,9 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Generate explode"), p)
+    // two-phase distinct, not countDistinct+count in one agg: no Expand
+    // multiplying the already x24-exploded rows
+    assert(!p.contains("Expand"), p)
   }
 
   test("q51: EXISTS/NOT EXISTS plan as semi/anti equi-joins; supplier broadcasts") {
