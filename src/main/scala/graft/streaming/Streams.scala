@@ -179,6 +179,26 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** Timer-closed sessionization — the PRODUCTION shape: a session is
+    * emitted when the event-time WATERMARK passes its last event + gap,
+    * via a registered event-time timer, not when the same user happens
+    * to send a later event (the only closing signal the NoTimeout
+    * variants have, which is why their specs inject flush sentinels —
+    * a real stream has none). Each user holds one open-session
+    * ValueState and one pending timer at `last event + gap + 1 ms`;
+    * input rows re-arm the timer, stale timers no-op against the state
+    * check. State is O(live users), dropped at emission.
+    */
+  def sessionizeStreamV2Timers(spark: SparkSession, events: Dataset[Ev],
+      delay: String = "0 seconds"): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // -------------------------------------------------------------------
@@ -391,5 +411,66 @@ class SessionV2Processor
     c.foreach(cur.update)
     closed.reverseIterator.map(s0 =>
       Streams.SessionOut(user, s0.sessionId, s0.n, (s0.lastUs - s0.startUs) / 1e6))
+  }
+}
+
+/** [[SessionV2Processor]] plus event-time timers: sessions also close
+  * when the watermark passes `last event + gap`, so the stream emits
+  * every finished session without needing a later same-user event.
+  */
+class SessionTimerProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Streams.Ev, Streams.SessionOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  private val gapUs = 1800000000L
+  private val gapMs = gapUs / 1000L
+
+  @transient private var cur: ValueState[Streams.SessionState] = _
+
+  private def expiryOf(s: Streams.SessionState): Long = s.lastUs / 1000L + gapMs + 1
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cur = getHandle.getValueState[Streams.SessionState]("session",
+      org.apache.spark.sql.Encoders.product[Streams.SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Streams.Ev],
+      tv: TimerValues): Iterator[Streams.SessionOut] = {
+    val sorted = rows.toSeq.sortBy(e => (Streams.usOf(e.ts), e.event_id))
+    var closed = List.empty[Streams.SessionState]
+    var c = if (cur.exists()) Option(cur.get()) else None
+    // the open session's pending timer is re-armed below (the state
+    // check in handleExpiredTimer makes stale timers no-ops anyway,
+    // but deleting keeps the timer store at one entry per live user)
+    c.foreach(s0 => getHandle.deleteTimer(expiryOf(s0)))
+    var nextId = c.map(_.sessionId).getOrElse(0L)
+    sorted.foreach { e =>
+      val us = Streams.usOf(e.ts)
+      c match {
+        case Some(s0) if us - s0.lastUs <= gapUs =>
+          c = Some(s0.copy(lastUs = math.max(s0.lastUs, us), n = s0.n + 1))
+        case other =>
+          other.foreach(s0 => closed ::= s0)
+          nextId += 1
+          c = Some(Streams.SessionState(nextId, us, us, 1))
+      }
+    }
+    c.foreach { s0 =>
+      cur.update(s0)
+      getHandle.registerTimer(expiryOf(s0))
+    }
+    closed.reverseIterator.map(s0 =>
+      Streams.SessionOut(user, s0.sessionId, s0.n, (s0.lastUs - s0.startUs) / 1e6))
+  }
+
+  override def handleExpiredTimer(user: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[Streams.SessionOut] = {
+    if (cur.exists()) {
+      val s0 = cur.get()
+      if (info.getExpiryTimeInMs >= expiryOf(s0)) {
+        cur.clear()
+        Iterator.single(
+          Streams.SessionOut(user, s0.sessionId, s0.n, (s0.lastUs - s0.startUs) / 1e6))
+      } else Iterator.empty
+    } else Iterator.empty
   }
 }

@@ -267,6 +267,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("v2 timers: the watermark closes sessions — no flush sentinels needed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-sess-timer")
+    writeOrderedFiles(dir, 3) // deliberately NO flush file
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("event_id"), col("ts"), col("user_id")).as[Streams.Ev]
+      val q = Streams.sessionizeStreamV2Timers(spark, stream)
+        .writeStream.format("memory").queryName("sessions_timer")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("sessions_timer")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+        // scalar expectation: every session the 30-min-gap fold closes,
+        // plus each user's final session iff the end-of-stream watermark
+        // (max event time, ms, delay 0) passes its last event + gap
+        val gapUs = 1800000000L
+        val gapMs = gapUs / 1000L
+        val evs = eventsBatch.select("event_id", "ts", "user_id").collect()
+          .map(r => (r.getLong(2), Streams.usOf(r.getTimestamp(1)), r.getLong(0)))
+        val wmMs = evs.map(_._2).max / 1000L
+        val expected = evs.groupBy(_._1).flatMap { case (user, es) =>
+          val sorted = es.sortBy(e => (e._2, e._3)).map(_._2)
+          val sessions = sorted.foldLeft(Vector.empty[(Long, Long, Long, Long)]) {
+            case (acc, us) => acc.lastOption match {
+              case Some((sid, st, last, n)) if us - last <= gapUs =>
+                acc.init :+ ((sid, st, math.max(last, us), n + 1))
+              case prev => acc :+ ((prev.map(_._1).getOrElse(0L) + 1, us, us, 1L))
+            }
+          }
+          val closedByGap = sessions.init
+          val lastClosed = sessions.lastOption
+            .filter { case (_, _, last, _) => last / 1000L + gapMs + 1 <= wmMs }
+          (closedByGap ++ lastClosed).map { case (sid, st, last, n) =>
+            (user, sid, n, (last - st) / 1e6)
+          }
+        }.toSet
+        assert(got == expected,
+          s"got ${got.size} sessions, expected ${expected.size}; " +
+            s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+        assert(expected.nonEmpty)
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful sessionization: stream across micro-batches == batch window plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-sess")
