@@ -14,7 +14,10 @@ object DumpPlans {
       "g01_pagerank", "c01_kmeans", "q34_tpch_q3", "q37_topk_agg", "t09_bm25",
       "q30_profile", "m04_media_neardup", "st06_stream_stream_join",
       "q43_tpch_q5", "s07_rrf_fusion", "t13_heavy_hitters",
-      "d07_containment", "g02_triangles", "p09_vocab_prune", "q49_null_antijoin")
+      "d07_containment", "g02_triangles", "p09_vocab_prune", "q49_null_antijoin",
+      "q52_tpch_q13", "q53_tpch_q17", "q54_tpch_q15", "q55_tpch_q19",
+      "q56_tpch_q7", "q57_tpch_q22", "q59_interval_frame", "g03_bfs",
+      "p11_mixture_upsample")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

@@ -87,6 +87,7 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     laplaceDefs ++ graft.operators.Relational.defs ++
+      graft.operators.TpcH.defs ++
       graft.operators.Dedup.defs ++ graft.operators.TextAnalysis.defs ++
       graft.operators.Similarity.defs ++ graft.operators.Multimodal.defs ++
       graft.operators.Pipeline.defs ++ graft.operators.Clustering.defs ++

@@ -138,8 +138,87 @@ object Graph {
       JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
       ORDER BY a, b, c"""
 
+  /** Multi-source BFS hop distance over the near-dup graph: how many
+    * dup-edge hops separate each document from the nearest "canonical"
+    * seed (every 50th doc id — the curated-subset stand-in). Transitive
+    * contamination reach in ≤ k hops is the practical use: a document
+    * 2 hops from a known-bad seed shares content with something that
+    * shares content with it.
+    *
+    * Shape: k rounds of the Pregel min-distance relaxation — each round
+    * one equi-join of edges with the current frontier and one per-dst
+    * integer MIN (fully partial-aggregable, order-independent: no float
+    * anywhere, so unlike PageRank no sequential-fold is needed). The
+    * min-merge is spelled as an explicit CASE (identical text both
+    * engines) rather than least(), whose NULL handling differs across
+    * engines. Scale: each round shuffles only (dst, dist) pairs; the
+    * distance table co-partitions with edges on the join key, and
+    * unreachable docs never enter the frontier join (dist IS NULL
+    * filter), so round cost tracks the frontier, not the corpus.
+    */
+  private val BFS_HOPS = 4
+  private def bfs(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(s, d)
+      .filter(col("est_jaccard") >= JMIN)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // k rounds would otherwise re-run the LSH pairing
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    var dist = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(50)) === 0, lit(0))
+        .otherwise(lit(null)).cast("int").as("dist"))
+    for (_ <- 1 to BFS_HOPS) {
+      val msgs = edges
+        .join(dist.select(col("doc_id").as("src"), col("dist")), "src")
+        .filter(col("dist").isNotNull)
+        .groupBy("dst").agg((min(col("dist")) + 1).cast("int").as("nd"))
+      dist = dist.join(msgs, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), expr(
+          """CASE WHEN dist IS NULL THEN nd WHEN nd IS NULL THEN dist
+                  WHEN nd < dist THEN nd ELSE dist END""").as("dist"))
+    }
+    dist.select(col("doc_id"),
+      coalesce(col("dist"), lit(-1)).cast("int").as("hops"))
+      .orderBy("doc_id")
+  }
+
+  /** The same BFS_HOPS rounds unrolled as chained CTEs. */
+  private def bfsOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH ${Dedup.minhashPairsOracleCtes},
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM mpairs WHERE est_jaccard >= $JMIN
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM mpairs WHERE est_jaccard >= $JMIN),
+      b0 AS (
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 50 = 0 THEN 0 END AS INT) AS dist
+        FROM documents)"""
+    for (t <- 1 to BFS_HOPS) {
+      sb ++= s""",
+      m$t AS (
+        SELECT e.dst, CAST(min(b.dist) + 1 AS INT) AS nd
+        FROM edges e JOIN b${t - 1} b ON e.src = b.doc_id
+        WHERE b.dist IS NOT NULL
+        GROUP BY e.dst),
+      b$t AS (
+        SELECT b.doc_id,
+               CASE WHEN b.dist IS NULL THEN m.nd WHEN m.nd IS NULL THEN b.dist
+                    WHEN m.nd < b.dist THEN m.nd ELSE b.dist END AS dist
+        FROM b${t - 1} b LEFT JOIN m$t m ON b.doc_id = m.dst)"""
+    }
+    sb ++= s"""
+      SELECT doc_id, CAST(coalesce(dist, -1) AS INT) AS hops
+      FROM b$BFS_HOPS
+      ORDER BY doc_id"""
+    sb.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", (s, d) => pagerank(s, d), Some(oracle)),
-    QueryDef("g02_triangles", (s, d) => triangles(s, d), Some(trianglesOracle))
+    QueryDef("g02_triangles", (s, d) => triangles(s, d), Some(trianglesOracle)),
+    QueryDef("g03_bfs", (s, d) => bfs(s, d), Some(bfsOracle))
   )
 }

@@ -452,6 +452,64 @@ object Pipeline {
                CAST(sum(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS BIGINT) AS n_dups_dropped
         FROM tagged
         GROUP BY split, lang
-        ORDER BY split, lang"""))
+        ORDER BY split, lang""")),
+
+    // -------------------------------------------------------------------
+    // Mixture upsampling MATERIALIZED: p04 computes per-source sampling
+    // rates; this query applies a rate > 1 by emitting integer copies of
+    // each document — the epoch-expansion step that turns a mixture spec
+    // into an actual training corpus. copies = floor(rate) for every doc
+    // plus one extra for a deterministic hash-chosen fraction
+    // (frac(rate) of each source), so realized source shares converge to
+    // the target without any RNG state. The fractional draw compares
+    // md5-derived integers against round(frac*1000) — integer compares,
+    // identical on every engine and every cluster size. Scale: the rate
+    // table is |sources| rows (broadcast); the expansion is one narrow
+    // explode(sequence(...)) with NO shuffle — output lands directly in
+    // the writer, and downstream shuffling is p05's job.
+    QueryDef("p11_mixture_upsample",
+      (s, d) => {
+        val wAll = Window.partitionBy()
+        val rates = Tables.documents(s, d)
+          .select(col("source"), expr(NTOK).as("n_tokens"))
+          .groupBy("source")
+          .agg(sum(col("n_tokens")).as("n_tokens"))
+          .withColumn("total", sum(col("n_tokens")).over(wAll))
+          .select(col("source"),
+            (expr("CAST(0.08 AS DOUBLE)") * col("total") / col("n_tokens")).as("rate"))
+        Tables.documents(s, d)
+          .join(broadcast(rates), "source")
+          .select(col("doc_id"), col("source"),
+            (floor(col("rate")).cast("long") +
+              when(pmod(expr(Ns.hash60("'mix:' || CAST(doc_id AS STRING)")), lit(1000L)) <
+                round((col("rate") - floor(col("rate"))) * 1000).cast("long"), 1L)
+                .otherwise(0L)).as("copies"))
+          // sequence(1, 0) would DESCEND in Spark — guard the zero-copy case
+          // with an empty array. The generator must be top-level in its
+          // select (wrapping it in cast() trips the nested-generator check).
+          .select(col("doc_id"), col("source"),
+            explode(when(col("copies") >= 1, sequence(lit(1L), col("copies")))
+              .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))).as("copy0"))
+          .select(col("doc_id"), col("source"), col("copy0").cast("int").as("copy"))
+          .orderBy("doc_id", "copy")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT source, CAST(sum($ONTOK) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        t AS (SELECT source, n_tokens,
+                     CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM g),
+        r AS (SELECT source,
+                     CAST(0.08 AS DOUBLE) * total / n_tokens AS rate FROM t),
+        c AS (
+          SELECT doc_id, d.source,
+                 CAST(floor(rate) AS BIGINT) +
+                 CASE WHEN ${Ns.oHash60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 <
+                           CAST(round((rate - floor(rate)) * 1000) AS BIGINT)
+                      THEN 1 ELSE 0 END AS copies
+          FROM documents d JOIN r ON d.source = r.source)
+        SELECT doc_id, source, CAST(u.c AS INT) AS copy
+        FROM c, unnest(generate_series(1, copies)) AS u(c)
+        ORDER BY doc_id, copy"""))
   )
 }

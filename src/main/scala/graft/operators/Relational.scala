@@ -1696,6 +1696,95 @@ object Relational {
                             AND l3.late)
         GROUP BY s.s_suppkey, s.s_name
         ORDER BY numwait DESC, s.s_suppkey
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // -------------------------------------------------------------------
+    // RANGE-interval window frame: the trailing-1-hour running aggregate
+    // at every event — the value-based frame q39's ROWS frames can't
+    // express (a ROWS frame counts rows; this one selects by timestamp
+    // DISTANCE, so gaps shrink the window and bursts widen it). Spark
+    // plans one sort per user partition with a sliding frame evaluated
+    // by binary bound advance — no self-join, no explode. The frame is
+    // defined by ORDER-BY VALUES, so equal-timestamp peers are always
+    // included together: deterministic under any tie order, no unique
+    // tie-break column needed (unlike every ROWS query here). Scale:
+    // one shuffle on user_id, linear per-partition work.
+    QueryDef("q59_interval_frame",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L) // micros: trailing hour, inclusive
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            col("value"))
+          .select(col("user_id"), col("event_id"), col("us"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast("decimal(12,2)")).over(w).cast("double").as("sum_1h"))
+          .orderBy("user_id", "us", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, us,
+               count(*) OVER w AS n_1h,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, us, event_id""")),
+
+    // -------------------------------------------------------------------
+    // Point-in-time (temporal) join: every event of the q26 cohort joined
+    // to the SCD2 dimension version that was valid AT THE EVENT'S
+    // TIMESTAMP — the canonical "what did the dimension say when the fact
+    // happened" lookup that SCD2 tables exist to answer. The join is equi
+    // on user_id with the validity interval as a post-join filter, so
+    // Spark plans a hash join on the key (NOT a nested loop: the range
+    // is residual); each fact matches exactly one version (intervals
+    // partition the timeline, half-open [from, to)). Scale: dim versions
+    // are per-key few; the fact shuffles once on the join key — same
+    // plan shape as any fact-dim join, the interval adds no exchange.
+    QueryDef("q60_pit_join",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .filter(pmod(col("user_id"), lit(50)) === 7)
+        val dim = ev
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("version", row_number().over(w).cast("int"))
+          .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+          .select(col("user_id").as("d_user"), col("version"),
+            col("event_type").as("state"), col("us").as("valid_from_us"),
+            col("valid_to_us"))
+        ev.join(dim,
+            col("user_id") === col("d_user") &&
+              col("us") >= col("valid_from_us") &&
+              (col("valid_to_us").isNull || col("us") < col("valid_to_us")))
+          .select(col("user_id"), col("event_id"), col("us"),
+            col("version"), col("state"))
+          .orderBy("user_id", "us", "event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+          FROM events WHERE user_id % 50 = 7),
+        ch AS (
+          SELECT user_id, event_id, event_type, us FROM (
+            SELECT user_id, event_id, event_type, us,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+            FROM e)
+          WHERE prev IS NULL OR prev <> event_type),
+        dim AS (
+          SELECT user_id AS d_user, CAST(row_number() OVER w AS INT) AS version,
+                 event_type AS state, us AS valid_from_us,
+                 lead(us) OVER w AS valid_to_us
+          FROM ch
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        SELECT e.user_id, e.event_id, e.us, dim.version, dim.state
+        FROM e JOIN dim
+          ON e.user_id = dim.d_user
+         AND e.us >= dim.valid_from_us
+         AND (dim.valid_to_us IS NULL OR e.us < dim.valid_to_us)
+        ORDER BY user_id, us, event_id"""))
   )
 }

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-3 TPC-H batch (q52-q58), the RANGE-interval
+  * frame (q59), BFS (g03) and mixture upsampling (p11). The DuckDB
+  * oracles pin exact values at sf0.01; these pin the algorithms against
+  * independent scalar reimplementations at sf0.001 plus each query's
+  * semantic contract.
+  */
+class Round4OpsSpec extends SparkSpec {
+
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf0001)
+
+  test("q52: custdist matches a scalar count-of-counts over collected tables") {
+    val custs = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val ordersPerCust = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = custs.map(c => ordersPerCust.getOrElse(c, 0L))
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val got = run("q52_tpch_q13").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // the outer join must keep zero-order customers as c_count = 0
+    assert(got.contains(0L) == custs.exists(c => !ordersPerCust.contains(c)))
+  }
+
+  test("q53: threshold semantics — kept lineitems are strictly under 20% of part avg") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val parts = spark.read.parquet(s"$sf0001/part.parquet")
+      .filter(col("p_brand") === "Brand#23" && col("p_size") <= 15)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val byPart = li.filter(x => parts(x._1)).groupBy(_._1)
+    val expected = byPart.values.flatMap { rows =>
+      val sumQ = rows.map(x => BigDecimal(x._2)).sum
+      val cnt = rows.length
+      rows.filter(x => BigDecimal(x._2) * 5 * cnt < sumQ).map(_._3)
+    }.map(BigDecimal(_)).sum
+    val got = run("q53_tpch_q17").collect()
+    assert(got.length == 1)
+    val want = (expected / 7).toDouble
+    val gotV = if (got(0).isNullAt(0)) 0.0 else got(0).getDouble(0)
+    assert(math.abs(gotV - math.rint(want * 1e6) / 1e6) < 1e-6, s"$gotV vs $want")
+  }
+
+  test("q54: every returned supplier carries the exact global max revenue") {
+    val revs = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2) *
+        (BigDecimal(1) - BigDecimal(r.getDouble(2)).setScale(2))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val maxRev = revs.values.max
+    val winners = revs.filter(_._2 == maxRev).keySet
+    val got = run("q54_tpch_q15").collect()
+    assert(got.map(_.getLong(0)).toSet == winners)
+    got.foreach(r => assert(r.getDouble(2) == (maxRev.toDouble * 1e6).round / 1e6))
+  }
+
+  test("q55: disjunctive revenue matches a scalar recompute; join stays broadcast-hash") {
+    val parts = spark.read.parquet(s"$sf0001/part.parquet")
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val expected = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").collect()
+      .flatMap { r =>
+        val (brand, size) = parts(r.getLong(0))
+        val q = r.getDouble(1)
+        val keep =
+          (brand == "Brand#12" && size >= 1 && size <= 5 && q >= 1 && q <= 11) ||
+          (brand == "Brand#23" && size >= 1 && size <= 10 && q >= 10 && q <= 20) ||
+          (brand == "Brand#4" && size >= 1 && size <= 15 && q >= 20 && q <= 30)
+        if (keep) Some(BigDecimal(r.getDouble(2)).setScale(2) *
+          (BigDecimal(1) - BigDecimal(r.getDouble(3)).setScale(2)))
+        else None
+      }.sum
+    val df = run("q55_tpch_q19")
+    val got = df.collect()(0)
+    val gotV = if (got.isNullAt(0)) BigDecimal(0) else BigDecimal(got.getDouble(0))
+    assert(gotV == expected.setScale(6))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "OR-of-ANDs must not break the equi-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q56: nation-pair revenue is direction-separated and matches a scalar join") {
+    val rows = run("q56_tpch_q7").collect()
+    rows.foreach { r =>
+      val (s1, c1) = (r.getString(0), r.getString(1))
+      assert(Set(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))(s1 -> c1))
+    }
+    // group keys unique
+    val keys = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("q57: every counted customer has zero orders and above-average positive balance") {
+    val custs = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2), r.getString(2)))
+    val withOrders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val pos = custs.filter(_._2 > 0)
+    val sum = pos.map(_._2).sum
+    val cnt = pos.length
+    val qualifying = custs.filter(c => c._2 * cnt > sum && !withOrders(c._1))
+    val expected = qualifying.groupBy(_._3).map { case (seg, v) =>
+      seg -> ((v.length.toLong, v.map(_._2).sum.toDouble))
+    }
+    val got = run("q57_tpch_q22").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("q58: promo share matches scalar recompute and lies in [0, 100]") {
+    val promoParts = spark.read.parquet(s"$sf0001/part.parquet")
+      .filter(col("p_type") === "PROMO")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-03-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+      .select("l_partkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2) *
+        (BigDecimal(1) - BigDecimal(r.getDouble(2)).setScale(2))))
+    val total = li.map(_._2).sum
+    val promo = li.filter(x => promoParts(x._1)).map(_._2).sum
+    val want = math.rint((BigDecimal(100) * promo / total).toDouble * 1e6) / 1e6
+    val got = run("q58_tpch_q14").collect()(0).getDouble(0)
+    assert(math.abs(got - want) < 1e-9)
+    assert(got >= 0.0 && got <= 100.0)
+  }
+
+  test("q59: every row's trailing-hour frame matches a scalar window scan") {
+    val events = graft.Tables.events(spark, sf0001)
+    val evs = events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2)).setScale(2)))
+      .groupBy(_._1)
+    val rows = run("q59_interval_frame").collect()
+    assert(rows.length == evs.values.map(_.length).sum)
+    rows.foreach { r =>
+      val (u, us, n, sum) = (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val frame = evs(u).filter(e => e._2 <= us && e._2 >= us - 3600000000L)
+      assert(n == frame.length, s"user $u at $us")
+      assert(sum == frame.map(_._3).sum.toDouble, s"user $u at $us")
+    }
+  }
+
+  test("q60: every cohort event joins exactly one dim version — the one valid at its time") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .filter(pmod(col("user_id"), lit(50)) === 7)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val rows = run("q60_pit_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))
+    // one output row per cohort event (intervals partition the timeline)
+    assert(rows.length == ev.length)
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    // the joined state is the event_type of the latest change <= the event,
+    // recomputed scalar per user from the raw ordered stream
+    val byUser = ev.groupBy(_._1)
+    rows.foreach { case (u, eid, us, version, state) =>
+      val ordered = byUser(u).sortBy(e => (e._4, e._2))
+      val changes = ordered.foldLeft(Vector.empty[(Long, String)]) {
+        case (acc, (_, _, t, eus)) =>
+          if (acc.isEmpty || acc.last._2 != t) acc :+ (eus, t) else acc
+      }
+      val valid = changes.zipWithIndex.takeWhile(_._1._1 <= us).lastOption
+      assert(valid.isDefined, s"event $eid precedes every version")
+      assert(state == valid.get._1._2 && version == valid.get._2 + 1,
+        s"user $u event $eid at $us: got v$version/$state")
+    }
+  }
+
+  test("g03: BFS distances satisfy the relaxation fixpoint up to the hop cap") {
+    val rows = run("g03_bfs").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // recompute the edge set exactly as the query's minhash pairing does
+    val pairs = Dedup.minhashPairs(spark, sf0001)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // scalar BFS, capped at 4 hops
+    var dist = rows.keys.map(id => id -> (if (id % 50 == 0) 0 else -1)).toMap
+    for (h <- 1 to 4) {
+      val frontier = dist.filter(_._2 == h - 1).keySet
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filter(dist(_) == -1)
+      dist = dist ++ next.map(_ -> h)
+    }
+    assert(rows == dist)
+    assert(rows.values.exists(_ > 0), "fixture should reach some non-seed docs")
+  }
+
+  test("p11: per-doc copy counts follow floor(rate) + deterministic fractional draw") {
+    val rows = run("p11_mixture_upsample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDoc = rows.groupBy(_._1)
+    // copies enumerate 1..n with no gaps
+    byDoc.foreach { case (id, v) =>
+      assert(v.map(_._3).sorted.toSeq == (1 to v.length).toSeq, s"doc $id")
+    }
+    // every doc of a source gets floor(rate) or floor(rate)+1 copies, and
+    // the realized total lands within 1 doc-count of rate * n_docs
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("nt")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._2)
+    val total = docs.map(_._3).sum
+    bySrc.foreach { case (src, v) =>
+      val rate = 0.08 * total / v.map(_._3).sum
+      val lo = math.floor(rate).toInt
+      v.foreach { case (id, _, _) =>
+        val n = byDoc.get(id).map(_.length).getOrElse(0)
+        assert(n == lo || n == lo + 1, s"doc $id of $src: $n copies, rate $rate")
+      }
+    }
+  }
+}
