@@ -588,6 +588,76 @@ object TextAnalysis {
         JOIN buckets USING (token)
         JOIN cms ON buckets.r = cms.r AND buckets.b = cms.b
         GROUP BY rank, top.token, top.n
-        ORDER BY rank"""))
+        ORDER BY rank""")),
+
+    // -------------------------------------------------------------------
+    // Data selection via hashed n-gram importance (the DSIR shape — Xie
+    // et al., "Data Selection for Language Models via Importance
+    // Resampling", NeurIPS 2023): score every document by how much its
+    // hashed-bigram profile looks like a curated target corpus (source
+    // 'src0' as the target proxy) versus the whole crawl, select the
+    // top-K. DSIR's per-feature log-ratio log(p_t/p_b) is replaced by
+    // the cross-multiplied integer surrogate ct*B - cb*T (same sign,
+    // monotone in the ratio for a fixed feature) so scores are exact
+    // BIGINTs: no logs, no floats — identical on any engine, any
+    // partitioning. Scale: the feature space is fixed at 4096 hash
+    // buckets, so bucket weights are one broadcast-sized aggregate of
+    // the bigram stream; per-doc scoring is one partial-aggregable
+    // groupBy + a broadcast join; top-K is a TakeOrdered, never a
+    // global sort. At 100-TB weights the BIGINT products would move to
+    // DECIMAL(38,0) — noted, not needed at fixture magnitudes.
+    QueryDef("t14_importance_score",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 2) // sequence(0, size-2) would DESCEND on shorter docs
+        val feat = t.select(col("doc_id"), col("source"), explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))")).as("big"))
+          .select(col("doc_id"), col("source"),
+            pmod(expr(Ns.hash32("concat('ds:', big)")), lit(4096L)).as("b"))
+        val stats = feat.groupBy("b").agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cb"))
+        val tot = stats.agg(sum(col("ct")).as("tt"), sum(col("cb")).as("tb"))
+        val weights = stats.crossJoin(broadcast(tot))
+          .select(col("b"), (col("ct") * col("tb") - col("cb") * col("tt")).as("w"))
+        val scores = feat.groupBy("doc_id", "source", "b")
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(weights), "b")
+          .groupBy("doc_id", "source")
+          .agg(sum(col("n") * col("w")).as("score"))
+        val rw = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        scores.orderBy(col("score").desc, col("doc_id")).limit(100)
+          .withColumn("rank", row_number().over(rw).cast("int"))
+          .select(col("rank"), col("doc_id"), col("source"), col("score"))
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        feat AS (
+          SELECT doc_id, source,
+                 ${Ns.oHash32("'ds:' || big")} % 4096 AS b
+          FROM (SELECT doc_id, source,
+                       unnest(list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1])) AS big
+                FROM t)),
+        stats AS (
+          SELECT b, CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                 count(*) AS cb
+          FROM feat GROUP BY b),
+        tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cb) AS BIGINT) AS tb
+                FROM stats),
+        w AS (SELECT b, ct * tb - cb * tt AS w FROM stats CROSS JOIN tot),
+        df AS (SELECT doc_id, source, b, count(*) AS n FROM feat GROUP BY 1, 2, 3),
+        sc AS (SELECT doc_id, source, CAST(sum(n * w.w) AS BIGINT) AS score
+               FROM df JOIN w USING (b) GROUP BY 1, 2)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+               doc_id, source, score
+        FROM sc
+        ORDER BY score DESC, doc_id
+        LIMIT 100"""))
   )
 }

@@ -369,7 +369,56 @@ object Streams {
                count(*) AS n_events, ${Sql.oDsum("value")} AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment, event_type
-        ORDER BY c_mktsegment, event_type"""))
+        ORDER BY c_mktsegment, event_type""")),
+
+    // -------------------------------------------------------------------
+    // DYNAMIC-gap session window (batch form): each event extends its
+    // session by an amount depending on the event itself — errors keep
+    // the session alive 5 minutes, everything else 30 — the per-event-
+    // type timeout shape real clickstream sessionization uses. Unlike
+    // st05's fixed gap, the merge rule is interval-union: an event joins
+    // the session if it starts before the RUNNING MAX of (ts + gap) of
+    // everything before it (a later short-gap event does not shrink an
+    // extension an earlier long-gap event already granted), and the
+    // session end is that running max, not last-event + gap. The oracle
+    // spells exactly that: prefix running max, boundary strictly after
+    // max-end-so-far (an event AT the boundary merges — the same
+    // convention st05's fixed-gap oracle encodes), cumulative-sum
+    // session ids. Scale: same as any session window — one shuffle on
+    // user_id, linear per-partition.
+    QueryDef("st09_dynamic_gap_sessions",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), expr(
+          "CASE WHEN event_type = 'error' THEN '5 minutes' ELSE '30 minutes' END")).as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us"),
+      Some("""
+        WITH x AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 epoch_us(ts) + CASE WHEN event_type = 'error'
+                                     THEN 300000000 ELSE 1800000000 END AS ev_end
+          FROM events),
+        y AS (
+          SELECT user_id, event_id, us, ev_end,
+                 max(ev_end) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+          FROM x),
+        z AS (
+          SELECT user_id, us, ev_end,
+                 sum(CASE WHEN prev_end IS NULL OR us > prev_end THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+          FROM y)
+        SELECT user_id, min(us) AS session_start_us,
+               max(ev_end) AS session_end_us, count(*) AS n_events
+        FROM z
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us"""))
   )
 }
 

@@ -31,6 +31,25 @@ class ContractSpec extends SparkSpec {
     counts1.foreach { case (n, c) => assert(c >= 0, n) }
   }
 
+  test("EVERY query's full content is identical with AQE enabled") {
+    // production clusters run adaptive execution; runtime re-planning
+    // (coalesced partitions, switched join strategies, skew splits) must
+    // not change any result. Same content-hash sweep as the partition
+    // invariance test, AQE off vs on.
+    def contentHashes(aqe: String): Map[String, Int] = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      try SparkEntry.queries.map { case (n, fn) =>
+        n -> fn(spark, sf0001).collect().map(_.toString).toSeq.sorted.hashCode
+      }
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val off = contentHashes("false")
+    val on = contentHashes("true")
+    val diff = off.keySet.filter(k => off(k) != on(k))
+    assert(diff.isEmpty, s"AQE-sensitive queries: $diff")
+  }
+
   test("EVERY query's full content is shuffle-partition-count invariant") {
     // the direct whole-surface proof of the scale claim: identical
     // results under different parallelism (family specs prove it per

@@ -201,6 +201,86 @@ class Round4OpsSpec extends SparkSpec {
     assert(rows.values.exists(_ > 0), "fixture should reach some non-seed docs")
   }
 
+  test("st09: dynamic-gap sessions match a scalar interval-union sessionizer") {
+    val evs = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    def gapOf(t: String): Long = if (t == "error") 300000000L else 1800000000L
+    val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(e => (e._4, e._2))
+      val sessions = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)] // start, end, n
+      ordered.foreach { case (_, _, t, us) =>
+        val end = us + gapOf(t)
+        sessions.lastOption match {
+          case Some((s0, e0, n0)) if us <= e0 => // boundary event merges
+            sessions(sessions.length - 1) = (s0, math.max(e0, end), n0 + 1)
+          case _ => sessions += ((us, end, 1L))
+        }
+      }
+      sessions.map { case (s0, e0, n0) => (u, s0, e0, n0) }
+    }.toSet
+    val got = run("st09_dynamic_gap_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    // an error inside a view-session must not shrink the 30-minute
+    // extension already granted (interval-union, not last-event + gap)
+    assert(expected.nonEmpty)
+  }
+
+  test("st09: an event starting exactly at the session's max end merges (boundary pin)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq((1L, 0L, "view"), (1L, 1800000000L, "view"), (1L, 5000000000L, "view"))
+      .toDF("user_id", "us", "event_type")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"), col("event_type"))
+    val sessions = rows
+      .groupBy(col("user_id"), session_window(col("ts"), expr(
+        "CASE WHEN event_type = 'error' THEN '5 minutes' ELSE '30 minutes' END")).as("w"))
+      .agg(count(lit(1)).as("n")).collect()
+    // events at 0 and at exactly 0+30min must share a session; the one at
+    // 5000s (> 3600s = prior max end) must not
+    assert(sessions.length == 2, sessions.mkString(";"))
+    assert(sessions.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("t14: importance scores match a scalar hashed-bigram recompute") {
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+      .filter(_._3.length >= 2)
+    val featsPerDoc = docs.map { case (id, src, toks) =>
+      (id, src, toks.sliding(2).map(b => h32("ds:" + b.mkString(" ")) % 4096)
+        .toSeq.groupBy(identity).map { case (k, v) => k -> v.length.toLong })
+    }
+    val ct = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val cb = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    featsPerDoc.foreach { case (_, src, f) =>
+      f.foreach { case (b, n) =>
+        cb(b) += n
+        if (src == "src0") ct(b) += n
+      }
+    }
+    val tt = ct.values.sum
+    val tb = cb.values.sum
+    val scores = featsPerDoc.map { case (id, src, f) =>
+      (id, src, f.map { case (b, n) => n * (ct(b) * tb - cb(b) * tt) }.sum)
+    }
+    val expected = scores.sortBy(x => (-x._3, x._1)).take(100)
+      .zipWithIndex.map { case ((id, src, sc), i) => (i + 1, id, src, sc) }.toSeq
+    val got = run("t14_importance_score").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the target proxy should dominate the top of its own ranking
+    val topSrc0 = got.take(20).count(_._3 == "src0")
+    assert(topSrc0 >= 5, s"only $topSrc0 target docs in top 20")
+  }
+
   test("p11: per-doc copy counts follow floor(rate) + deterministic fractional draw") {
     val rows = run("p11_mixture_upsample").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
