@@ -98,6 +98,22 @@ object Streams {
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n_events"), Sql.dsum(col("value")).as("sum_value"))
 
+  /** Dynamic-gap session windows: each event keeps its session alive for
+    * an event-dependent timeout (errors 5 minutes, everything else 30).
+    * One definition serves batch (the st09 oracle row) and streaming
+    * (watermarked append mode; StreamingSpec proves stream==batch with a
+    * watermark-advancing sentinel).
+    */
+  def dynamicGapSessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), expr(
+        "CASE WHEN event_type = 'error' THEN '5 minutes' ELSE '30 minutes' END")).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
+
   /** Exactly-once counts from an at-least-once feed: dedup by event_id,
     * then count per type. Streaming form uses
     * dropDuplicatesWithinWatermark (state bounded by the watermark
@@ -387,14 +403,7 @@ object Streams {
     // session ids. Scale: same as any session window — one shuffle on
     // user_id, linear per-partition.
     QueryDef("st09_dynamic_gap_sessions",
-      (s, d) => Tables.events(s, d)
-        .groupBy(col("user_id"), session_window(col("ts"), expr(
-          "CASE WHEN event_type = 'error' THEN '5 minutes' ELSE '30 minutes' END")).as("w"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          unix_micros(col("w.start")).as("session_start_us"),
-          unix_micros(col("w.end")).as("session_end_us"),
-          col("n_events"))
+      (s, d) => dynamicGapSessions(Tables.events(s, d))
         .orderBy("user_id", "session_start_us"),
       Some("""
         WITH x AS (

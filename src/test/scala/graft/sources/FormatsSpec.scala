@@ -23,6 +23,32 @@ class FormatsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    Formats.writePartitioned(docs, dir, "lang")
+    val fact = Formats.readParquet(spark, dir)
+    // dim carries the selective predicate; the fact has NO static filter
+    // on lang, so only runtime pruning (from the broadcast dim) can skip
+    // its partition directories — the 100-TB star-join shape where the
+    // date dim's WHERE clause prunes years of fact partitions.
+    val sp = spark
+    import sp.implicits._
+    // the dim must be a real source with a surviving Filter node — an
+    // in-memory LocalRelation constant-folds the predicate away and the
+    // pruning rule no longer sees a selective filtering side
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("es", "keep"), ("de", "keep"), ("en", "drop"), ("fr", "drop"))
+      .toDF("lang", "tier").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("tier") === "keep"), "lang")
+    val got = joined.select("doc_id").collect().map(_.getLong(0)).toSet
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP subquery in:\n${plan.take(4000)}")
+    val want = docs.filter(col("lang").isin("es", "de"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("schema evolution: mergeSchema unifies drifting parquet writers") {
     val dir = Files.createTempDirectory("graft-evolve").toString
     // writer v1: (doc_id, lang); writer v2 adds a column

@@ -133,6 +133,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st09 dynamic-gap sessions: watermarked append-mode stream == batch") {
+    val dir = Files.createTempDirectory("graft-stream-dyngap")
+    writeOrderedFiles(dir, 4)
+    // sentinel far past all data so every session finalizes and is emitted
+    val maxTs = eventsBatch.agg(max("ts")).head().getTimestamp(0)
+    val sentinel = spark.sql(
+      s"SELECT CAST(-1 AS BIGINT) AS event_id, timestamp'$maxTs' + INTERVAL 6 HOURS AS ts, " +
+        "CAST(-1 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value, '' AS props")
+    writeFlatFile(sentinel, dir, "z_sentinel.parquet", 1700009000000L)
+
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = Streams.dynamicGapSessions(stream.withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("dyngap_append")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dyngap_append")
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start_us").collect()
+      val want = Streams.dynamicGapSessions(eventsBatch)
+        .orderBy("user_id", "session_start_us").collect()
+      assert(got.sameElements(want),
+        s"append-mode emitted ${got.length} sessions, batch has ${want.length}")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark removes replayed events") {
     val dir = Files.createTempDirectory("graft-stream-dedup")
     // the same events arrive twice (two files) — an at-least-once replay
