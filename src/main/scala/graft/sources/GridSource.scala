@@ -159,7 +159,7 @@ case class GridAggSpec(tokens: Seq[String], groupByI: Boolean) {
 
 class GridScan(n: Int, parts: Int, required: StructType, lo: Long, hi: Long,
     aggSpec: Option[GridAggSpec] = None)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType =
     aggSpec.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
@@ -168,11 +168,32 @@ class GridScan(n: Int, parts: Int, required: StructType, lo: Long, hi: Long,
       aggSpec.map(a => s" PushedAggregates=[${a.tokens.mkString(",")}]" +
         (if (a.groupByI) " GroupBy=[i]" else "")).getOrElse("")
 
+  /** Runtime filtering (the DSv2 form of dynamic partition pruning,
+    * SPARK-35779): when the grid joins a dimension on `i` and the dim
+    * carries a selective predicate, Spark hands this scan the dim's `i`
+    * values at RUNTIME (a DynamicPruningSubquery off the reused
+    * broadcast) and the scan re-plans, dropping row blocks containing
+    * none of them. Pruning is best-effort by contract — readers may
+    * still emit non-matching rows within a surviving block; the join
+    * filters them — so consuming only In() is correct.
+    */
+  private var allowedI: Option[Set[Long]] = None
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("i"))
+  override def filter(filters: Array[sources.Filter]): Unit =
+    filters.foreach {
+      case sources.In("i", vs) =>
+        val s = vs.collect { case v: Number => v.longValue }.toSet
+        allowedI = Some(allowedI.fold(s)(_ intersect s))
+      case _ => () // unrecognized runtime filters prune nothing
+    }
+
   /** The reference's block-row split: first `n % parts` blocks get one
     * extra row (laplace-par.c:245-251). Blocks outside the pushed
     * [lo, hi) i-range are pruned here — they never become tasks — and
     * surviving blocks are clamped to the range so readers emit exactly
-    * the matching rows.
+    * the matching rows. Blocks holding none of a runtime filter's `i`
+    * values are pruned the same way, just later (at execution).
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val base = n / parts
@@ -183,7 +204,9 @@ class GridScan(n: Int, parts: Int, required: StructType, lo: Long, hi: Long,
       val (bFrom, bTo) = (from, from + width)
       from += width
       val (cFrom, cTo) = (math.max(bFrom, lo), math.min(bTo, hi))
-      if (cFrom < cTo) Some(GridInputPartition(cFrom, cTo)) else None
+      if (cFrom < cTo && allowedI.forall(_.exists(v => v >= cFrom && v < cTo)))
+        Some(GridInputPartition(cFrom, cTo))
+      else None
     }.toArray
   }
 

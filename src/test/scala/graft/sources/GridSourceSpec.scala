@@ -121,4 +121,36 @@ class GridSourceSpec extends SparkSpec {
       org.apache.spark.sql.functions.avg("v")).head().getDouble(0)
     assert(avg == ref)
   }
+
+  test("runtime filtering: a joined dim's i-values prune row blocks at execution") {
+    // 64 blocks of 16 rows; the dim's surviving keys (5, 999) live in
+    // blocks 0 and 62 — runtime filtering must drop the other 62 blocks
+    // AFTER the dim's filter evaluates (there is no static i predicate)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-rtf-dim").toString
+    val sp = spark
+    import sp.implicits._
+    Seq((5L, "keep"), (999L, "keep"), (300L, "drop"), (700L, "drop"))
+      .toDF("i", "tier").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tier") === "keep")
+    val joined = grid(1024, 64).join(dim, "i").select(col("i"), col("j"))
+    val rows = joined.collect() // executes the pruning subquery
+    assert(rows.map(_.getLong(0)).toSet == Set(5L, 999L) && rows.length == 2048)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"), s"no runtime filter:\n${plan.take(3000)}")
+    // the scan physically planned only the two surviving blocks (the
+    // SAME QueryExecution that ran — an unexecuted copy has no subquery
+    // result to prune with)
+    // AQE hides the scan inside AdaptiveSparkPlanExec / QueryStageExec,
+    // whose executed plans are fields, not tree children — recurse manually
+    def gridScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        gridScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        gridScans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[GridScan] => Seq(b.inputRDD.getNumPartitions)
+    }.flatten
+    val scans = gridScans(joined.queryExecution.executedPlan)
+    assert(scans == Seq(2), s"scan partition counts: $scans")
+  }
 }

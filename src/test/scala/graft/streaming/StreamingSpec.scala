@@ -222,6 +222,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a restarted query resumes exactly-once from its offsets") {
+    // the production failure mode: the driver dies mid-stream and the
+    // query restarts from its checkpoint — no window may be lost or
+    // double-emitted. Phase 1 processes half the files and STOPS; phase
+    // 2 starts a fresh query object on the same checkpoint + file sink
+    // and processes the rest. The parquet sink's commit log + state
+    // checkpoint must splice to exactly the batch answer.
+    val dir = Files.createTempDirectory("graft-ckpt-in")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-ckpt-out").toString
+    val rows = eventsBatch.orderBy("ts", "event_id").collect()
+    val schema = eventsBatch.schema
+    val chunks = rows.grouped(math.ceil(rows.length / 4.0).toInt).toSeq
+    def writeChunk(i: Int): Unit = writeFlatFile(
+      spark.createDataFrame(java.util.Arrays.asList(chunks(i): _*), schema),
+      dir, s"chunk$i.parquet", 1700000000000L + i * 60000L)
+    def startQuery() = {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      Streams.hourlyCounts(stream.withWatermark("ts", "10 minutes"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    writeChunk(0); writeChunk(1)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    writeChunk(2); writeChunk(3)
+    val maxTs = eventsBatch.agg(max("ts")).head().getTimestamp(0)
+    val sentinel = spark.sql(
+      s"SELECT CAST(-1 AS BIGINT) AS event_id, timestamp'$maxTs' + INTERVAL 6 HOURS AS ts, " +
+        "CAST(-1 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value, '' AS props")
+    writeFlatFile(sentinel, dir, "z_sentinel.parquet", 1700009000000L)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val got = keyed(spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel").collect())
+    val want = keyed(Streams.hourlyCounts(eventsBatch).collect())
+    assert(got == want, s"spliced output ${got.size} windows, batch ${want.size}")
+  }
+
   test("foreachBatch idempotent sink: batchId-keyed writes survive replays") {
     val dir = Files.createTempDirectory("graft-feb")
     writeOrderedFiles(dir, 3)
