@@ -139,6 +139,7 @@ object Clustering {
       .join(Tables.embeddings(s, d)
         .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v")), "vec_id")
       .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+      .localCheckpoint() // both pair-join sides read this: run Lloyd ONCE
     val a = e.select(col("cl"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("cl").as("cl_b"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("cl") === col("cl_b") && col("vec_a") < col("vec_b"))

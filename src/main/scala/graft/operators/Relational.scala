@@ -1785,6 +1785,45 @@ object Relational {
           ON e.user_id = dim.d_user
          AND e.us >= dim.valid_from_us
          AND (dim.valid_to_us IS NULL OR e.us < dim.valid_to_us)
-        ORDER BY user_id, us, event_id"""))
+        ORDER BY user_id, us, event_id""")),
+
+    // -------------------------------------------------------------------
+    // Incremental rollup maintenance: the daily (day, type) rollup is
+    // kept as MERGEABLE partial state (count + exact decimal sum), and a
+    // new day's arrival merges fresh partials into it — the algebraic
+    // (commutative-monoid) property that lets a 100-TB warehouse update
+    // a rollup by scanning ONLY the new day, never re-reading history.
+    // The query materializes history partials (< T0) and fresh partials
+    // (>= T0) separately, merges them, and derives avg from the merged
+    // state; the oracle is the straight full-scan GROUP BY — hash
+    // equality IS the proof that the merge is exact (decimal sums are
+    // associative; doubles would drift here). Derived measures (avg)
+    // recompute from merged sums, they are never merged themselves.
+    QueryDef("q61_incremental_rollup",
+      (s, d) => {
+        val t0 = 1705881600000000L // 2024-01-22T00:00:00Z — splits the fixture
+        val ev = Tables.events(s, d)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+        def partials(side: org.apache.spark.sql.DataFrame) = side
+          .groupBy("day", "event_type")
+          .agg(count(ONE).as("n"),
+            sum(col("value").cast("decimal(12,2)")).as("sv"))
+        partials(ev.filter(col("us") < t0))
+          .unionAll(partials(ev.filter(col("us") >= t0)))
+          .groupBy("day", "event_type")
+          .agg(sum(col("n")).as("n_events"),
+            sum(col("sv")).cast("double").as("sum_value"),
+            (sum(col("sv")).cast("double") / sum(col("n"))).as("avg_value"))
+          .orderBy("day", "event_type")
+      },
+      Some("""
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY day, event_type"""))
   )
 }
