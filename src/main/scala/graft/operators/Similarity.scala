@@ -507,8 +507,16 @@ object Similarity {
           .map(r => r.getLong(0) -> r.getDouble(1))
         val sim = pairSim.collect()
           .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-        def r6(x: Double): Double = // Spark round(col, 6) semantics
-          java.math.BigDecimal.valueOf(x)
+        // λ·rel − μ·maxsim over 6-decimal-rounded terms lands on EXACT
+        // 7th-decimal midpoints, where double round() and decimal
+        // rounding can split across engines (the t02 lesson, caught by
+        // the sf0.1 sweep) — so the combination runs in exact decimals:
+        // valueOf recovers the rounded term's decimal value, the
+        // weighted difference is exact, HALF_UP matches DuckDB's
+        // away-from-zero decimal rounding for both signs.
+        def mmrExact(rel: Double, maxSim: Double): Double =
+          (java.math.BigDecimal.valueOf(lam).multiply(java.math.BigDecimal.valueOf(rel))
+            .subtract(java.math.BigDecimal.valueOf(mu).multiply(java.math.BigDecimal.valueOf(maxSim))))
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
         val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
         val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -517,7 +525,7 @@ object Similarity {
             .filterNot { case (id, _) => selected.contains(id) }
             .map { case (id, rel) =>
               val score = if (selected.isEmpty) rel
-                else r6(lam * rel - mu * selected.map(sid => sim(id -> sid)).max)
+                else mmrExact(rel, selected.map(sid => sim(id -> sid)).max)
               (id, rel, score)
             }
             .reduceLeft { (x, y) => if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x }
@@ -552,8 +560,9 @@ object Similarity {
           SELECT s.step + 1, list_append(s.ids, nxt.vec_id), nxt.vec_id, nxt.rel, nxt.mmr
           FROM sel s, LATERAL (
             SELECT c.vec_id, c.rel,
-                   round(0.7 * c.rel - 0.3 * (SELECT max(p.sim) FROM pairs p
-                          WHERE p.ia = c.vec_id AND list_contains(s.ids, p.ib)), 6) AS mmr
+                   CAST(round(CAST(0.7 AS DECIMAL(2,1)) * CAST(c.rel AS DECIMAL(8,6))
+                        - CAST(0.3 AS DECIMAL(2,1)) * CAST((SELECT max(p.sim) FROM pairs p
+                          WHERE p.ia = c.vec_id AND list_contains(s.ids, p.ib)) AS DECIMAL(8,6)), 6) AS DOUBLE) AS mmr
             FROM cand c WHERE NOT list_contains(s.ids, c.vec_id)
             ORDER BY mmr DESC, c.vec_id LIMIT 1) nxt
           WHERE s.step < 10)

@@ -151,10 +151,17 @@ object TextAnalysis {
           expr("round(CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks), 6)").as("type_token_ratio"),
           expr("round(CAST(size(filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / size(toks), 6)").as("stopword_ratio"),
           expr("round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(toks), 6)").as("avg_token_len"))
-        .withColumn("quality",
-          round(lit(0.4) * col("type_token_ratio")
-            + lit(0.3) * (lit(1.0) - col("stopword_ratio"))
-            + lit(0.3) * least(lit(1.0), col("n_tokens") / lit(50.0)), 6))
+        // the weighted combination runs in EXACT decimals: the rounded
+        // ratio terms times 0.4/0.3 land on exact 7th-decimal halves,
+        // where double arithmetic sits a hair below the half and the two
+        // engines' round() split (found by the sf0.1 sweep: 0.740938 vs
+        // 0.740939). Decimal sums make the half exact and HALF_UP agree;
+        // the length term avoids division entirely (n/50 == least(50,n)
+        // * 0.02, exact at scale 2).
+        .withColumn("quality", expr(
+          """CAST(round(CAST(0.4 AS DECIMAL(2,1)) * CAST(type_token_ratio AS DECIMAL(8,6))
+             + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1 AS DECIMAL(2,0)) - CAST(stopword_ratio AS DECIMAL(8,6)))
+             + CAST(0.3 AS DECIMAL(2,1)) * (CAST(least(50, n_tokens) AS DECIMAL(4,0)) * CAST(0.02 AS DECIMAL(3,2))), 6) AS DOUBLE)"""))
         .orderBy("doc_id"),
       Some("""
         SELECT doc_id,
@@ -162,9 +169,9 @@ object TextAnalysis {
                round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS type_token_ratio,
                round(CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
                round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 6) AS avg_token_len,
-               round(0.4 * round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
-                   + 0.3 * (1.0 - round(CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks), 6))
-                   + 0.3 * least(1.0, CAST(len(toks) AS BIGINT) / 50.0), 6) AS quality
+               CAST(round(CAST(0.4 AS DECIMAL(2,1)) * CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS DECIMAL(8,6))
+                   + CAST(0.3 AS DECIMAL(2,1)) * (CAST(1 AS DECIMAL(2,0)) - CAST(round(CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks), 6) AS DECIMAL(8,6)))
+                   + CAST(0.3 AS DECIMAL(2,1)) * (CAST(least(50, len(toks)) AS DECIMAL(4,0)) * CAST(0.02 AS DECIMAL(3,2))), 6) AS DOUBLE) AS quality
         FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
         ORDER BY doc_id""")),
 

@@ -97,8 +97,15 @@ class Round3OpsSpec extends SparkSpec {
     for (step <- 1 to 10) {
       val pick = cand.filterNot(c => selected.exists(_._2 == c._1))
         .map { case (id, rel) =>
+          // exact decimal weighted difference — the query's midpoint-safe
+          // arithmetic (see s08's mmrExact), not double 0.7*x - 0.3*y
           val score = if (selected.isEmpty) rel
-            else r6(0.7 * rel - 0.3 * selected.map(s => sim((id, s._2))).max)
+            else {
+              val ms = selected.map(s => sim((id, s._2))).max
+              (java.math.BigDecimal.valueOf(0.7).multiply(java.math.BigDecimal.valueOf(rel))
+                .subtract(java.math.BigDecimal.valueOf(0.3).multiply(java.math.BigDecimal.valueOf(ms))))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            }
           (id, rel, score)
         }
         .reduceLeft((x, y) => if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x)
