@@ -1824,6 +1824,91 @@ object Relational {
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
         FROM events
         GROUP BY 1, 2
-        ORDER BY day, event_type"""))
+        ORDER BY day, event_type""")),
+
+    // -------------------------------------------------------------------
+    // Linear interpolation over a resampled hourly grid (q31's ffill
+    // sibling): gaps get the straight line between the surrounding
+    // observations. The interpolation is ENGINE-EXACT by construction:
+    // values become integer micro-units (2-decimal money × 1e6, exact
+    // decimal→bigint), and the interpolated point rounds the exact
+    // rational (pv·m + Δv·k)/m half-up with pure bigint arithmetic
+    // ((2N + m) div 2m) — a fractional weight like k/32 would otherwise
+    // land the double on a 7th-decimal midpoint where engines' round()
+    // split (the t02/s08 lesson, applied at design time). Scale: one
+    // shuffle on user_id; slots explode from a per-user span row, and
+    // both window passes share the (user_id, h) sort.
+    QueryDef("q62_linear_interp",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(pmod(col("user_id"), lit(50)) === 11)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT)").as("v6"))
+          .withColumn("h", expr("us div 3600000000"))
+        val wPick = Window.partitionBy("user_id", "h")
+          .orderBy(col("us").desc, col("event_id").desc)
+        val obs = ev.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+          .select(col("user_id"), col("h"), col("v6"))
+        val slots = ev.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+        val wPrev = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(0, Window.unboundedFollowing)
+        slots.join(obs, Seq("user_id", "h"), "left")
+          .withColumn("pv", last(col("v6"), ignoreNulls = true).over(wPrev))
+          .withColumn("ph", last(when(col("v6").isNotNull, col("h")), ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("v6"), ignoreNulls = true).over(wNext))
+          .withColumn("nh", first(when(col("v6").isNotNull, col("h")), ignoreNulls = true).over(wNext))
+          .withColumn("v6i", expr(
+            """CASE WHEN v6 IS NOT NULL THEN v6
+               ELSE (2 * (pv * (nh - ph) + (nv - pv) * (h - ph)) + (nh - ph))
+                    div (2 * (nh - ph)) END"""))
+          .select(col("user_id"), col("h"), col("v6i"),
+            col("v6").isNull.as("interpolated"),
+            (col("v6i").cast("double") / lit(1000000.0)).as("v"))
+          .orderBy("user_id", "h")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS v6,
+                 epoch_us(ts) // 3600000000 AS h
+          FROM events WHERE user_id % 50 = 11),
+        obs AS (
+          SELECT user_id, h, v6 FROM (
+            SELECT user_id, h, v6,
+                   row_number() OVER (PARTITION BY user_id, h
+                                      ORDER BY us DESC, event_id DESC) AS rn
+            FROM e)
+          WHERE rn = 1),
+        slots AS (
+          SELECT user_id, unnest(generate_series(h0, h1)) AS h
+          FROM (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY user_id)),
+        j AS (
+          SELECT s.user_id, s.h, o.v6 FROM slots s
+          LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h),
+        w AS (
+          SELECT user_id, h, v6,
+                 last_value(v6 IGNORE NULLS) OVER wp AS pv,
+                 last_value(CASE WHEN v6 IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+                 first_value(v6 IGNORE NULLS) OVER wn AS nv,
+                 first_value(CASE WHEN v6 IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+          FROM j
+          WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        f AS (
+          SELECT user_id, h,
+                 CASE WHEN v6 IS NOT NULL THEN v6
+                      ELSE (2 * (pv * (nh - ph) + (nv - pv) * (h - ph)) + (nh - ph))
+                           // (2 * (nh - ph)) END AS v6i,
+                 v6 IS NULL AS interpolated
+          FROM w)
+        SELECT user_id, h, v6i, interpolated,
+               CAST(v6i AS DOUBLE) / 1000000.0 AS v
+        FROM f
+        ORDER BY user_id, h"""))
   )
 }

@@ -201,6 +201,37 @@ class Round4OpsSpec extends SparkSpec {
     assert(rows.values.exists(_ > 0), "fixture should reach some non-seed docs")
   }
 
+  test("q62: interpolated micro-units match an exact scalar rational recompute") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .filter(pmod(col("user_id"), lit(50)) === 11)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        (BigDecimal(r.getDouble(3)).setScale(2) * 1000000).toBigIntExact.get))
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val obs = rows.groupBy(_._3 / 3600000000L).map { case (h, v) =>
+        h -> v.maxBy(e => (e._3, e._2))._4 // last by (us, event_id)
+      }
+      val (h0, h1) = (obs.keys.min, obs.keys.max)
+      (h0 to h1).map { h =>
+        obs.get(h) match {
+          case Some(v) => (u, h, v, false)
+          case None =>
+            val ph = obs.keys.filter(_ < h).max
+            val nh = obs.keys.filter(_ > h).min
+            val (pv, nv) = (obs(ph), obs(nh))
+            val m = BigInt(nh - ph)
+            val num = pv * m + (nv - pv) * BigInt(h - ph)
+            (u, h, (num * 2 + m) / (m * 2), true) // exact half-up
+        }
+      }
+    }.toSet
+    val got = run("q62_linear_interp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigInt(r.getLong(2)), r.getBoolean(3))).toSet
+    assert(got == expected)
+    assert(expected.exists(_._4), "fixture should contain gaps to interpolate")
+  }
+
   test("st09: dynamic-gap sessions match a scalar interval-union sessionizer") {
     val evs = graft.Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_id"), col("event_type"),

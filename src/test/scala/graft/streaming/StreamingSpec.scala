@@ -222,6 +222,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update-mode aggregation: last emitted state per key converges to batch") {
+    // update mode re-emits only the keys each micro-batch changed; the
+    // last emission per key must equal the batch answer. foreachBatch
+    // applies them in order — the upsert-sink contract (complete mode
+    // rewrites everything; update is what a 100-TB keyed sink wants).
+    val dir = Files.createTempDirectory("graft-stream-upd")
+    writeOrderedFiles(dir, 4)
+    val state = new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Double)]()
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = Streams.hourlyCounts(stream)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          state.put((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val want = Streams.hourlyCounts(eventsBatch).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    import scala.jdk.CollectionConverters._
+    assert(state.asScala.toMap == want)
+  }
+
   test("checkpoint recovery: a restarted query resumes exactly-once from its offsets") {
     // the production failure mode: the driver dies mid-stream and the
     // query restarts from its checkpoint — no window may be lost or
