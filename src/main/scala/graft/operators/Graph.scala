@@ -173,6 +173,12 @@ object Graph {
         .join(dist.select(col("doc_id").as("src"), col("dist")), "src")
         .filter(col("dist").isNotNull)
         .groupBy("dst").agg((min(col("dist")) + 1).cast("int").as("nd"))
+      // dist is read TWICE per round (msgs + the merge join), so the
+      // textual plan doubles per round — but both references end in an
+      // Exchange over the same subtree, and ReuseExchange collapses them
+      // at runtime (measured: a per-round localCheckpoint is ~2x SLOWER
+      // here, since it forces eager materialization the reuse already
+      // avoids). The cost per round is one frontier join + one merge.
       dist = dist.join(msgs, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"), expr(
           """CASE WHEN dist IS NULL THEN nd WHEN nd IS NULL THEN dist

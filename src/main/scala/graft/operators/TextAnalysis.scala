@@ -622,6 +622,12 @@ object TextAnalysis {
             "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))")).as("big"))
           .select(col("doc_id"), col("source"),
             pmod(expr(Ns.hash32("concat('ds:', big)")), lit(4096L)).as("b"))
+        // stats is read twice (tot + weights) and feat three times in the
+        // textual plan, but every duplicate ends in the same aggregate
+        // Exchange and ReuseExchange collapses them at runtime (measured:
+        // a localCheckpoint here is ~1.5x slower — it forces an eager
+        // materialization the reuse already avoids). Net corpus passes:
+        // two — fit weights, then score — the DSIR shape.
         val stats = feat.groupBy("b").agg(
           sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
           count(lit(1)).as("cb"))

@@ -179,7 +179,13 @@ class GridScan(n: Int, parts: Int, required: StructType, lo: Long, hi: Long,
     */
   private var allowedI: Option[Set[Long]] = None
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("i"))
+    // advertise `i` ONLY when it survives column pruning: Spark resolves
+    // every advertised attribute against the scan's ACTUAL output and
+    // throws at planning for a pruned one (a select("j","v") join would
+    // crash, not merely skip pruning)
+    if (readSchema().fieldNames.contains("i"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("i"))
+    else Array.empty
   override def filter(filters: Array[sources.Filter]): Unit =
     filters.foreach {
       case sources.In("i", vs) =>

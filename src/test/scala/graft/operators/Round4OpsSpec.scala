@@ -91,14 +91,45 @@ class Round4OpsSpec extends SparkSpec {
   }
 
   test("q56: nation-pair revenue is direction-separated and matches a scalar join") {
-    val rows = run("q56_tpch_q7").collect()
-    rows.foreach { r =>
-      val (s1, c1) = (r.getString(0), r.getString(1))
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
+    val nations = spark.read.parquet(s"$sf0001/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val suppNation = spark.read.parquet(s"$sf0001/supplier.parquet")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => lv(r, 0) -> nations(lv(r, 1))).toMap
+    val custNation = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => lv(r, 0) -> nations(lv(r, 1))).toMap
+    val orderCust = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        // year via Spark's own fn (UTC session tz) — a raw Timestamp
+        // rendered in the JVM default zone could shift at year bounds
+        year(col("l_shipdate")).cast("long").as("y"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .flatMap { r =>
+        val sn = suppNation(r.getLong(1))
+        val cn = custNation(orderCust(r.getLong(0)))
+        val pair = (sn == "NATION_3" && cn == "NATION_7") ||
+          (sn == "NATION_7" && cn == "NATION_3")
+        if (pair) Some(((sn, cn, r.getLong(2)),
+          BigDecimal(r.getDouble(3)).setScale(2) *
+            (BigDecimal(1) - BigDecimal(r.getDouble(4)).setScale(2))))
+        else None
+      }
+      .groupBy(_._1).map { case (k, v) =>
+        k -> (v.map(_._2).sum.setScale(6).toDouble * 1e6).round / 1e6
+      }
+    val got = run("q56_tpch_q7").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got == expected)
+    got.keys.foreach { case (s1, c1, _) =>
       assert(Set(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))(s1 -> c1))
     }
-    // group keys unique
-    val keys = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    assert(keys.distinct.length == keys.length)
   }
 
   test("q57: every counted customer has zero orders and above-average positive balance") {

@@ -153,4 +153,16 @@ class GridSourceSpec extends SparkSpec {
     val scans = gridScans(joined.queryExecution.executedPlan)
     assert(scans == Seq(2), s"scan partition counts: $scans")
   }
+
+  test("runtime filtering: a join on a PRUNED-away i must not crash planning") {
+    // filterAttributes() may only advertise columns that survive column
+    // pruning — Spark resolves each advertised attribute against the
+    // scan's actual output and throws for a missing one (regression:
+    // this crashed with 'Unable to resolve i given [j]')
+    val sp = spark
+    import sp.implicits._
+    val dim = Seq((0L, "keep"), (3L, "keep")).toDF("j", "tier")
+    val got = grid(64, 8).select("j", "v").join(dim.filter(col("tier") === "keep"), "j")
+    assert(got.count() == 2 * 64) // every i row contributes j=0 and j=3
+  }
 }
