@@ -24,6 +24,16 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every multi-row oracle carries an ORDER BY (hash compare needs total order)") {
+    // the driver hash-compares row sequences; an unordered multi-row
+    // oracle is only green by luck. Single-row aggregates are exempt.
+    val unordered = SparkEntry.oracleSql.filterNot(_._2.toUpperCase.contains("ORDER BY"))
+    unordered.foreach { case (name, _) =>
+      val n = SparkEntry.queries(name)(spark, sf0001).count()
+      assert(n <= 1, s"$name returns $n rows with no ORDER BY in its oracle")
+    }
+  }
+
   test("all queries execute at sf0.001 and return deterministic row counts twice") {
     val counts1 = SparkEntry.queries.map { case (n, fn) => n -> fn(spark, sf0001).count() }
     val counts2 = SparkEntry.queries.map { case (n, fn) => n -> fn(spark, sf0001).count() }
