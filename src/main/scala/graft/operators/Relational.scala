@@ -1909,6 +1909,39 @@ object Relational {
         SELECT user_id, h, v6i, interpolated,
                CAST(v6i AS DOUBLE) / 1000000.0 AS v
         FROM f
-        ORDER BY user_id, h"""))
+        ORDER BY user_id, h""")),
+
+    // -------------------------------------------------------------------
+    // Exact grouped MODE with a deterministic tie-break (q17's
+    // percentile sibling for categorical columns). Spark 4 has mode(),
+    // but its tie choice is arbitrary — useless for a reproducible
+    // pipeline — so this is the canonical two-level shape: count per
+    // (group, value) with map-side partials, then one ranked pick per
+    // group (ties -> lexicographically smallest value). Scale: the
+    // second phase runs on |groups x distinct values| rows, not data.
+    QueryDef("q63_grouped_mode",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("n").desc, col("o_orderpriority"))
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment", "o_orderpriority")
+          .agg(count(ONE).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+            col("n"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+        FROM (
+          SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY count(*) DESC, o_orderpriority) AS rn
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, o_orderpriority)
+        WHERE rn = 1
+        ORDER BY c_mktsegment"""))
   )
 }

@@ -232,6 +232,24 @@ class Round4OpsSpec extends SparkSpec {
     assert(rows.values.exists(_ > 0), "fixture should reach some non-seed docs")
   }
 
+  test("q63: grouped mode matches a scalar count-and-pick with the documented tie-break") {
+    val custSeg = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (custSeg(r.getLong(0)), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expected = counts.groupBy(_._1._1).map { case (seg, m) =>
+      val (key, n) = m.minBy { case ((_, prio), n) => (-n, prio) }
+      seg -> ((key._2, n))
+    }
+    val got = run("q63_grouped_mode").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.size == 5) // one row per market segment
+  }
+
   test("q62: interpolated micro-units match an exact scalar rational recompute") {
     val ev = graft.Tables.events(spark, sf0001)
       .filter(pmod(col("user_id"), lit(50)) === 11)
