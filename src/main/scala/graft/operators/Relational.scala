@@ -1942,6 +1942,49 @@ object Relational {
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment, o_orderpriority)
         WHERE rn = 1
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+
+    // -------------------------------------------------------------------
+    // Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg) —
+    // the warehouse incremental-distinct primitive. Each shard persists a
+    // ~KB binary sketch; the nightly rollup UNIONS sketches instead of
+    // rescanning raw rows, so refreshing a global distinct count costs
+    // O(shards), not O(data). The query proves the algebra the pattern
+    // rests on: HLL union is a register-wise max, so the SHARD LAYOUT
+    // cannot change the merged result — unioning 8 shard sketches and 3
+    // shard sketches over the same rows yields identical estimates (note:
+    // a union does NOT equal a direct one-pass sketch in HLL mode, since
+    // direct updates keep the HIP estimator while unions fall back to the
+    // composite estimator — equality across layouts is the invariant that
+    // actually holds, and the one incremental pipelines rely on). The
+    // merged estimate also lands within the lgK=12 error bound of the
+    // exact count. q15's approx_count_distinct is the one-shot form; this
+    // is the incremental/mergeable form.
+    QueryDef("q64_hll_sketch",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        // per-shard sketches — the state an incremental pipeline persists
+        def mergedEst(nShards: Int) = li
+          .withColumn("shard", pmod(col("l_orderkey"), lit(nShards)))
+          .groupBy("shard")
+          .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as(s"est_$nShards"))
+        val exact = li.agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          countDistinct(pmod(col("l_orderkey"), lit(8))).as("n_shards"))
+        exact.crossJoin(mergedEst(8)).crossJoin(mergedEst(3)) // 1-row sides
+          .select(col("n_exact"), col("n_shards"),
+            (col("est_8") === col("est_3")).as("layout_invariant"),
+            col("est_8")
+              .between(col("n_exact") * 0.94, col("n_exact") * 1.06)
+              .as("est_in_bounds"))
+      },
+      Some("""
+        SELECT count(DISTINCT l_partkey) AS n_exact,
+               count(DISTINCT l_orderkey % 8) AS n_shards,
+               TRUE AS layout_invariant,
+               TRUE AS est_in_bounds
+        FROM lineitem"""))
   )
 }

@@ -232,6 +232,24 @@ class Round4OpsSpec extends SparkSpec {
     assert(rows.values.exists(_ > 0), "fixture should reach some non-seed docs")
   }
 
+  test("q64: HLL union is shard-layout invariant and within the lgK=12 bound") {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union_agg}
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    def mergedEst(nShards: Int): Long = li
+      .withColumn("shard", pmod(col("l_orderkey"), lit(nShards)))
+      .groupBy("shard").agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("e"))
+      .head().getLong(0)
+    // register-wise max => any shard layout merges to the same registers
+    val estimates = Seq(1, 3, 8, 32).map(mergedEst).distinct
+    assert(estimates.size == 1, s"layout changed the union estimate: $estimates")
+    val exact = li.select("l_partkey").distinct().count()
+    assert(math.abs(estimates.head - exact).toDouble / exact < 0.06)
+    val row = run("q64_hll_sketch").head()
+    assert(row.getBoolean(2) && row.getBoolean(3)) // layout_invariant, est_in_bounds
+    assert(row.getLong(0) == exact && row.getLong(1) == 8L)
+  }
+
   test("q63: grouped mode matches a scalar count-and-pick with the documented tie-break") {
     val custSeg = spark.read.parquet(s"$sf0001/customer.parquet")
       .select("c_custkey", "c_mktsegment").collect()
