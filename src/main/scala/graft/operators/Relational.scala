@@ -1985,6 +1985,57 @@ object Relational {
                count(DISTINCT l_orderkey % 8) AS n_shards,
                TRUE AS layout_invariant,
                TRUE AS est_in_bounds
-        FROM lineitem"""))
+        FROM lineitem""")),
+
+    // -------------------------------------------------------------------
+    // Sequential pattern detection over per-user event journeys — the
+    // MATCH_RECOGNIZE / funnel-regex technique: encode each event as one
+    // char, assemble the user's journey string in (ts, event_id) order,
+    // then match patterns on the string. Subsequence conversion uses LIKE
+    // ('%v%c%p%') and contiguous-funnel counting uses literal replace()
+    // arithmetic — both have identical semantics in every SQL engine,
+    // unlike regex counting (leftmost-first vs leftmost-longest). Scale:
+    // state per user is its event count (same bound as sessionization);
+    // the groupBy shuffles each event once, pre-projected to 1 char.
+    // q32 is the stage-at-a-time funnel; this is the whole-journey form.
+    QueryDef("q65_journey_pattern",
+      (s, d) => {
+        val ch = when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .when(col("event_type") === "signup", "s")
+          .otherwise("e")
+        Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), ch.as("ch"))
+          .groupBy("user_id")
+          .agg(array_join(
+            transform(sort_array(collect_list(struct(col("us"), col("event_id"), col("ch")))),
+              x => x.getField("ch")), "").as("journey"))
+          .select(col("user_id"), col("journey"),
+            length(col("journey")).as("n_events"),
+            col("journey").like("%v%c%p%").as("converted"),
+            ((length(col("journey")) -
+              length(replace(col("journey"), lit("vcp"), lit("")))) / 3)
+              .cast("int").as("n_direct_funnels"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                      ELSE 'e' END AS ch
+          FROM events),
+        j AS (
+          SELECT user_id, string_agg(ch, '' ORDER BY us, event_id) AS journey
+          FROM e GROUP BY user_id)
+        SELECT user_id, journey,
+               CAST(length(journey) AS INT) AS n_events,
+               journey LIKE '%v%c%p%' AS converted,
+               CAST((length(journey) - length(replace(journey, 'vcp', ''))) // 3
+                    AS INT) AS n_direct_funnels
+        FROM j
+        ORDER BY user_id"""))
   )
 }

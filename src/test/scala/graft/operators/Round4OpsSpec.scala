@@ -250,6 +250,38 @@ class Round4OpsSpec extends SparkSpec {
     assert(row.getLong(0) == exact && row.getLong(1) == 8L)
   }
 
+  test("q65: journeys match a scalar rebuild; pattern counts match a hand scan") {
+    val enc = Map("view" -> 'v', "click" -> 'c', "purchase" -> 'p', "signup" -> 's')
+    val ev = graft.Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2),
+        enc.getOrElse(r.getString(3), 'e')))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val j = rows.sortBy(r => (r._2, r._3)).map(_._4).mkString
+      // count non-overlapping contiguous "vcp" by a left-to-right scan
+      val direct = Iterator.iterate(j.indexOf("vcp"))(i => j.indexOf("vcp", i + 3))
+        .takeWhile(_ >= 0).size
+      u -> ((j, j.length, direct))
+    }
+    val got = run("q65_journey_pattern").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getBoolean(3), r.getInt(4))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, (j, n, direct)) =>
+      val (gj, gn, gconv, gdirect) = got(u)
+      assert(gj == j, s"user $u journey")
+      assert(gn == n && gdirect == direct)
+      // subsequence v..c..p check, independent of LIKE
+      val subseq = for {
+        vi <- Some(j.indexOf('v')).filter(_ >= 0)
+        ci <- Some(j.indexOf('c', vi + 1)).filter(_ >= 0)
+        if j.indexOf('p', ci + 1) >= 0
+      } yield ()
+      assert(gconv == subseq.isDefined, s"user $u converted")
+    }
+  }
+
   test("q63: grouped mode matches a scalar count-and-pick with the documented tie-break") {
     val custSeg = spark.read.parquet(s"$sf0001/customer.parquet")
       .select("c_custkey", "c_mktsegment").collect()
