@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Sql, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2036,6 +2037,48 @@ object Relational {
                CAST((length(journey) - length(replace(journey, 'vcp', ''))) // 3
                     AS INT) AS n_direct_funnels
         FROM j
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------------
+    // Incremental maintenance of a JOIN materialized view (q61's sibling
+    // for the join algebra, not just the rollup monoid). The stored MV is
+    // agg(O_old ⋈ L_old); when delta batches ΔO and ΔL arrive, the exact
+    // delta-join identity
+    //   O ⋈ L = O_old⋈L_old ∪ ΔO⋈L_old ∪ O⋈ΔL      (disjoint union)
+    // lets the refresh compute only the two delta joins and merge their
+    // aggregate partials into the MV — never re-joining history against
+    // history. Deltas are ~1% batches, hence broadcast: each refresh is
+    // two broadcast joins over a bucketed history scan at 100 TB. The
+    // DuckDB oracle is the NAIVE full join+agg — hash equality is the
+    // differential proof that the delta algebra and the decimal partial
+    // merge are exact.
+    QueryDef("q66_join_ivm",
+      (s, d) => {
+        val dec = "decimal(12,2)"
+        val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+          (col("l_extendedprice").cast(dec) * (ONE - col("l_discount")).cast(dec))
+            .as("rev"))
+        val isNewO = pmod(col("o_orderkey"), lit(97)) === 0
+        val isNewL = pmod(col("l_orderkey"), lit(89)) === 0
+        def partials(os: DataFrame, ls: DataFrame) =
+          os.join(ls, col("o_orderkey") === col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(ONE).as("n"), sum(col("rev")).as("sv"))
+        val mvOld  = partials(o.filter(!isNewO), l.filter(!isNewL))
+        val deltaO = partials(broadcast(o.filter(isNewO)), l.filter(!isNewL))
+        val deltaL = partials(o, broadcast(l.filter(isNewL)))
+        mvOld.unionAll(deltaO).unionAll(deltaL)
+          .groupBy("o_orderpriority")
+          .agg(sum(col("n")).as("n_items"),
+            sum(col("sv")).cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        SELECT o_orderpriority, count(*) AS n_items,
+               ${Sql.oDsumProd("l_extendedprice", "1 - l_discount")} AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))
   )
 }

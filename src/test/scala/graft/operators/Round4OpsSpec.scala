@@ -282,6 +282,23 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("q66: incremental join-MV equals the direct join+agg; all three legs fire") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val l = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    // the fixture must exercise every leg of the delta identity
+    assert(o.filter(pmod(col("o_orderkey"), lit(97)) === 0).count() > 0)
+    assert(l.filter(pmod(col("l_orderkey"), lit(89)) === 0).count() > 0)
+    val direct = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        graft.Sql.dsumProd(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = run("q66_join_ivm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == direct)
+  }
+
   test("q63: grouped mode matches a scalar count-and-pick with the documented tie-break") {
     val custSeg = spark.read.parquet(s"$sf0001/customer.parquet")
       .select("c_custkey", "c_mktsegment").collect()
