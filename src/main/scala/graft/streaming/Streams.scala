@@ -114,6 +114,20 @@ object Streams {
         unix_micros(col("w.end")).as("session_end_us"),
         col("n_events"))
 
+  /** Streaming admission filter — incremental dedup against a STATIC
+    * historical index (p06's daily-increment shape as a stream): an
+    * arriving event survives iff its key is absent from the index. The
+    * index side is broadcast, so every micro-batch filters map-side with
+    * no stream-side shuffle and ZERO streaming state — history is bounded
+    * by the index, not by watermark-horizon state (in-horizon replays are
+    * st07's dropDuplicatesWithinWatermark job; composing both gives the
+    * production pipeline). One definition serves batch (the st10 oracle
+    * row) and streaming (StreamingSpec proves stream==batch, append mode,
+    * and asserts the broadcast in the micro-batch plan).
+    */
+  def admitNew(arrivals: DataFrame, seenIndex: DataFrame): DataFrame =
+    arrivals.join(broadcast(seenIndex), Seq("event_id"), "left_anti")
+
   /** Exactly-once counts from an at-least-once feed: dedup by event_id,
     * then count per type. Streaming form uses
     * dropDuplicatesWithinWatermark (state bounded by the watermark
@@ -427,7 +441,31 @@ object Streams {
                max(ev_end) AS session_end_us, count(*) AS n_events
         FROM z
         GROUP BY user_id, sid
-        ORDER BY user_id, session_start_us"""))
+        ORDER BY user_id, session_start_us""")),
+
+    // -------------------------------------------------------------------
+    // Streaming admission vs a static historical index (batch form):
+    // events whose id is already in "yesterday's" index (event_id % 3 = 0
+    // simulates the prior ingest) are rejected; admitted traffic is
+    // counted per type. The oracle's NOT IN is the anti-join contract
+    // (event_id is non-null, so NOT IN == anti join here; q49 pins the
+    // null-aware cases).
+    QueryDef("st10_stream_admission",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
+        val seen = ev.filter(pmod(col("event_id"), lit(3)) === 0).select("event_id")
+        admitNew(ev, seen)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_admitted"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_admitted
+        FROM events
+        WHERE event_id NOT IN
+          (SELECT event_id FROM events WHERE event_id % 3 = 0)
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }
 

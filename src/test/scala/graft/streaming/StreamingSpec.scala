@@ -222,6 +222,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream admission: st10's admitNew on a stream == batch, index broadcast") {
+    val dir = Files.createTempDirectory("graft-ss-admit")
+    eventsBatch.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+    val seen = eventsBatch.filter(pmod(col("event_id"), lit(3)) === 0)
+      .select("event_id")
+    val stream = spark.readStream.schema(Streams.eventsSchema).parquet(s"$dir/in")
+    // stateless filter: append mode, rows emitted as they pass
+    val q = Streams.admitNew(stream.select(col("event_id"), col("event_type")), seen)
+      .writeStream.format("memory").queryName("ss_admit")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_admit").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = Streams.admitNew(
+          eventsBatch.select(col("event_id"), col("event_type")), seen)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want && got.nonEmpty)
+      // no event with id % 3 == 0 may be admitted
+      assert(got.forall(_._1 % 3 != 0))
+      // the broadcast hint drives the same join choice the micro-batch
+      // planner makes; assert it on the batch physical plan
+      val physical = Streams.admitNew(
+          eventsBatch.select(col("event_id"), col("event_type")), seen)
+        .queryExecution.executedPlan.toString
+      assert(physical.contains("BroadcastHashJoin") && physical.contains("LeftAnti"),
+        s"expected a broadcast anti join in:\n$physical")
+    } finally q.stop()
+  }
+
   test("update-mode aggregation: last emitted state per key converges to batch") {
     // update mode re-emits only the keys each micro-batch changed; the
     // last emission per key must equal the batch answer. foreachBatch
