@@ -567,6 +567,169 @@ object Similarity {
             ORDER BY mmr DESC, c.vec_id LIMIT 1) nxt
           WHERE s.step < 10)
         SELECT CAST(step AS INT) AS step, pick AS vec_id, rel, mmr AS mmr_score
-        FROM sel ORDER BY step"""))
+        FROM sel ORDER BY step""")),
+
+    // -------------------------------------------------------------------
+    // IVF+PQ with residual encoding and ADC — the full FAISS IVFPQ
+    // architecture, composing s02's coarse quantizer with s06's codebook
+    // machinery. Index build: assign each vector to its nearest coarse
+    // centroid, PQ-encode the RESIDUAL (v - centroid) in 4 subspaces
+    // (seed + one Lloyd sweep, decimal-exact codebooks). Query: probe
+    // the NPROBE nearest buckets; per (query, bucket) build the 4x4
+    // asymmetric-distance lookup table l2(query_residual_sub, codeword);
+    // a candidate's distance is then a pure 4-entry table-lookup SUM of
+    // its stored codes — the scan touches ONLY the 4-byte code rows,
+    // never the vectors. At 100 TB: codes table partitioned by bucket
+    // (probes = partition-pruned scans), LUTs are |Q| x nprobe x 16 rows
+    // broadcast; raw embeddings appear in no query-time shuffle at all.
+    // Every step is decimal-exact/rounded with id tie-breaks, so the
+    // full ADC ranking is bit-stable across engines and partitionings.
+    QueryDef("s09_ann_ivfpq",
+      (s, d) => {
+        Ns.registerFast(s)
+        val S = 4; val KC = 4
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
+        // coarse quantizer: label-mean centroids (broadcast-sized), as s02
+        val cd = e.select(col("label"), posexplode(col("v")))
+          .groupBy(col("label").as("cl"), col("pos"))
+          .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+        val cent = cd.groupBy("cl")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
+        val l2 = "round(vec_l2sq(%s, cv), 6)"
+        // assignment + residual r = v - centroid[bucket]
+        val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))
+        val assigned = e.crossJoin(cent)
+          .select(col("vec_id"), col("v"), col("cl"), col("cv"),
+            expr(l2.format("v")).as("d2"))
+          .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cl").as("bucket"),
+            expr("zip_with(v, cv, (a, b) -> a - b)").as("r"))
+        // residual subspaces; codebooks: seed (vec_id < KC) + one sweep
+        val sub = assigned.select(col("vec_id"), col("bucket"), explode(expr(
+            s"transform(sequence(0, ${S - 1}), s -> struct(s AS sp, slice(r, s * 16 + 1, 16) AS sv))")).as("x"))
+          .select(col("vec_id"), col("bucket"), col("x.sp"), col("x.sv"))
+        val seed = sub.filter(col("vec_id") < KC)
+          .select(col("sp"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+        def assign(cb: org.apache.spark.sql.DataFrame) = sub.join(broadcast(cb), "sp")
+          .select(col("vec_id"), col("bucket"), col("sp"),
+            struct(round(expr("vec_l2sq(sv, cv)"), 6).as("d2"), col("code")).as("dc"))
+          .groupBy("vec_id", "bucket", "sp").agg(min(col("dc")).as("m"))
+          .select(col("vec_id"), col("bucket"), col("sp"), col("m.code").as("code"))
+        val cb1 = assign(seed).join(sub, Seq("vec_id", "bucket", "sp"))
+          .select(col("sp"), col("code"), posexplode(col("sv")))
+          .groupBy("sp", "code", "pos")
+          .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+          .groupBy("sp", "code")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
+        val codes = assign(cb1)
+          .select(col("vec_id"), col("bucket"), col("sp").as("csp"), col("code").as("ccode"))
+        // queries: probe NPROBE buckets, carry the query residual per bucket
+        val q = e.filter(expr(QFILTER)).select(col("vec_id").as("qid"), col("v").as("qv"))
+        val wP = Window.partitionBy("qid").orderBy(col("qd2"), col("cl"))
+        val probe = q.crossJoin(cent)
+          .select(col("qid"), col("cl"), expr(l2.format("qv")).as("qd2"),
+            expr("zip_with(qv, cv, (a, b) -> a - b)").as("qr"))
+          .withColumn("prn", row_number().over(wP)).filter(col("prn") <= NPROBE)
+          .select(col("qid"), col("cl"), col("qr"))
+        // ADC lookup tables: (qid, bucket) x 4 subspaces x 4 codewords
+        val lut = probe.select(col("qid"), col("cl"), explode(expr(
+            s"transform(sequence(0, ${S - 1}), s -> struct(s AS sp, slice(qr, s * 16 + 1, 16) AS qsv))")).as("x"))
+          .select(col("qid"), col("cl"), col("x.sp"), col("x.qsv"))
+          .join(broadcast(cb1), "sp")
+          .select(col("qid"), col("cl"), col("sp"), col("code"),
+            round(expr("vec_l2sq(qsv, cv)"), 6).as("lt"))
+        // candidate distance = exact sum of its 4 LUT entries
+        val cands = lut.join(codes,
+            col("cl") === col("bucket") && col("sp") === col("csp") &&
+              col("code") === col("ccode"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id").as("neighbor"))
+          .agg(sum(col("lt").cast("decimal(18,6)")).cast("double").as("adc_d2"))
+        val wR = Window.partitionBy("qid").orderBy(col("adc_d2"), col("neighbor"))
+        cands.withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= TOPK)
+          .select(col("qid"), col("rank").cast("int").as("rank"),
+            col("neighbor"), col("adc_d2"))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val l2sub = (v: String) =>
+          s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform($v, (x, i) -> (x - cv[i]) * (x - cv[i]))), (acc, x) -> acc + x), 6)""".stripMargin
+        s"""
+        WITH v AS (
+          SELECT vec_id, label, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        cd AS (
+          SELECT label AS cl, i AS pos,
+                 CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+          FROM v CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY label, i),
+        cent AS (SELECT cl, list(c ORDER BY pos) AS cv FROM cd GROUP BY cl),
+        assigned AS (
+          SELECT vec_id, cl AS bucket,
+                 list_transform(v, (x, i) -> x - cv[i]) AS r
+          FROM (
+            SELECT vec_id, cl, v, cv,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ${l2sub("v")}, cl) AS rn
+            FROM v CROSS JOIN cent) WHERE rn = 1),
+        sub AS (
+          SELECT vec_id, bucket, x.sp AS sp, x.sv AS sv FROM (
+            SELECT vec_id, bucket, unnest(list_transform(generate_series(0, 3),
+                   s -> struct_pack(sp := s, sv := list_slice(r, s * 16 + 1, s * 16 + 16)))) AS x
+            FROM assigned)),
+        seed AS (
+          SELECT sp, CAST(vec_id AS INT) AS code, sv AS cv FROM sub WHERE vec_id < 4),
+        a1 AS (
+          SELECT vec_id, bucket, sp, code FROM (
+            SELECT sub.vec_id, sub.bucket, sub.sp, code,
+                   row_number() OVER (PARTITION BY sub.vec_id, sub.sp
+                     ORDER BY ${l2sub("sv")}, code) AS rn
+            FROM sub JOIN seed ON sub.sp = seed.sp) WHERE rn = 1),
+        cd2 AS (
+          SELECT sub.sp, a1.code, i AS pos,
+                 CAST(sum(CAST(sv[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+          FROM sub JOIN a1 ON sub.vec_id = a1.vec_id AND sub.sp = a1.sp
+          CROSS JOIN generate_series(1, 16) t(i)
+          GROUP BY sub.sp, a1.code, i),
+        cb1 AS (SELECT sp, code, list(c ORDER BY pos) AS cv FROM cd2 GROUP BY sp, code),
+        codes AS (
+          SELECT vec_id, bucket, sp AS csp, code AS ccode FROM (
+            SELECT sub.vec_id, sub.bucket, sub.sp, code,
+                   row_number() OVER (PARTITION BY sub.vec_id, sub.sp
+                     ORDER BY ${l2sub("sv")}, code) AS rn
+            FROM sub JOIN cb1 ON sub.sp = cb1.sp) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE $QFILTER),
+        probe AS (
+          SELECT qid, cl, qr FROM (
+            SELECT qid, cl,
+                   list_transform(qv, (x, i) -> x - cv[i]) AS qr,
+                   row_number() OVER (PARTITION BY qid ORDER BY ${l2sub("qv")}, cl) AS prn
+            FROM q CROSS JOIN cent) WHERE prn <= $NPROBE),
+        qsub AS (
+          SELECT qid, cl, x.sp AS sp, x.qsv AS qsv FROM (
+            SELECT qid, cl, unnest(list_transform(generate_series(0, 3),
+                   s -> struct_pack(sp := s, qsv := list_slice(qr, s * 16 + 1, s * 16 + 16)))) AS x
+            FROM probe)),
+        lut AS (
+          SELECT qid, cl, qsub.sp, code,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(qsv, (x, i) -> (x - cv[i]) * (x - cv[i]))), (acc, x) -> acc + x), 6) AS lt
+          FROM qsub JOIN cb1 ON qsub.sp = cb1.sp),
+        cands AS (
+          SELECT qid, vec_id AS neighbor,
+                 CAST(sum(CAST(lt AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
+          FROM lut JOIN codes
+            ON lut.cl = codes.bucket AND lut.sp = codes.csp AND lut.code = codes.ccode
+          WHERE vec_id <> qid
+          GROUP BY qid, vec_id),
+        ranked AS (
+          SELECT qid, neighbor, adc_d2,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_d2, neighbor) AS INT) AS rank
+          FROM cands)
+        SELECT qid, rank, neighbor, adc_d2
+        FROM ranked WHERE rank <= $TOPK
+        ORDER BY qid, rank"""
+      })
   )
 }

@@ -103,6 +103,24 @@ class NsOperatorsSpec extends SparkSpec {
     assert(recall > 0.0, "IVF should find at least some true neighbors")
   }
 
+  test("s09: IVFPQ ADC ranking — 5 ranks/query, no self, distances ascend") {
+    // recall floors are fixture-limited here for the same reason as s02
+    // (labels are geometrically uncorrelated, so any label-bucketed
+    // coarse quantizer caps recall); the DuckDB oracle is the numeric
+    // differential — this pins the ranking contract.
+    val rows = run("s09_ann_ivfpq").collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.size == 10) // vec_id % 50 == 0 queries
+    perQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5), s"query $q ranks")
+      assert(!rs.exists(_.getLong(2) == q), s"query $q returned itself")
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        s"query $q ADC distances not ascending: $byRank")
+      rs.foreach(r => assert(r.getDouble(3) >= 0.0))
+    }
+  }
+
   test("t01: corpus-trained lang-id beats the 1/|langs| random baseline") {
     val df = run("t01_lang_id").cache()
     val acc = df.filter(col("correct")).count().toDouble / df.count()
