@@ -148,7 +148,18 @@ object GraftFunctions {
     "vec_dot" -> { exprs => VecDot(exprs(0), exprs(1)) },
     "vec_l2sq" -> { exprs => VecL2Sq(exprs(0), exprs(1)) },
     "char_hist16" -> { exprs => CharHist16(exprs(0)) },
-    "topk_structs" -> { exprs => TopKStructAgg(exprs(0), exprs(1)).toAggregateExpression() }
+    "topk_structs" -> { exprs => TopKStructAgg(exprs(0), exprs(1)).toAggregateExpression() },
+    // Spark's runtime-filter bloom machinery (InjectRuntimeFilter's
+    // BloomFilterAggregate / BloomFilterMightContain) exposed as
+    // user-facing functions: build ONCE over xxhash64 keys, persist the
+    // ~KB binary sketch, probe any table against it. Not in the public
+    // FunctionRegistry as of Spark 4.1 — this surfaces the existing,
+    // deterministic (fixed-seed) implementation, no re-implementation.
+    "graft_bloom_agg" -> { exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)).toAggregateExpression() },
+    "graft_bloom_might_contain" -> { exprs =>
+      BloomFilterMightContain(exprs(0), exprs(1)) }
   )
 
   /** Imperative registration for sessions created without extensions
@@ -182,6 +193,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_hist16"),
       new ExpressionInfo(classOf[CharHist16].getName, "char_hist16"),
       (exprs: Seq[Expression]) => CharHist16(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "graft_bloom_might_contain"),
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }

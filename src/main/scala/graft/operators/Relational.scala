@@ -2079,6 +2079,58 @@ object Relational {
                ${Sql.oDsumProd("l_extendedprice", "1 - l_discount")} AS revenue
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------------
+    // Bloom-filter membership audit: Spark's runtime-filter bloom
+    // machinery (BloomFilterAggregate / BloomFilterMightContain — the
+    // expressions InjectRuntimeFilter plans for join pre-filtering)
+    // surfaced as user functions via graft's registry. Build the ~KB
+    // sketch ONCE over the even-custkey "membership list" and probe the
+    // whole events table against the broadcast sketch — the shape of a
+    // 100 TB pre-join filter or a tombstone/purge pre-check (q45's exact
+    // anti join, pre-screened for ~1% of the scan cost). The oracle pins
+    // the bloom CONTRACT: exact member counts, zero false negatives
+    // (every true member flagged — guaranteed by construction), and a
+    // false-positive rate under the sizing bound (10k items / 100k bits
+    // => ~1.6% expected; deterministic, fixed-seed hashing).
+    QueryDef("q67_bloom_audit",
+      (s, d) => {
+        Ns.registerFast(s)
+        // might_contain requires the sketch as a scalar subquery (or a
+        // literal) — the exact shape InjectRuntimeFilter plans, so the
+        // SQL front-end is the natural spelling here.
+        Tables.customer(s, d)
+          .filter(pmod(col("c_custkey"), lit(2)) === 0).select("c_custkey")
+          .createOrReplaceTempView("g_bloom_members")
+        Tables.events(s, d).select("user_id").createOrReplaceTempView("g_bloom_events")
+        s.sql("""
+          WITH probes AS (
+            SELECT user_id,
+                   graft_bloom_might_contain(
+                     (SELECT graft_bloom_agg(xxhash64(c_custkey), 10000L, 100000L)
+                      FROM g_bloom_members),
+                     xxhash64(user_id)) AS flagged,
+                   user_id IN (SELECT c_custkey FROM g_bloom_members) AS is_member
+            FROM (SELECT DISTINCT user_id FROM g_bloom_events))
+          SELECT count(*) AS n_probes,
+                 CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_members,
+                 sum(CASE WHEN is_member AND NOT flagged THEN 1 ELSE 0 END) = 0
+                   AS no_false_negatives,
+                 sum(CASE WHEN NOT is_member AND flagged THEN 1 ELSE 0 END) <=
+                   greatest(sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) * 0.05, 1.0)
+                   AS fp_rate_in_bounds
+          FROM probes""")
+      },
+      Some("""
+        WITH m AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+        p AS (SELECT DISTINCT user_id FROM events)
+        SELECT count(*) AS n_probes,
+               CAST(sum(CASE WHEN user_id IN (SELECT c_custkey FROM m)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+               TRUE AS no_false_negatives,
+               TRUE AS fp_rate_in_bounds
+        FROM p"""))
   )
 }

@@ -299,6 +299,28 @@ class Round4OpsSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("q67: bloom sketch bits are partition-invariant; zero false negatives") {
+    graft.operators.Ns.registerFast(spark)
+    def sketch(parts: Int): Array[Byte] = spark.range(0, 1000, 2)
+      .repartition(parts)
+      .selectExpr("graft_bloom_agg(xxhash64(id), 1000L, 10000L) AS bf")
+      .head().getAs[Array[Byte]](0)
+    // merge is a bitwise OR over fixed-seed hashes => layout cannot matter
+    assert(java.util.Arrays.equals(sketch(7), sketch(3)))
+    spark.range(0, 1000, 2).createOrReplaceTempView("bloom_keys")
+    val flags = spark.range(0, 1000)
+      .selectExpr("id",
+        """graft_bloom_might_contain(
+             (SELECT graft_bloom_agg(xxhash64(id), 1000L, 10000L) FROM bloom_keys),
+             xxhash64(id)) AS flagged""")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 1000L by 2).forall(flags(_)), "false negative!")
+    val fps = (1L until 1000L by 2).count(flags(_))
+    assert(fps <= 25, s"fp count $fps out of 500 odd probes") // ~1.6% expected
+    val row = run("q67_bloom_audit").head()
+    assert(row.getBoolean(2) && row.getBoolean(3))
+  }
+
   test("q63: grouped mode matches a scalar count-and-pick with the documented tie-break") {
     val custSeg = spark.read.parquet(s"$sf0001/customer.parquet")
       .select("c_custkey", "c_mktsegment").collect()
