@@ -484,6 +484,50 @@ object Dedup {
         SELECT doc_id, cluster,
                count(*) OVER (PARTITION BY cluster) AS cluster_size
         FROM comp
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Edit-distance (Levenshtein) blocked join — the fuzzy/entity-
+    // resolution sibling of the set-based dedups above: document title
+    // keys (first 24 chars) within edit distance 2, with candidate
+    // generation BLOCKED on (first-4-char prefix, |length diff| <= 2).
+    // The blocking is part of the operator's documented contract (as in
+    // m04): a pair that edits its first 4 chars is out of scope — that
+    // is what makes the join an equi-shuffle on the prefix key plus an
+    // in-bucket length band, instead of an all-pairs scan. levenshtein()
+    // has identical unit-cost semantics in both engines, so the oracle
+    // mirrors the whole pipeline exactly. Scale: distance computed only
+    // inside blocks; titles (24 chars), not documents, are shuffled.
+    QueryDef("d08_editdist_join",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+          .withColumn("pfx", substring(col("title"), 1, 4))
+          .withColumn("len", length(col("title")))
+        val a = t.select(col("doc_id").as("doc_a"), col("title").as("ta"),
+          col("pfx"), col("len").as("la"))
+        val b = t.select(col("doc_id").as("doc_b"), col("title").as("tb"),
+          col("pfx"), col("len").as("lb"))
+        a.join(b, Seq("pfx"))
+          .filter(col("doc_a") < col("doc_b") &&
+            abs(col("la") - col("lb")) <= 2)
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb")).as("dist"))
+          .filter(col("dist") <= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, substr(text, 1, 24) AS title,
+                 substr(text, 1, 4) AS pfx, length(substr(text, 1, 24)) AS len
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.title, b.title) AS INT) AS dist
+        FROM t a JOIN t b
+          ON a.pfx = b.pfx
+         AND a.doc_id < b.doc_id
+         AND abs(a.len - b.len) <= 2
+        WHERE levenshtein(a.title, b.title) <= 2
+        ORDER BY doc_a, doc_b"""))
   )
 }

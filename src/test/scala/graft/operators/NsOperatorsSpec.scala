@@ -121,6 +121,30 @@ class NsOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d08: blocked levenshtein pairs match a scalar recompute of the same contract") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val titles = graft.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "substr(text, 1, 24) AS title").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val expected = (for {
+      i <- titles.indices.iterator; j <- (i + 1) until titles.length
+      (ida, ta) = titles(i); (idb, tb) = titles(j)
+      if ta.take(4) == tb.take(4) && math.abs(ta.length - tb.length) <= 2
+      d = lev(ta, tb) if d <= 2
+    } yield (ida, idb, d)).toSet
+    val got = run("d08_editdist_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("t01: corpus-trained lang-id beats the 1/|langs| random baseline") {
     val df = run("t01_lang_id").cache()
     val acc = df.filter(col("correct")).count().toDouble / df.count()
