@@ -222,9 +222,85 @@ object Graph {
     sb.toString
   }
 
+  private val SSSP_ROUNDS = 4
+  /** Weighted single-source shortest path: g03's frontier relaxation
+    * with min-PLUS messages — k rounds of Bellman-Ford, exact for every
+    * path of <= k edges (the bounded-propagation contract, same as
+    * BFS_HOPS). Edge weight = 101 - trunc(est_jaccard*100), an exact
+    * integer in [1,101] (est_jaccard is a multiple of 1/16, so *100 is
+    * exactly representable; floor() — NOT a bare int cast, which
+    * truncates in Spark but rounds in DuckDB — is engine-identical). Scale: per round one
+    * frontier-sized join + one merge, integer state only; the LSH
+    * pairing is checkpointed once, and ReuseExchange collapses the
+    * doubled dist reference exactly as in BFS.
+    */
+  private def sssp(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(s, d)
+      .filter(col("est_jaccard") >= JMIN)
+      .select(col("doc_a"), col("doc_b"),
+        (lit(101) - floor(col("est_jaccard") * 100).cast("int")).cast("int").as("w"))
+      .localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("w")))
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    var dist = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(50)) === 0, lit(0))
+        .otherwise(lit(null)).cast("int").as("dist"))
+    for (_ <- 1 to SSSP_ROUNDS) {
+      val msgs = edges
+        .join(dist.select(col("doc_id").as("src"), col("dist")), "src")
+        .filter(col("dist").isNotNull)
+        .groupBy("dst").agg(min(col("dist") + col("w")).cast("int").as("nd"))
+      dist = dist.join(msgs, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), expr(
+          """CASE WHEN dist IS NULL THEN nd WHEN nd IS NULL THEN dist
+                  WHEN nd < dist THEN nd ELSE dist END""").as("dist"))
+    }
+    dist.select(col("doc_id"),
+      coalesce(col("dist"), lit(-1)).cast("int").as("cost"))
+      .orderBy("doc_id")
+  }
+
+  /** The same SSSP_ROUNDS relaxations unrolled as chained CTEs. */
+  private def ssspOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH ${Dedup.minhashPairsOracleCtes},
+      wedges AS (
+        SELECT doc_a AS src, doc_b AS dst,
+               CAST(101 - CAST(floor(est_jaccard * 100) AS INT) AS INT) AS w
+        FROM mpairs WHERE est_jaccard >= $JMIN
+        UNION ALL
+        SELECT doc_b, doc_a, CAST(101 - CAST(floor(est_jaccard * 100) AS INT) AS INT)
+        FROM mpairs WHERE est_jaccard >= $JMIN),
+      s0 AS (
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 50 = 0 THEN 0 END AS INT) AS dist
+        FROM documents)"""
+    for (t <- 1 to SSSP_ROUNDS) {
+      sb ++= s""",
+      sm$t AS (
+        SELECT e.dst, CAST(min(b.dist + e.w) AS INT) AS nd
+        FROM wedges e JOIN s${t - 1} b ON e.src = b.doc_id
+        WHERE b.dist IS NOT NULL
+        GROUP BY e.dst),
+      s$t AS (
+        SELECT b.doc_id,
+               CASE WHEN b.dist IS NULL THEN m.nd WHEN m.nd IS NULL THEN b.dist
+                    WHEN m.nd < b.dist THEN m.nd ELSE b.dist END AS dist
+        FROM s${t - 1} b LEFT JOIN sm$t m ON b.doc_id = m.dst)"""
+    }
+    sb ++= s"""
+      SELECT doc_id, CAST(coalesce(dist, -1) AS INT) AS cost
+      FROM s$SSSP_ROUNDS
+      ORDER BY doc_id"""
+    sb.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", (s, d) => pagerank(s, d), Some(oracle)),
     QueryDef("g02_triangles", (s, d) => triangles(s, d), Some(trianglesOracle)),
-    QueryDef("g03_bfs", (s, d) => bfs(s, d), Some(bfsOracle))
+    QueryDef("g03_bfs", (s, d) => bfs(s, d), Some(bfsOracle)),
+    QueryDef("g04_sssp", (s, d) => sssp(s, d), Some(ssspOracle))
   )
 }

@@ -232,6 +232,30 @@ class Round4OpsSpec extends SparkSpec {
     assert(rows.values.exists(_ > 0), "fixture should reach some non-seed docs")
   }
 
+  test("g04: SSSP costs match a scalar k-round Bellman-Ford on the same weighted edges") {
+    val rows = run("g04_sssp").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val wpairs = Dedup.minhashPairs(spark, sf0001)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        (lit(101) - floor(col("est_jaccard") * 100).cast("int")).cast("int").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    wpairs.foreach { case (_, _, w) => assert(w >= 1 && w <= 101) }
+    val adj: Map[Long, Seq[(Long, Int)]] = (wpairs ++ wpairs.map(p => (p._2, p._1, p._3)))
+      .groupBy(_._1).map { case (k, v) => k -> v.toSeq.map(e => (e._2, e._3)) }
+    var dist = rows.keys.map(id => id -> (if (id % 50 == 0) 0 else Int.MaxValue)).toMap
+    for (_ <- 1 to 4) { // k relaxation rounds, exactly as the query
+      val updates = dist.toSeq.filter(_._2 < Int.MaxValue).flatMap { case (u, du) =>
+        adj.getOrElse(u, Seq.empty).map { case (v, w) => v -> (du + w) }
+      }.groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).min }
+      dist = dist.map { case (v, dv) => v -> math.min(dv, updates.getOrElse(v, Int.MaxValue)) }
+    }
+    val expected = dist.map { case (v, dv) => v -> (if (dv == Int.MaxValue) -1 else dv) }
+    assert(rows == expected)
+    assert(rows.values.exists(_ > 0), "fixture should reach some non-seed docs")
+    // weighted costs must differ from plain hop counts somewhere (w > 1 edges)
+    assert(rows.values.exists(c => c > 4), "weights should exceed hop counts")
+  }
+
   test("q64: HLL union is shard-layout invariant and within the lgK=12 bound") {
     import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union_agg}
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
