@@ -18,7 +18,10 @@ object DumpPlans {
       "q52_tpch_q13", "q53_tpch_q17", "q54_tpch_q15", "q55_tpch_q19",
       "q56_tpch_q7", "q57_tpch_q22", "q59_interval_frame", "g03_bfs",
       "p11_mixture_upsample", "t14_importance_score", "st09_dynamic_gap_sessions",
-      "q60_pit_join", "q61_incremental_rollup", "q62_linear_interp")
+      "q60_pit_join", "q61_incremental_rollup", "q62_linear_interp",
+      "q63_grouped_mode", "q64_hll_sketch", "q65_journey_pattern",
+      "q66_join_ivm", "q67_bloom_audit", "st10_stream_admission",
+      "s09_ann_ivfpq", "d08_editdist_join", "g04_sssp")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")
