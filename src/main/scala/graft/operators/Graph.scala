@@ -297,10 +297,61 @@ object Graph {
     sb.toString
   }
 
+  /** Bounded transitive reachability as a RECURSIVE CTE — Spark 4's
+    * `WITH RECURSIVE` (the UnionLoop operator, SPARK-24497) driving the
+    * SAME traversal g03 unrolls by hand: seeds at depth 0, one join per
+    * level, min(depth) per reached doc. Cycles are handled by the depth
+    * cap (paths re-visit nodes; the GROUP BY min collapses them), so
+    * both engines run the textually-identical recursion — the oracle IS
+    * the query. GraphOpsSpec pins q68 == g03 restricted to reached docs,
+    * i.e. declarative recursion == the hand-built loop. Scale: the
+    * recursion materializes one frontier per level like the loop form;
+    * the declarative spelling additionally lets the engine own step
+    * scheduling and reuse.
+    */
+  private def recursiveReach(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(s, d).filter(col("est_jaccard") >= JMIN)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .createOrReplaceTempView("g_dup_edges")
+    Tables.documents(s, d).select("doc_id").createOrReplaceTempView("g_reach_docs")
+    s.sql(s"""
+      WITH RECURSIVE reach(doc_id, depth) AS (
+        SELECT doc_id, 0 FROM g_reach_docs WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT e.dst, r.depth + 1
+        FROM reach r JOIN g_dup_edges e ON r.doc_id = e.src
+        WHERE r.depth < $BFS_HOPS)
+      SELECT doc_id, CAST(min(depth) AS INT) AS hops
+      FROM reach
+      GROUP BY doc_id
+      ORDER BY doc_id""")
+  }
+
+  private def recursiveReachOracle: String = s"""
+      WITH RECURSIVE ${Dedup.minhashPairsOracleCtes},
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM mpairs WHERE est_jaccard >= $JMIN
+        UNION ALL
+        SELECT doc_b, doc_a FROM mpairs WHERE est_jaccard >= $JMIN),
+      reach(doc_id, depth) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT e.dst, r.depth + 1
+        FROM reach r JOIN edges e ON r.doc_id = e.src
+        WHERE r.depth < $BFS_HOPS)
+      SELECT doc_id, CAST(min(depth) AS INT) AS hops
+      FROM reach
+      GROUP BY doc_id
+      ORDER BY doc_id"""
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", (s, d) => pagerank(s, d), Some(oracle)),
     QueryDef("g02_triangles", (s, d) => triangles(s, d), Some(trianglesOracle)),
     QueryDef("g03_bfs", (s, d) => bfs(s, d), Some(bfsOracle)),
-    QueryDef("g04_sssp", (s, d) => sssp(s, d), Some(ssspOracle))
+    QueryDef("g04_sssp", (s, d) => sssp(s, d), Some(ssspOracle)),
+    QueryDef("g05_recursive_reach", (s, d) => recursiveReach(s, d),
+      Some(recursiveReachOracle))
   )
 }

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   */
 class GraphOpsSpec extends SparkSpec {
 
+  test("g05: recursive-CTE reachability == g03's hand-unrolled BFS on reached docs") {
+    val bfs = graft.SparkEntry.queries("g03_bfs")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).filter(_._2 >= 0).toMap
+    val rec = graft.SparkEntry.queries("g05_recursive_reach")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rec == bfs, "declarative recursion must equal the loop form")
+    assert(rec.values.exists(_ > 0))
+  }
+
   test("g01: isolated docs keep the teleport rank; linked docs exceed it") {
     val rows = graft.SparkEntry.queries("g01_pagerank")(spark, sf0001).collect()
     assert(rows.length == 500)
