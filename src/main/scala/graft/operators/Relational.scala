@@ -2131,6 +2131,85 @@ object Relational {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
                TRUE AS no_false_negatives,
                TRUE AS fp_rate_in_bounds
-        FROM p"""))
+        FROM p""")),
+
+    // -------------------------------------------------------------------
+    // Data-quality constraint audit — the dbt-test / Deequ shape: one
+    // pass per constraint family, each emitted as (check, n_violations,
+    // passed). Uniqueness = two-phase count per key (no row explosion),
+    // referential integrity = anti-join orphan count, range / not-null =
+    // partial-aggregable conditional counts. At 100 TB each check stays
+    // a single narrow aggregate over the fact table, and the union is
+    // checks-sized (constant rows). The audit reports BOTH outcomes on
+    // this fixture: orders' PK and the four lineitem value checks pass,
+    // while lineitem's nominal (orderkey, linenumber) PK genuinely FAILS
+    // (the synthetic generator draws linenumber randomly) — the firing
+    // check's exact violation count is oracle-pinned, which is precisely
+    // what a nightly audit must get right.
+    QueryDef("q68_dq_audit",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        def check(name: String, violations: DataFrame) = violations
+          .select(lit(name).as("check"),
+            col("n").cast("long").as("n_violations"),
+            (col("n") === 0).as("passed"))
+        def dupCheck(name: String, df: DataFrame, keys: Seq[String]) =
+          check(name,
+            df.groupBy(keys.map(col): _*).agg(count(ONE).as("c"))
+              .agg(sum(when(col("c") > 1, col("c"))).as("sn"))
+              .select(coalesce(col("sn"), lit(0L)).as("n")))
+        val ordersPk = dupCheck("orders_pk_unique", o, Seq("o_orderkey"))
+        val liPk = dupCheck("lineitem_pk_unique", li,
+          Seq("l_orderkey", "l_linenumber"))
+        val orphans = check("lineitem_orderkey_fk",
+          li.select("l_orderkey")
+            .join(o.select("o_orderkey"),
+              col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(count(ONE).as("n")))
+        val qtyRange = check("quantity_in_1_50",
+          li.agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("n")))
+        val discRange = check("discount_in_0_0_1",
+          li.agg(sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+            .otherwise(0L)).as("n")))
+        val notNull = check("shipdate_not_null",
+          li.agg(sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("n")))
+        ordersPk.unionAll(liPk).unionAll(orphans).unionAll(qtyRange)
+          .unionAll(discRange).unionAll(notNull)
+          .orderBy("check")
+      },
+      Some("""
+        WITH checks AS (
+          SELECT 'orders_pk_unique' AS check,
+                 CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+                   AS n_violations
+          FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+          UNION ALL
+          SELECT 'lineitem_pk_unique',
+                 CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+          FROM (SELECT count(*) AS c FROM lineitem
+                GROUP BY l_orderkey, l_linenumber)
+          UNION ALL
+          SELECT 'lineitem_orderkey_fk',
+                 CAST(count(*) AS BIGINT)
+          FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+          UNION ALL
+          SELECT 'quantity_in_1_50',
+                 CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'discount_in_0_0_1',
+                 CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'shipdate_not_null',
+                 CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem)
+        SELECT "check", n_violations, n_violations = 0 AS passed
+        FROM checks
+        ORDER BY "check""""))
   )
 }

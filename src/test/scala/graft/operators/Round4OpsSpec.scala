@@ -345,6 +345,43 @@ class Round4OpsSpec extends SparkSpec {
     assert(row.getBoolean(2) && row.getBoolean(3))
   }
 
+  test("q68: planted constraint violations are counted exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    // planted lineitem rows use linenumbers 95-98, absent in the fixture,
+    // so the (already-failing) lineitem PK count must NOT move
+    val one = li.limit(1).cache()
+    li.unionAll(one.withColumn("l_orderkey", lit(-999L))
+        .withColumn("l_linenumber", lit(98))) // FK orphan
+      .unionAll(one.withColumn("l_linenumber", lit(97))
+        .withColumn("l_quantity", lit(99.0))) // range
+      .unionAll(one.withColumn("l_linenumber", lit(96))
+        .withColumn("l_discount", lit(0.9))) // range
+      .unionAll(one.withColumn("l_linenumber", lit(95))
+        .withColumn("l_shipdate", lit(null).cast("timestamp"))) // null
+      .write.parquet(s"$dir/lineitem.parquet")
+    // duplicate one orders row -> that PK has c=2 -> 2 violations
+    o.unionAll(o.limit(1)).write.parquet(s"$dir/orders.parquet")
+    val clean = run("q68_dq_audit")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(clean("orders_pk_unique") == ((0L, true)))
+    val (liDups, liPass) = clean("lineitem_pk_unique")
+    assert(liDups > 0 && !liPass, "the fixture's random linenumbers must fire this check")
+    Seq("lineitem_orderkey_fk", "quantity_in_1_50", "discount_in_0_0_1",
+      "shipdate_not_null").foreach(c => assert(clean(c) == ((0L, true)), c))
+    val planted = graft.SparkEntry.queries("q68_dq_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(planted == Map(
+      "orders_pk_unique" -> ((2L, false)),
+      "lineitem_pk_unique" -> ((liDups, false)),
+      "lineitem_orderkey_fk" -> ((1L, false)),
+      "quantity_in_1_50" -> ((1L, false)),
+      "discount_in_0_0_1" -> ((1L, false)),
+      "shipdate_not_null" -> ((1L, false))), s"got $planted")
+    one.unpersist()
+  }
+
   test("q63: grouped mode matches a scalar count-and-pick with the documented tie-break") {
     val custSeg = spark.read.parquet(s"$sf0001/customer.parquet")
       .select("c_custkey", "c_mktsegment").collect()
