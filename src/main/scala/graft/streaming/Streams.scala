@@ -143,6 +143,43 @@ object Streams {
   }
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class Ev2(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String)
+  final case class TypeStat(user_id: Long, event_id: Long, type_count: Int,
+    distinct_types: Int)
+
+  /** Running per-type event counts + running distinct-type count per
+    * user, one output row per event — the profile-enrichment stats a
+    * personalization stream maintains. Batch form = two shared-sort
+    * window passes (the st11 oracle row); streaming form =
+    * [[TypeStatsProcessor]], the same arithmetic on a state API v2
+    * `MapState[event_type, count]` (one map entry per live (user, type);
+    * the map iterator is the distinct count — bounded by the type
+    * vocabulary, not the stream). StreamingSpec proves stream == batch
+    * across micro-batches.
+    */
+  def runningTypeStats(events: DataFrame): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("us"), col("event_id"))
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("type_count", row_number().over(byType).cast("int"))
+      .withColumn("distinct_types",
+        sum(when(col("type_count") === 1, 1).otherwise(0)).over(byUser).cast("int"))
+      .select("user_id", "event_id", "type_count", "distinct_types")
+  }
+
+  def runningTypeStatsStream(spark: SparkSession, events: Dataset[Ev2]): Dataset[TypeStat] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 
   /** Microseconds since epoch incl. the sub-ms part (getTime truncates
     * to ms; getNanos carries the full nanos-of-second).
@@ -465,7 +502,30 @@ object Streams {
         WHERE event_id NOT IN
           (SELECT event_id FROM events WHERE event_id % 3 = 0)
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // -------------------------------------------------------------------
+    // Running per-user type stats (batch form of the MapState v2
+    // processor): per event, how many of ITS type the user has produced
+    // so far and how many distinct types in total — two window passes
+    // sharing one (user_id | us, event_id) sort.
+    QueryDef("st11_running_type_stats",
+      (s, d) => runningTypeStats(Tables.events(s, d))
+        .orderBy("user_id", "event_id"),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        x AS (
+          SELECT user_id, event_id, us,
+                 CAST(row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY us, event_id) AS INT) AS type_count
+          FROM e)
+        SELECT user_id, event_id, type_count,
+               CAST(sum(CASE WHEN type_count = 1 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS INT) AS distinct_types
+        FROM x
+        ORDER BY user_id, event_id"""))
   )
 }
 
@@ -507,6 +567,38 @@ class SessionV2Processor
     c.foreach(cur.update)
     closed.reverseIterator.map(s0 =>
       Streams.SessionOut(user, s0.sessionId, s0.n, (s0.lastUs - s0.startUs) / 1e6))
+  }
+}
+
+/** Running per-type counts on the state API v2 `MapState`: one map
+  * entry per (user, event_type) — the state primitive for keyed
+  * sub-aggregates, complementing the `ValueState` session machines. The
+  * distinct-type count is the map's key iterator length (bounded by the
+  * type vocabulary). Proven equal to [[Streams.runningTypeStats]]'s
+  * window-plan batch form in StreamingSpec.
+  */
+class TypeStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Streams.Ev2, Streams.TypeStat] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("type_counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Streams.Ev2],
+      tv: TimerValues): Iterator[Streams.TypeStat] = {
+    val sorted = rows.toSeq.sortBy(e => (Streams.usOf(e.ts), e.event_id))
+    var distinct = counts.keys().size
+    val out = sorted.map { e =>
+      val prev = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+      if (prev == 0L) distinct += 1
+      counts.updateValue(e.event_type, prev + 1)
+      Streams.TypeStat(user, e.event_id, (prev + 1).toInt, distinct)
+    }
+    out.iterator
   }
 }
 

@@ -347,6 +347,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state API v2 MapState type stats == the st11 window plan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-types-v2")
+    writeOrderedFiles(dir, 3)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .as[Streams.Ev2]
+      val q = Streams.runningTypeStatsStream(spark, stream)
+        .writeStream.format("memory").queryName("type_stats_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("type_stats_stream").collect()
+          .map(r => r.getLong(1) -> ((r.getLong(0), r.getInt(2), r.getInt(3)))).toMap
+        val want = Streams.runningTypeStats(eventsBatch).collect()
+          .map(r => r.getLong(1) -> ((r.getLong(0), r.getInt(2), r.getInt(3)))).toMap
+        assert(got.size == want.size, s"${got.size} != ${want.size}")
+        assert(got == want)
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("state API v2 sessionization (transformWithState + RocksDB) == batch plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-sess-v2")
