@@ -181,6 +181,35 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  final case class Ctx(user_id: Long, event_id: Long, context: String)
+
+  /** Rolling last-3-event context per user, one row per event — the
+    * "recent actions" feature a real-time model input pipeline attaches
+    * to every event. Batch form = a bounded ROWS window frame (2
+    * PRECEDING..CURRENT) collecting ids in event order (the st12 oracle
+    * row); streaming form = [[RecentContextProcessor]] on a state API v2
+    * `ListState` trimmed to the last K entries — with MapState (st11)
+    * and the ValueState/timer session machines, that exercises every v2
+    * state primitive. StreamingSpec proves stream == batch.
+    */
+  def recentContext(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(-2, 0)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("context", concat_ws(",", collect_list(col("event_id")).over(w)))
+      .select("user_id", "event_id", "context")
+  }
+
+  def recentContextStream(spark: SparkSession, events: Dataset[Ev]): Dataset[Ctx] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentContextProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Microseconds since epoch incl. the sub-ms part (getTime truncates
     * to ms; getNanos carries the full nanos-of-second).
     */
@@ -525,6 +554,24 @@ object Streams {
                     OVER (PARTITION BY user_id ORDER BY us, event_id
                           ROWS UNBOUNDED PRECEDING) AS INT) AS distinct_types
         FROM x
+        ORDER BY user_id, event_id""")),
+
+    // -------------------------------------------------------------------
+    // Rolling last-3-event context per user (batch form of the ListState
+    // v2 processor): a bounded ROWS frame collecting ids in event order —
+    // frame order is the window ORDER BY in both engines, so the joined
+    // string is deterministic.
+    QueryDef("st12_recent_context",
+      (s, d) => recentContext(Tables.events(s, d))
+        .orderBy("user_id", "event_id"),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+        SELECT user_id, event_id,
+               array_to_string(list(event_id)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS context
+        FROM e
         ORDER BY user_id, event_id"""))
   )
 }
@@ -598,6 +645,36 @@ class TypeStatsProcessor
       counts.updateValue(e.event_type, prev + 1)
       Streams.TypeStat(user, e.event_id, (prev + 1).toInt, distinct)
     }
+    out.iterator
+  }
+}
+
+/** Rolling last-K context on the state API v2 `ListState`: the buffer
+  * primitive (append + trim), completing the v2 state-surface coverage
+  * next to `ValueState` (sessions), `MapState` (type counts) and
+  * event-time timers. Proven equal to [[Streams.recentContext]]'s
+  * bounded-window-frame batch form in StreamingSpec.
+  */
+class RecentContextProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Streams.Ev, Streams.Ctx] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  private val K = 3
+  @transient private var recent: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[Long]("recent_ids",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Streams.Ev],
+      tv: TimerValues): Iterator[Streams.Ctx] = {
+    val sorted = rows.toSeq.sortBy(e => (Streams.usOf(e.ts), e.event_id))
+    var buf = recent.get().toSeq
+    val out = sorted.map { e =>
+      buf = (buf :+ e.event_id).takeRight(K)
+      Streams.Ctx(user, e.event_id, buf.mkString(","))
+    }
+    recent.put(buf.toArray)
     out.iterator
   }
 }

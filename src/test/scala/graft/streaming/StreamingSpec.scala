@@ -380,6 +380,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state API v2 ListState recent context == the st12 window-frame plan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-ctx-v2")
+    writeOrderedFiles(dir, 3)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("event_id"), col("ts"), col("user_id")).as[Streams.Ev]
+      val q = Streams.recentContextStream(spark, stream)
+        .writeStream.format("memory").queryName("ctx_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("ctx_stream").collect()
+          .map(r => r.getLong(1) -> ((r.getLong(0), r.getString(2)))).toMap
+        val want = Streams.recentContext(eventsBatch).collect()
+          .map(r => r.getLong(1) -> ((r.getLong(0), r.getString(2)))).toMap
+        assert(got.size == want.size && got == want)
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("state API v2 sessionization (transformWithState + RocksDB) == batch plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-sess-v2")
