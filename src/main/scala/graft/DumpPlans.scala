@@ -21,7 +21,9 @@ object DumpPlans {
       "q60_pit_join", "q61_incremental_rollup", "q62_linear_interp",
       "q63_grouped_mode", "q64_hll_sketch", "q65_journey_pattern",
       "q66_join_ivm", "q67_bloom_audit", "st10_stream_admission",
-      "s09_ann_ivfpq", "d08_editdist_join", "g04_sssp")
+      "s09_ann_ivfpq", "d08_editdist_join", "g04_sssp",
+      "g05_recursive_reach", "q68_dq_audit", "st11_running_type_stats",
+      "st12_recent_context")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")
