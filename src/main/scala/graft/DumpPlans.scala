@@ -23,7 +23,10 @@ object DumpPlans {
       "q66_join_ivm", "q67_bloom_audit", "st10_stream_admission",
       "s09_ann_ivfpq", "d08_editdist_join", "g04_sssp",
       "g05_recursive_reach", "q68_dq_audit", "st11_running_type_stats",
-      "st12_recent_context")
+      "st12_recent_context",
+      "q69_tpch_q2", "q70_tpch_q4", "q71_tpch_q6", "q72_tpch_q8",
+      "q73_tpch_q9", "q74_tpch_q11", "q75_tpch_q12", "q76_tpch_q16",
+      "q77_tpch_q20", "q78_ewma", "t15_ngram_generate", "st13_timer_sessions")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

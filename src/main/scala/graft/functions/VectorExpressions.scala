@@ -159,7 +159,8 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2)).toAggregateExpression() },
     "graft_bloom_might_contain" -> { exprs =>
-      BloomFilterMightContain(exprs(0), exprs(1)) }
+      BloomFilterMightContain(exprs(0), exprs(1)) },
+    "word_ngrams" -> { exprs => WordNGrams(exprs(0), exprs(1)) }
   )
 
   /** Imperative registration for sessions created without extensions
@@ -206,6 +207,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomFilterMightContain].getName,
         "graft_bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => WordNGrams(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }

@@ -2210,6 +2210,45 @@ object Relational {
           FROM lineitem)
         SELECT "check", n_violations, n_violations = 0 AS passed
         FROM checks
-        ORDER BY "check""""))
+        ORDER BY "check"""")),
+
+    // -------------------------------------------------------------------
+    // Per-user EWMA (alpha = 1/2) of event values in event-time order —
+    // the exponential smoothing a metrics pipeline keeps per entity.
+    // An EWMA is inherently a SEQUENTIAL fold per key (each step needs
+    // the previous accumulator), so the correct distribution is
+    // parallel-across-users, ordered-fold-within-user: one shuffle to
+    // the user key, collect the (us, event_id, value) sequence sorted,
+    // fold with `aggregate` — the same left-to-right IEEE operation
+    // sequence DuckDB's list_reduce performs, hence bit-identical
+    // results with NO rounding crutch (the Ns.dot/oDot recipe applied
+    // to a recurrence). alpha = 1/2 keeps every multiply an exact
+    // halving. State per user is its event list — bounded by per-entity
+    // history, the same bound st11/st12 carry; the incremental
+    // production form is a v2 ValueState processor holding one double.
+    QueryDef("q78_ewma",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            col("value"))
+        ev.groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("us"), col("event_id"), col("value"))))
+            .as("seq"))
+          .select(col("user_id"),
+            size(col("seq")).cast("long").as("n_events"),
+            expr("""aggregate(slice(seq, 2, size(seq) - 1), seq[0].value,
+                              (acc, x) -> 0.5 * acc + 0.5 * x.value)""").as("ewma"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id,
+                 list(value ORDER BY epoch_us(ts), event_id) AS vals,
+                 count(*) AS n
+          FROM events GROUP BY user_id)
+        SELECT user_id, CAST(n AS BIGINT) AS n_events,
+               list_reduce(vals, (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma
+        FROM e
+        ORDER BY user_id"""))
   )
 }

@@ -671,6 +671,41 @@ object TextAnalysis {
                doc_id, source, score
         FROM sc
         ORDER BY score DESC, doc_id
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    // -------------------------------------------------------------------
+    // Corpus bigram positions via the custom GENERATOR
+    // [[graft.functions.WordNGrams]] (`word_ngrams(text, 2)`): top
+    // bigrams with corpus frequency, earliest in-document position and
+    // document spread. Unlike the `split` + `explode` spelling (t10/t14),
+    // the generator STREAMS grams into the partial aggregate — no
+    // per-document gram array is ever materialized, which is the memory
+    // bound that matters on 100k-word documents at 100 TB. Plan evidence
+    // (GenerateExec feeding a two-phase hash aggregate) in GeneratorSpec
+    // + docs/PLANS.md; the (cnt DESC, ngram) order is total, so LIMIT 20
+    // is deterministic.
+    QueryDef("t15_ngram_generate",
+      (s, d) => {
+        Ns.registerFast(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr("word_ngrams(text, 2)"))
+          .groupBy("ngram")
+          .agg(count(lit(1)).as("cnt"),
+            min(col("pos")).as("first_pos"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("cnt").desc, col("ngram"))
+          .limit(20)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        grams AS (
+          SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+                 toks[u.i] || ' ' || toks[u.i + 1] AS ngram
+          FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i))
+        SELECT ngram, CAST(count(*) AS BIGINT) AS cnt,
+               min(pos) AS first_pos,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM grams GROUP BY ngram
+        ORDER BY cnt DESC, ngram LIMIT 20"""))
   )
 }

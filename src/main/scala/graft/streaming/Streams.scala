@@ -217,6 +217,12 @@ object Streams {
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
   final case class SessionState(sessionId: Long, startUs: Long, lastUs: Long, n: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_s: Double)
+  /** [[SessionOut]] plus the event-time TIMER deadline that closes (or
+    * closed) the session: `lastUs div 1000 + gap_ms + 1` — a pure
+    * function of the session, so the batch twin derives it exactly.
+    */
+  final case class TimerSessionOut(user_id: Long, session_id: Long,
+    n_events: Long, duration_s: Double, close_at_ms: Long)
 
   /** Streaming sessionization: custom state machine via
     * flatMapGroupsWithState. Emits a session when a 30-min gap closes it
@@ -286,7 +292,7 @@ object Streams {
     * check. State is O(live users), dropped at emission.
     */
   def sessionizeStreamV2Timers(spark: SparkSession, events: Dataset[Ev],
-      delay: String = "0 seconds"): Dataset[SessionOut] = {
+      delay: String = "0 seconds"): Dataset[TimerSessionOut] = {
     import spark.implicits._
     events
       .withWatermark("ts", delay)
@@ -572,8 +578,59 @@ object Streams {
                  OVER (PARTITION BY user_id ORDER BY us, event_id
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS context
         FROM e
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // -------------------------------------------------------------------
+    // Timer-closed sessions (batch form of [[SessionTimerProcessor]],
+    // the event-time-timer v2 processor): st03's gap sessions PLUS each
+    // session's timer deadline — the watermark instant the processor's
+    // registered timer fires at (`last_us div 1000 + gap_ms + 1`), a
+    // pure function of the session, so batch derives it exactly.
+    // StreamingSpec proves the streaming form emits these rows without
+    // any flush sentinel: the WATERMARK closes sessions, the production
+    // semantics the NoTimeout variants cannot express.
+    QueryDef("st13_timer_sessions",
+      (s, d) => timerSessionsBatch(Tables.events(s, d))
+        .orderBy("user_id", "session_id"),
+      Some("""
+        WITH x AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        y AS (
+          SELECT user_id, event_id, us,
+                 CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM x),
+        z AS (
+          SELECT user_id, us,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM y)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               (max(us) - min(us)) / 1000000.0 AS duration_s,
+               max(us) // 1000 + 1800001 AS close_at_ms
+        FROM z
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""))
   )
+
+  /** Batch twin of the timer-closed sessionization: [[sessionizeBatch]]
+    * plus the deterministic timer deadline column.
+    */
+  def timerSessionsBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(run).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_s"),
+        (expr("max(us) div 1000") + lit(1800001L)).as("close_at_ms"))
+  }
 }
 
 /** 30-min-gap sessionization as a state API v2 [[StatefulProcessor]]:
@@ -684,7 +741,7 @@ class RecentContextProcessor
   * every finished session without needing a later same-user event.
   */
 class SessionTimerProcessor
-    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Streams.Ev, Streams.SessionOut] {
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Streams.Ev, Streams.TimerSessionOut] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
 
   private val gapUs = 1800000000L
@@ -699,7 +756,7 @@ class SessionTimerProcessor
       org.apache.spark.sql.Encoders.product[Streams.SessionState], TTLConfig.NONE)
 
   override def handleInputRows(user: Long, rows: Iterator[Streams.Ev],
-      tv: TimerValues): Iterator[Streams.SessionOut] = {
+      tv: TimerValues): Iterator[Streams.TimerSessionOut] = {
     val sorted = rows.toSeq.sortBy(e => (Streams.usOf(e.ts), e.event_id))
     var closed = List.empty[Streams.SessionState]
     var c = if (cur.exists()) Option(cur.get()) else None
@@ -724,17 +781,19 @@ class SessionTimerProcessor
       getHandle.registerTimer(expiryOf(s0))
     }
     closed.reverseIterator.map(s0 =>
-      Streams.SessionOut(user, s0.sessionId, s0.n, (s0.lastUs - s0.startUs) / 1e6))
+      Streams.TimerSessionOut(user, s0.sessionId, s0.n,
+        (s0.lastUs - s0.startUs) / 1e6, expiryOf(s0)))
   }
 
   override def handleExpiredTimer(user: Long, tv: TimerValues,
-      info: ExpiredTimerInfo): Iterator[Streams.SessionOut] = {
+      info: ExpiredTimerInfo): Iterator[Streams.TimerSessionOut] = {
     if (cur.exists()) {
       val s0 = cur.get()
       if (info.getExpiryTimeInMs >= expiryOf(s0)) {
         cur.clear()
         Iterator.single(
-          Streams.SessionOut(user, s0.sessionId, s0.n, (s0.lastUs - s0.startUs) / 1e6))
+          Streams.TimerSessionOut(user, s0.sessionId, s0.n,
+            (s0.lastUs - s0.startUs) / 1e6, expiryOf(s0)))
       } else Iterator.empty
     } else Iterator.empty
   }

@@ -473,7 +473,8 @@ class StreamingSpec extends SparkSpec {
       try {
         q.processAllAvailable()
         val got = spark.table("sessions_timer")
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+            r.getLong(4)))
           .toSet
         // scalar expectation: every session the 30-min-gap fold closes,
         // plus each user's final session iff the end-of-stream watermark
@@ -496,7 +497,7 @@ class StreamingSpec extends SparkSpec {
           val lastClosed = sessions.lastOption
             .filter { case (_, _, last, _) => last / 1000L + gapMs + 1 <= wmMs }
           (closedByGap ++ lastClosed).map { case (sid, st, last, n) =>
-            (user, sid, n, (last - st) / 1e6)
+            (user, sid, n, (last - st) / 1e6, last / 1000L + gapMs + 1)
           }
         }.toSet
         assert(got == expected,
