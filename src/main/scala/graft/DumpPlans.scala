@@ -26,7 +26,10 @@ object DumpPlans {
       "st12_recent_context",
       "q69_tpch_q2", "q70_tpch_q4", "q71_tpch_q6", "q72_tpch_q8",
       "q73_tpch_q9", "q74_tpch_q11", "q75_tpch_q12", "q76_tpch_q16",
-      "q77_tpch_q20", "q78_ewma", "t15_ngram_generate", "st13_timer_sessions")
+      "q77_tpch_q20", "q78_ewma", "t15_ngram_generate", "st13_timer_sessions",
+      "q79_corr_regression", "q80_market_basket", "t16_lexical_diversity",
+      "st14_running_ewma", "q81_rolling_median", "q82_activity_streaks",
+      "m05_frame_sample", "p12_incremental_neardup")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

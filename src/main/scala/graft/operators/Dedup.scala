@@ -42,8 +42,11 @@ object Dedup {
   private def hashA(k: Int): Long = 2L * (1000003L * k + 12345L) + 1L
   private def hashB(k: Int): Long = 7000003L * k + 424243L
 
-  /** MinHash-LSH candidate pairs with estimated jaccard (d02 / d06). */
-  private[operators] def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** Per-doc LSH band keys (doc_id, sigv, band, sig) — the banding half
+    * of MinHash-LSH, shared by the candidate-pair join (d02/d06) and
+    * the incremental admission filter (p12).
+    */
+  private[operators] def minhashBands(s: org.apache.spark.sql.SparkSession, d: String) = {
     val B = K / R
     val sh = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
@@ -56,11 +59,16 @@ object Dedup {
       min(expr(s"(${hashA(k)}L * h + ${hashB(k)}L) % ${MOD}L")).as(s"mh$k"))
     val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
       .withColumn("sigv", array((0 until K).map(k => col(s"mh$k")): _*))
-    val bands = sig.select(col("doc_id"), col("sigv"),
+    sig.select(col("doc_id"), col("sigv"),
       explode(array((0 until B).map(b =>
         struct(lit(b).as("band"),
           md5(concat_ws(",", (0 until R).map(r => col(s"mh${b * R + r}")): _*)).as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("sigv"), col("bs.band"), col("bs.sig"))
+  }
+
+  /** MinHash-LSH candidate pairs with estimated jaccard (d02 / d06). */
+  private[operators] def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val bands = minhashBands(s, d)
     val a = bands.select(col("doc_id").as("doc_a"), col("sigv").as("sa"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("sigv").as("sb"),
       col("band").as("band_b"), col("sig").as("sig_b"))

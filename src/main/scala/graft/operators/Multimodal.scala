@@ -267,6 +267,48 @@ object Multimodal {
                doc_a, doc_b, cosine
         FROM pairs
         ORDER BY cosine DESC, doc_a, doc_b
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // -------------------------------------------------------------------
+    // Frame sampling over the opaque binary column: the payload as a
+    // sequence of fixed-width 32-byte "frames", every 4th frame sliced
+    // out with its offset, actual width (tail frames are short) and
+    // content hash — the video keyframe-sampling plumbing (sample →
+    // slice → fingerprint) with the codec swapped for byte slicing.
+    // The frame index list is GENERATED per row (sequence + explode)
+    // and each slice is a narrow substring: payloads never shuffle, and
+    // the output is the sampled-frame projection only — at 100 TB the
+    // scan stays embarrassingly parallel exactly like m02. The oracle
+    // slices the same text the payload was cast from (single-byte
+    // chars on this fixture, the m04 precedent), so offsets, widths and
+    // md5 fingerprints match byte-for-byte.
+    QueryDef("m05_frame_sample",
+      (s, d) => {
+        val media = mediaFromDocuments(s, d).toDF()
+          .withColumn("n_bytes", length(col("payload")))
+          .filter(col("n_bytes") > 0)
+        media
+          .select(col("doc_id"), col("payload"),
+            explode(expr("sequence(0, (n_bytes - 1) div 32, 4)")).as("fi"))
+          .select(col("doc_id"), col("payload"), col("fi").cast("int").as("frame_idx"))
+          .select(col("doc_id"), col("frame_idx"),
+            (col("frame_idx") * 32 + 1).cast("long").as("frame_off"),
+            length(expr("substring(payload, frame_idx * 32 + 1, 32)")).as("frame_w"),
+            md5(expr("substring(payload, frame_idx * 32 + 1, 32)")).as("frame_md5"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""
+        WITH media AS (
+          SELECT doc_id, text, length(text) AS n_bytes
+          FROM documents WHERE length(text) > 0),
+        frames AS (
+          SELECT doc_id, text, CAST(u.i AS INT) AS frame_idx
+          FROM media, unnest(generate_series(0, (n_bytes - 1) // 32, 4)) AS u(i))
+        SELECT doc_id, frame_idx,
+               CAST(frame_idx * 32 + 1 AS BIGINT) AS frame_off,
+               CAST(length(substring(text, frame_idx * 32 + 1, 32)) AS INT) AS frame_w,
+               md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_md5
+        FROM frames
+        ORDER BY doc_id, frame_idx"""))
   )
 }

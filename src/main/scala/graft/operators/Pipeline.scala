@@ -510,6 +510,43 @@ object Pipeline {
           FROM documents d JOIN r ON d.source = r.source)
         SELECT doc_id, source, CAST(u.c AS INT) AS copy
         FROM c, unnest(generate_series(1, copies)) AS u(c)
-        ORDER BY doc_id, copy"""))
+        ORDER BY doc_id, copy""")),
+
+    // -------------------------------------------------------------------
+    // Incremental NEAR-dup admission: new arrivals (odd doc_ids) checked
+    // against a historical MinHash-LSH band index (even doc_ids) — the
+    // fuzzy sibling of p06's exact-hash increment, and the production
+    // shape for "don't re-ingest what the corpus already has, including
+    // near-duplicates". An arrival is rejected iff ANY of its 4 band
+    // keys collides with the index ([[Dedup.minhashBands]], same
+    // banding as d02). Scale: the index is (band, sig) pairs — 4 small
+    // keys per historical doc, equi-joined (never the documents); the
+    // per-arrival collision count is a partial-aggregable groupBy.
+    // Docs with <3 tokens have no shingles and are out of scope on both
+    // sides, per the d02 contract.
+    QueryDef("p12_incremental_neardup",
+      (s, d) => {
+        val bands = Dedup.minhashBands(s, d).select("doc_id", "band", "sig")
+        val hist = bands.filter(col("doc_id") % 2 === 0)
+          .select("band", "sig").distinct()
+        val arr = bands.filter(col("doc_id") % 2 === 1)
+        arr.join(hist.withColumn("hit", lit(1)), Seq("band", "sig"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_colliding_bands"))
+          .select(col("doc_id"), col("n_colliding_bands"),
+            (col("n_colliding_bands") === 0).as("admitted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${Dedup.minhashPairsOracleCtes},
+        hist AS (
+          SELECT DISTINCT band, sig FROM bands WHERE doc_id % 2 = 0),
+        arr AS (SELECT doc_id, band, sig FROM bands WHERE doc_id % 2 = 1)
+        SELECT a.doc_id,
+               CAST(count(h.band) AS BIGINT) AS n_colliding_bands,
+               count(h.band) = 0 AS admitted
+        FROM arr a LEFT JOIN hist h ON a.band = h.band AND a.sig = h.sig
+        GROUP BY a.doc_id
+        ORDER BY a.doc_id"""))
   )
 }

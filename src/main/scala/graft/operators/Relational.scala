@@ -2249,6 +2249,212 @@ object Relational {
         SELECT user_id, CAST(n AS BIGINT) AS n_events,
                list_reduce(vals, (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma
         FROM e
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------------
+    // Bivariate statistics per group: Pearson correlation, sample
+    // covariance, and the least-squares regression line of price on
+    // quantity. Built-in corr()/covar_samp() accumulate doubles in
+    // partition order — non-deterministic across partitionings and
+    // engines — so each statistic is instead a CLOSED FORM over the six
+    // exact decimal sufficient statistics (n, Sx, Sy, Sxx, Syy, Sxy):
+    // one partial-aggregable pass computes the sums exactly, then the
+    // identical IEEE double formula runs on both engines. This is also
+    // the scale shape: sufficient statistics are the mergeable state
+    // (6 numbers/group), the formula is a final-projection cost.
+    QueryDef("q79_corr_regression",
+      (s, d) => {
+        val g = Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(count(ONE).cast("double").as("n"),
+            Sql.dsum(col("l_quantity")).as("sx"),
+            Sql.dsum(col("l_extendedprice")).as("sy"),
+            Sql.dsumProd(col("l_quantity"), col("l_quantity")).as("sxx"),
+            Sql.dsumProd(col("l_extendedprice"), col("l_extendedprice")).as("syy"),
+            Sql.dsumProd(col("l_quantity"), col("l_extendedprice")).as("sxy"))
+        val covN = col("n") * col("sxy") - col("sx") * col("sy")
+        val varX = col("n") * col("sxx") - col("sx") * col("sx")
+        val varY = col("n") * col("syy") - col("sy") * col("sy")
+        val slope = covN / varX
+        g.select(col("l_returnflag"), col("n").cast("long").as("n"),
+            round(covN / (sqrt(varX) * sqrt(varY)), 6).as("corr_qty_price"),
+            round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
+              .as("covar_samp"),
+            round(slope, 6).as("slope"),
+            round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+            round(covN * covN / (varX * varY), 6).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 ${Sql.oDsum("l_quantity")} AS sx,
+                 ${Sql.oDsum("l_extendedprice")} AS sy,
+                 ${Sql.oDsumProd("l_quantity", "l_quantity")} AS sxx,
+                 ${Sql.oDsumProd("l_extendedprice", "l_extendedprice")} AS syy,
+                 ${Sql.oDsumProd("l_quantity", "l_extendedprice")} AS sxy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+               round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        FROM g
+        ORDER BY l_returnflag""")),
+
+    // -------------------------------------------------------------------
+    // Market-basket association rules over order contents: part pairs
+    // that co-occur in the same order, with support, confidence and
+    // lift — the Apriori shape. Scale is governed by PRUNING BEFORE
+    // PAIRING: items below minimum support are dropped before the
+    // per-order self-join (the Apriori monotonicity argument — an
+    // infrequent item cannot be in a frequent pair), which bounds the
+    // quadratic step to frequent items only. The pair join is an
+    // equi-shuffle on orderkey; supports re-attach as broadcast maps;
+    // all ratios are single IEEE divisions of exact integer counts, so
+    // no rounding crutch is needed for the hash compare — round(6) is
+    // display-only. (lift > 1 means the pair co-occurs more often than
+    // independent purchase would predict.)
+    QueryDef("q80_market_basket",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey").distinct()
+        val sup = items.groupBy("l_partkey").agg(count(ONE).as("cnt"))
+        val freq = sup.filter(col("cnt") >= 3)
+        val nOrders = items.select(countDistinct(col("l_orderkey")).as("n_orders"))
+        val fitems = items.join(broadcast(freq), Seq("l_partkey"))
+          .select("l_orderkey", "l_partkey")
+        val a = fitems.select(col("l_orderkey").as("ok"), col("l_partkey").as("part_a"))
+        val b = fitems.select(col("l_orderkey").as("ok"), col("l_partkey").as("part_b"))
+        val pairs = a.join(b, Seq("ok")).filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b").agg(count(ONE).as("pair_cnt"))
+          .filter(col("pair_cnt") >= 2)
+        pairs
+          .join(broadcast(freq.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a"))),
+            Seq("part_a"))
+          .join(broadcast(freq.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b"))),
+            Seq("part_b"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("part_a"), col("part_b"), col("pair_cnt"),
+            round(col("pair_cnt").cast("double") / col("cnt_a").cast("double"), 6)
+              .as("confidence"),
+            round(col("pair_cnt").cast("double") * col("n_orders").cast("double") /
+              (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 6).as("lift"))
+          .orderBy(col("lift").desc, col("pair_cnt").desc, col("part_a"), col("part_b"))
+          .limit(50)
+      },
+      Some("""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        sup AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+        freq AS (SELECT * FROM sup WHERE cnt >= 3),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        fitems AS (SELECT l_orderkey, i.l_partkey FROM items i JOIN freq f USING (l_partkey)),
+        pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS pair_cnt
+          FROM fitems a JOIN fitems b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= 2)
+        SELECT part_a, part_b, pair_cnt,
+               round(CAST(pair_cnt AS DOUBLE) / CAST(fa.cnt AS DOUBLE), 6) AS confidence,
+               round(CAST(pair_cnt AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+                     (CAST(fa.cnt AS DOUBLE) * CAST(fb.cnt AS DOUBLE)), 6) AS lift
+        FROM pairs
+        JOIN freq fa ON part_a = fa.l_partkey
+        JOIN freq fb ON part_b = fb.l_partkey
+        CROSS JOIN n
+        ORDER BY lift DESC, pair_cnt DESC, part_a, part_b
+        LIMIT 50""")),
+
+    // -------------------------------------------------------------------
+    // Rolling 7-day exact median of daily revenue per order priority —
+    // an aggregate function (percentile) used as a WINDOW function over
+    // a bounded ROWS frame, the time-series smoothing shape a metrics
+    // dashboard runs. Daily revenue is an exact decimal sum cast to
+    // double, and both engines define the 0.5-quantile by the same
+    // linear interpolation on the sorted 7-row frame (q17 proved the
+    // point-statistic parity), so the medians are bit-identical with no
+    // rounding. Scale: the frame is bounded (7 rows/key) and the input
+    // is the already-aggregated daily table — days x priorities rows,
+    // not orders.
+    QueryDef("q81_rolling_median",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(count(ONE).as("n_orders"), Sql.dsum(col("o_totalprice")).as("daily_rev"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("day")
+          .rowsBetween(-6, Window.currentRow)
+        daily
+          .withColumn("median_7d", percentile(col("daily_rev"), lit(0.5)).over(w))
+          .orderBy("o_orderpriority", "day")
+      },
+      Some(s"""
+        WITH daily AS (
+          SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS day,
+                 count(*) AS n_orders, ${Sql.oDsum("o_totalprice")} AS daily_rev
+          FROM orders GROUP BY 1, 2)
+        SELECT o_orderpriority, day, CAST(n_orders AS BIGINT) AS n_orders, daily_rev,
+               quantile_cont(daily_rev, 0.5) OVER
+                 (PARTITION BY o_orderpriority ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS median_7d
+        FROM daily
+        ORDER BY o_orderpriority, day""")),
+
+    // -------------------------------------------------------------------
+    // Gaps-and-islands: per-user consecutive-day activity streaks (the
+    // classic day - row_number() grouping), reduced to streak stats plus
+    // the start of the longest streak — product-analytics retention
+    // material q33 does not cover. Everything is integer arithmetic on
+    // epoch days, so the result is exact; the longest-streak tie breaks
+    // deterministically to the earliest start via an explicit
+    // row_number. Scale: one shuffle to the user key; islands form
+    // inside each partition's sort, and only per-streak rows (bounded by
+    // active days) survive the first aggregate.
+    QueryDef("q82_activity_streaks",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val wDay = Window.partitionBy("user_id").orderBy("day")
+        val streaks = days
+          .withColumn("grp", col("day") - row_number().over(wDay))
+          .groupBy("user_id", "grp")
+          .agg(count(ONE).as("len"), min(col("day")).as("start_day"))
+        val wBest = Window.partitionBy("user_id")
+          .orderBy(col("len").desc, col("start_day"))
+        val ranked = streaks.withColumn("rn", row_number().over(wBest))
+        val agg = streaks.groupBy("user_id")
+          .agg(sum(col("len")).as("n_active_days"), count(ONE).as("n_streaks"),
+            max(col("len")).as("max_streak_days"))
+        agg.join(ranked.filter(col("rn") === 1)
+            .select(col("user_id"), col("start_day").as("best_start_day")),
+          Seq("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        isl AS (
+          SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+          FROM days),
+        streaks AS (
+          SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+          FROM isl GROUP BY 1, 2),
+        ranked AS (
+          SELECT user_id, start_day,
+                 row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_day) AS rn
+          FROM streaks),
+        agg AS (
+          SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                 count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak_days
+          FROM streaks GROUP BY 1)
+        SELECT a.user_id, n_active_days, n_streaks, max_streak_days,
+               r.start_day AS best_start_day
+        FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
+        ORDER BY a.user_id"""))
   )
 }

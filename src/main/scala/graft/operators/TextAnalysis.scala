@@ -706,6 +706,54 @@ object TextAnalysis {
                min(pos) AS first_pos,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM grams GROUP BY ngram
-        ORDER BY cnt DESC, ngram LIMIT 20"""))
+        ORDER BY cnt DESC, ngram LIMIT 20""")),
+
+    // -------------------------------------------------------------------
+    // Lexical diversity per document: type-token ratio, hapax count and
+    // Simpson diversity (1 - sum p_i^2) — the vocabulary-richness
+    // signals a corpus quality filter scores alongside t02. Every
+    // statistic is chosen to be LOG-FREE: token counts and their squared
+    // sum are exact integers, so ttr and simpson are each ONE IEEE
+    // division of exact values — bit-identical across engines and
+    // partitionings with no rounding crutch (the entropy spelling of
+    // the same signal would hang determinism on libm log2). Two-phase
+    // hash aggregation both levels; nothing wider than (doc_id, word)
+    // ever shuffles.
+    QueryDef("t16_lexical_diversity",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+        counts.groupBy("doc_id")
+          .agg(sum(col("cnt")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+            sum(col("cnt") * col("cnt")).as("sumsq"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+            (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+            ((col("n_tokens") * col("n_tokens") - col("sumsq")).cast("double") /
+              (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        counts AS (
+          SELECT doc_id, word, count(*) AS cnt
+          FROM toks WHERE word <> '' GROUP BY 1, 2),
+        per_doc AS (
+          SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_types,
+                 sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax,
+                 sum(cnt * cnt) AS sumsq
+          FROM counts GROUP BY 1)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_types AS BIGINT) AS n_types,
+               CAST(n_hapax AS BIGINT) AS n_hapax,
+               CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+               CAST(n_tokens * n_tokens - sumsq AS DOUBLE) /
+                 CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
+        FROM per_doc
+        ORDER BY doc_id"""))
   )
 }

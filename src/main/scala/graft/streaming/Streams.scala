@@ -181,6 +181,39 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  final case class EvV(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    value: Double)
+  final case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+
+  /** Running per-user EWMA (alpha = 1/2) in event order, one output row
+    * per event — the incremental form of the q78 batch fold, and the
+    * reason the streaming path exists at all: state is ONE double per
+    * live user ([[EwmaProcessor]] on a v2 `ValueState`), where the batch
+    * prefix-fold twin below carries each row's full prefix. The batch
+    * twin folds the window-frame prefix list with the identical
+    * left-to-right `0.5*acc + 0.5*x` IEEE sequence, so stream, batch and
+    * the DuckDB oracle are bit-identical with no rounding crutch.
+    */
+  def runningEwma(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("pre", collect_list(col("value")).over(w))
+      .select(col("user_id"), col("event_id"),
+        expr("aggregate(slice(pre, 2, size(pre) - 1), pre[0], (acc, x) -> 0.5 * acc + 0.5 * x)")
+          .as("ewma"))
+  }
+
+  def runningEwmaStream(spark: SparkSession, events: Dataset[EvV]): Dataset[EwmaOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   final case class Ctx(user_id: Long, event_id: Long, context: String)
 
   /** Rolling last-3-event context per user, one row per event — the
@@ -611,7 +644,27 @@ object Streams {
                max(us) // 1000 + 1800001 AS close_at_ms
         FROM z
         GROUP BY user_id, session_id
-        ORDER BY user_id, session_id"""))
+        ORDER BY user_id, session_id""")),
+
+    // -------------------------------------------------------------------
+    // Running EWMA per user (batch form of [[EwmaProcessor]]): one row
+    // per event, folded left-to-right in event order — see [[runningEwma]]
+    // for why the streaming ValueState form is the production shape
+    // (O(1) state vs the batch twin's per-row prefix).
+    QueryDef("st14_running_ewma",
+      (s, d) => runningEwma(Tables.events(s, d)).orderBy("user_id", "event_id"),
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        p AS (
+          SELECT user_id, event_id,
+                 list(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS pre
+          FROM e)
+        SELECT user_id, event_id,
+               list_reduce(pre, (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma
+        FROM p
+        ORDER BY user_id, event_id"""))
   )
 
   /** Batch twin of the timer-closed sessionization: [[sessionizeBatch]]
@@ -796,5 +849,38 @@ class SessionTimerProcessor
             (s0.lastUs - s0.startUs) / 1e6, expiryOf(s0)))
       } else Iterator.empty
     } else Iterator.empty
+  }
+}
+
+/** Running per-user EWMA on a v2 `ValueState[Double]`: the O(1)-state
+  * incremental form of the q78/st14 fold. Each batch folds its rows in
+  * (event-time, event_id) order on top of the carried accumulator —
+  * the same IEEE operation sequence as the batch prefix fold, so
+  * StreamingSpec's stream == batch comparison is exact equality.
+  */
+class EwmaProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Streams.EvV, Streams.EwmaOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var acc: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[Double]("ewma",
+      org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Streams.EvV],
+      tv: TimerValues): Iterator[Streams.EwmaOut] = {
+    val sorted = rows.toSeq.sortBy(e => (Streams.usOf(e.ts), e.event_id))
+    var cur = if (acc.exists()) Some(acc.get()) else None
+    val out = sorted.map { e =>
+      val next = cur match {
+        case Some(v) => 0.5 * v + 0.5 * e.value
+        case None => e.value
+      }
+      cur = Some(next)
+      Streams.EwmaOut(user, e.event_id, next)
+    }
+    cur.foreach(acc.update)
+    out.iterator
   }
 }

@@ -347,6 +347,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state API v2 ValueState running EWMA == the st14 prefix-fold plan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-ewma-v2")
+    writeOrderedFiles(dir, 3)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[Streams.EvV]
+      val q = Streams.runningEwmaStream(spark, stream)
+        .writeStream.format("memory").queryName("ewma_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("ewma_stream").collect()
+          .map(r => r.getLong(1) -> ((r.getLong(0), r.getDouble(2)))).toMap
+        val want = Streams.runningEwma(eventsBatch).collect()
+          .map(r => r.getLong(1) -> ((r.getLong(0), r.getDouble(2)))).toMap
+        assert(got.size == want.size, s"${got.size} != ${want.size}")
+        // bit-exact: both sides fold the identical IEEE sequence
+        assert(got == want)
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("state API v2 MapState type stats == the st11 window plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-types-v2")
