@@ -29,7 +29,8 @@ object DumpPlans {
       "q77_tpch_q20", "q78_ewma", "t15_ngram_generate", "st13_timer_sessions",
       "q79_corr_regression", "q80_market_basket", "t16_lexical_diversity",
       "st14_running_ewma", "q81_rolling_median", "q82_activity_streaks",
-      "m05_frame_sample", "p12_incremental_neardup")
+      "m05_frame_sample", "p12_incremental_neardup",
+      "t17_unicode_normalize", "q83_variant")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

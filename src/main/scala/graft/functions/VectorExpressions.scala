@@ -160,7 +160,8 @@ object GraftFunctions {
         exprs(0), exprs(1), exprs(2)).toAggregateExpression() },
     "graft_bloom_might_contain" -> { exprs =>
       BloomFilterMightContain(exprs(0), exprs(1)) },
-    "word_ngrams" -> { exprs => WordNGrams(exprs(0), exprs(1)) }
+    "word_ngrams" -> { exprs => WordNGrams(exprs(0), exprs(1)) },
+    "graft_normalize" -> { exprs => NormalizeText(exprs(0), exprs(1)) }
   )
 
   /** Imperative registration for sessions created without extensions
@@ -211,6 +212,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNGrams(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
+      (exprs: Seq[Expression]) => NormalizeText(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }

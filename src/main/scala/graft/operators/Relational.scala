@@ -2318,8 +2318,11 @@ object Relational {
     // independent purchase would predict.)
     QueryDef("q80_market_basket",
       (s, d) => {
+        // items feeds three consumers (support counts, the pair join's
+        // two sides, the order total) — checkpoint the distinct once
+        // instead of re-scanning lineitem per consumer
         val items = Tables.lineitem(s, d)
-          .select("l_orderkey", "l_partkey").distinct()
+          .select("l_orderkey", "l_partkey").distinct().localCheckpoint()
         val sup = items.groupBy("l_partkey").agg(count(ONE).as("cnt"))
         val freq = sup.filter(col("cnt") >= 3)
         val nOrders = items.select(countDistinct(col("l_orderkey")).as("n_orders"))
@@ -2456,5 +2459,53 @@ object Relational {
                r.start_day AS best_start_day
         FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
         ORDER BY a.user_id"""))
+  ) ++ variantDefs
+
+  /** Spark-4 VariantType over semi-structured events — see q83. */
+  private[operators] def variantDefs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------------
+    // Semi-structured access through Spark 4's VARIANT type: a nested
+    // JSON document (built from the flat props on both engines with the
+    // same string concat, so the inputs are byte-identical) is parsed
+    // ONCE to the binary variant encoding, then fields come out of
+    // typed variant_get paths — nested object, array index, top-level
+    // int — plus a missing-path probe via try_variant_get. This is the
+    // modern replacement for per-field get_json_object re-parsing
+    // (q13): at 100 TB the parse cost is paid once per row, not once
+    // per extracted field, and the binary encoding is columnar-friendly.
+    // The DuckDB oracle runs the same paths through its JSON type.
+    QueryDef("q83_variant",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          concat(lit("{\"k\":"), get_json_object(col("props"), "$.k"),
+            lit(",\"nest\":{\"neg\":-"), get_json_object(col("props"), "$.k"),
+            lit("},\"tags\":[\"t"), expr("CAST(get_json_object(props, '$.k') AS BIGINT) % 3"),
+            lit("\"]}")).as("j"))
+        .select(col("event_type"), expr("parse_json(j)").as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("variant_get(v, '$.nest.neg', 'long')").as("neg"),
+          expr("variant_get(v, '$.tags[0]', 'string')").as("tag"),
+          expr("try_variant_get(v, '$.absent', 'long')").as("missing"))
+        .groupBy("event_type")
+        .agg(count(ONE).as("n"), sum(col("k")).as("sum_k"),
+          sum(col("neg")).as("sum_neg"), min(col("tag")).as("min_tag"),
+          sum(when(col("missing").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy("event_type"),
+      Some("""
+        WITH j AS (
+          SELECT event_type,
+                 '{"k":' || (props->>'k') || ',"nest":{"neg":-' || (props->>'k')
+                   || '},"tags":["t' || (CAST(props->>'k' AS BIGINT) % 3) || '"]}' AS doc
+          FROM events)
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(doc->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(sum(CAST(doc->>'$.nest.neg' AS BIGINT)) AS BIGINT) AS sum_neg,
+               min(doc->>'$.tags[0]') AS min_tag,
+               CAST(sum(CASE WHEN doc->>'$.absent' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        FROM j
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Combining-mark sample for t17, written as escapes so no editor or
+    * tool can silently normalize the source file: "e"+COMBINING ACUTE
+    * and "a"+COMBINING RING compose under NFC; "k"+COMBINING SHORT
+    * STROKE OVERLAY has no precomposed form and stays decomposed.
+    */
+  private val DecomposedSuffix = " e\u0301 a\u030A k\u0337"
+
+
   /** Fixed query-term set for the retrieval queries (t09, s07). */
   private[operators] val bm25Terms = Seq("join", "scan", "merge")
 
@@ -754,6 +762,42 @@ object TextAnalysis {
                CAST(n_tokens * n_tokens - sumsq AS DOUBLE) /
                  CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
         FROM per_doc
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Unicode NFC normalization via the custom codegen expression
+    // [[graft.functions.NormalizeText]] (`graft_normalize(s, 'NFC')`).
+    // The fixture is ASCII, so each doc is suffixed with a fixed
+    // combining-mark string — "e"+U+0301 and "a"+U+030A compose under
+    // NFC to é/å (code-point count drops), "k"+U+0337 has no precomposed
+    // form and survives decomposed — exercising both normalization
+    // outcomes. The suffix is the same raw UTF-8 literal in the Spark
+    // plan and the DuckDB SQL; JDK Normalizer and DuckDB's utf8proc both
+    // implement UAX #15, so the normalized strings (and code-point
+    // lengths) match exactly. Narrow per-row projection — no shuffle.
+    QueryDef("t17_unicode_normalize",
+      (s, d) => {
+        Ns.registerFast(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 24), lit(DecomposedSuffix))
+              .as("raw"))
+          .select(col("doc_id"),
+            expr("graft_normalize(raw, 'NFC')").as("nfc"),
+            length(col("raw")).cast("long").as("n_before"),
+            length(expr("graft_normalize(raw, 'NFC')")).cast("long").as("n_after"),
+            (col("raw") =!= expr("graft_normalize(raw, 'NFC')")).as("changed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH raw AS (
+          SELECT doc_id, substring(text, 1, 24) || '$DecomposedSuffix' AS raw
+          FROM documents)
+        SELECT doc_id, nfc_normalize(raw) AS nfc,
+               CAST(length(raw) AS BIGINT) AS n_before,
+               CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_after,
+               raw <> nfc_normalize(raw) AS changed
+        FROM raw
         ORDER BY doc_id"""))
   )
 }
