@@ -89,6 +89,7 @@ object SparkEntry {
     laplaceDefs ++ graft.operators.Relational.defs ++
       graft.operators.TpcH.defs ++
       graft.operators.Dedup.defs ++ graft.operators.TextAnalysis.defs ++
+      graft.operators.Bpe.defs ++
       graft.operators.Similarity.defs ++ graft.operators.Multimodal.defs ++
       graft.operators.Pipeline.defs ++ graft.operators.Clustering.defs ++
       graft.operators.Graph.defs ++

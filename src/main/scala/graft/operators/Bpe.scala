@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and application (Sennrich et
+  * al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units") — THE tokenizer-construction step of an LLM data pipeline,
+  * run here as two oracle-checked queries over `documents`:
+  *
+  *  - `t18_bpe_train`: learn the first [[Rounds]] merges. Each round
+  *    counts corpus-weighted adjacent-symbol pairs and merges the
+  *    globally most frequent one (ties broken lexically).
+  *  - `t19_bpe_encode`: apply the learned merge chain to every document
+  *    and report per-doc token counts + the compression ratio vs the
+  *    character baseline.
+  *
+  * Cross-engine determinism hinges on the symbol representation: a
+  * word is the delimited string `"(t)(h)(e)(_)"` (with `(_)` the
+  * end-of-word marker), so one literal, non-overlapping, left-to-right
+  * `replace(seq, "(l)(r)", "(lr)")` — identical semantics in Spark and
+  * DuckDB — IS the canonical greedy BPE merge, with the parens ruling
+  * out cross-symbol boundary matches (`(lo)(w)` cannot match inside
+  * `(flo)(w)`). The DuckDB oracle unrolls the training loop as a CTE
+  * chain built by the same Scala code path ([[trainSqlCtes]]), the same
+  * way `LaplaceOracle` unrolls the SOR sweep.
+  *
+  * Scale design (100 TB): training never iterates over the corpus —
+  * round 0 reduces it to the DISTINCT-WORD frequency table (vocab-sized,
+  * the standard BPE trick) and every round's pair count + merge runs
+  * over that table only; the per-round driver collect is ONE row (the
+  * k-means centroid contract). Encoding is a broadcast join of the
+  * vocab-sized `word -> n_tokens` map against the corpus — one narrow
+  * pass, no shuffle of document text.
+  */
+object Bpe {
+
+  /** Number of merges learned — enough to exercise multi-char symbol
+    * merges (round 6 merges the round-1 output "er" with "_").
+    */
+  val Rounds = 8
+
+  /** Symbol-extraction regex: one capture per "(sym)". */
+  private val SymRe = "\\(([^)]+)\\)"
+
+  /** Distinct corpus words with counts and the delimited symbol seq. */
+  private def words(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("seq",
+        concat(lit("("),
+          array_join(regexp_extract_all(col("word"), lit("."), lit(0)), ")("),
+          lit(")(_)")))
+
+  /** Corpus-weighted adjacent-symbol pairs of the current vocab state. */
+  private def pairs(w: DataFrame): DataFrame =
+    w.withColumn("syms", regexp_extract_all(col("seq"), lit(SymRe), lit(1)))
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(element_at(syms, i) AS lhs, element_at(syms, i + 1) AS rhs))")).as("p"))
+      .select(col("cnt"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+
+  final case class Merge(round: Int, lhs: String, rhs: String, pairCount: Long)
+
+  /** Learn `rounds` merges; returns them plus the final vocab state
+    * (word, cnt, seq). Symbols are lowercase letters and `_` only, so
+    * embedding them in the replace literal is injection-safe.
+    */
+  private[operators] def train(
+      s: SparkSession, d: String, rounds: Int): (Seq[Merge], DataFrame) = {
+    var w = words(s, d).cache()
+    val merges = Seq.newBuilder[Merge]
+    for (k <- 1 to rounds) {
+      val top = pairs(w)
+        .groupBy("lhs", "rhs").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()(0)
+      val (l, r) = (top.getString(0), top.getString(1))
+      merges += Merge(k, l, r, top.getLong(2))
+      w = w.withColumn("seq", expr(s"replace(seq, '($l)($r)', '($l$r)')"))
+    }
+    (merges.result(), w)
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle: the training loop unrolled as a CTE chain.
+
+  private val OSymRe = "\\(([^)]+)\\)"
+
+  private def wordsSql: String =
+    """SELECT word, count(*) AS cnt,
+      '(' || array_to_string(regexp_extract_all(word, '.'), ')(') || ')(_)' AS seq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word"""
+
+  /** CTE chain w0, (p1, t1, w1), ... (pK, tK, wK): pair counts, the
+    * round's winning merge, the merged vocab state.
+    */
+  private def trainSqlCtes(rounds: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"w0 AS ($wordsSql)"
+    for (k <- 1 to rounds) {
+      ctes += s"""p$k AS (
+        SELECT syms[u.i] AS lhs, syms[u.i + 1] AS rhs, sum(cnt) AS c
+        FROM (SELECT cnt, regexp_extract_all(seq, '$OSymRe', 1) AS syms FROM w${k - 1}) x,
+             UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+        GROUP BY 1, 2)"""
+      ctes += s"t$k AS (SELECT lhs, rhs, c FROM p$k ORDER BY c DESC, lhs, rhs LIMIT 1)"
+      ctes += s"""w$k AS (
+        SELECT word, cnt,
+               replace(seq, '(' || lhs || ')(' || rhs || ')', '(' || lhs || rhs || ')') AS seq
+        FROM w${k - 1} CROSS JOIN t$k)"""
+    }
+    "WITH " + ctes.result().mkString(",\n")
+  }
+
+  private def trainSql(rounds: Int): String =
+    trainSqlCtes(rounds) + "\n" +
+      (1 to rounds).map(k =>
+        s"SELECT CAST($k AS INT) AS round, lhs, rhs, lhs || rhs AS merged, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM t$k")
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY round"
+
+  private def encodeSql(rounds: Int): String =
+    trainSqlCtes(rounds) + s""",
+      enc AS (
+        SELECT word, CAST(len(regexp_extract_all(seq, '$OSymRe', 1)) AS BIGINT) AS n_toks
+        FROM w$rounds),
+      dw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      agg AS (
+        SELECT doc_id, count(*) AS n_words, sum(len(word) + 1) AS n_base_syms,
+               sum(n_toks) AS n_tokens
+        FROM dw JOIN enc USING (word) WHERE word <> '' GROUP BY doc_id)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_base_syms AS BIGINT) AS n_base_syms,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(n_base_syms AS DOUBLE) AS compression
+    FROM agg ORDER BY doc_id"""
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("t18_bpe_train",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        train(s, d, Rounds)._1
+          .map(m => (m.round, m.lhs, m.rhs, m.lhs + m.rhs, m.pairCount))
+          .toDF("round", "lhs", "rhs", "merged", "pair_count")
+          .orderBy("round")
+      },
+      Some(trainSql(Rounds))),
+
+    QueryDef("t19_bpe_encode",
+      (s, d) => {
+        val (_, vocab) = train(s, d, Rounds)
+        // vocab-sized map word -> token count after the merge chain
+        val enc = vocab.withColumn("n_toks",
+          size(regexp_extract_all(col("seq"), lit(SymRe), lit(1))).cast("long"))
+          .select(col("word"), col("n_toks"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+          .filter(col("word") =!= "")
+          .join(broadcast(enc), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("word")) + 1).cast("long").as("n_base_syms"),
+            sum(col("n_toks")).as("n_tokens"))
+          .select(col("doc_id"), col("n_words"), col("n_base_syms"), col("n_tokens"),
+            (col("n_tokens").cast("double") / col("n_base_syms").cast("double"))
+              .as("compression"))
+          .orderBy("doc_id")
+      },
+      Some(encodeSql(Rounds)))
+  )
+}
