@@ -28,6 +28,18 @@ object Ns {
   def oHash60(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** 52-bit non-negative hash, Spark side — 13 hex digits = 52 bits
+    * < 2^53, so the value (and any kth-min over it) converts to an IEEE
+    * double EXACTLY; the uniform-[0,1) sketch math of q84 divides these
+    * by 2^52 with zero representation error in either engine.
+    */
+  def hash52(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 13), 16, 10) AS BIGINT)"
+
+  /** Same 52-bit hash, DuckDB side. */
+  def oHash52(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 13) AS BIGINT)"
+
   /** 32-bit non-negative hash, Spark side. */
   def hash32(e: String): String =
     s"CAST(conv(substr(md5($e), 1, 8), 16, 10) AS BIGINT)"

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Sql, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2506,6 +2506,75 @@ object Relational {
                CAST(sum(CASE WHEN doc->>'$.absent' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         FROM j
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // -------------------------------------------------------------------
+    // KMV (k-minimum-values / theta-sketch bottom-k) distinct counting
+    // with SKETCH-LEVEL union merge — the third sketch family next to
+    // q64 (HLL) and t13 (count-min), and unlike q64's opaque binary
+    // state this one is cross-engine bit-identical: the sketch is the k
+    // smallest 52-bit md5-derived hashes (Ns.hash52 — exactly double-
+    // representable), theta = kth/2^52, estimate = (k-1)/theta, i.e.
+    // one exact-int-to-double conversion and ONE IEEE division in both
+    // engines. Per-priority estimates come from per-group sketches; the
+    // ALL row is computed by MERGING the five sketches (k smallest of
+    // their union — never re-scanning base data), which is the property
+    // that lets 1000 executors sketch independently and combine. A
+    // group whose sketch is not full (n < k) reports its exact count,
+    // the standard KMV small-cardinality branch — sf0.001 exercises it,
+    // sf0.01+ exercises the estimator branch. The global window on the
+    // union ranks at most |groups|*k = 1280 rows regardless of corpus
+    // size (the whole point of a sketch), so the single-partition sort
+    // is bounded, not a scale hazard.
+    QueryDef("q84_kmv_sketch",
+      (s, d) => {
+        val k = 256
+        val kthNum = 255L * 4503599627370496L // (k-1) * 2^52, exact
+        val base = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("grp"), col("o_custkey")).distinct()
+        val hashed = base
+          .withColumn("h", expr(Ns.hash52("CAST(o_custkey AS STRING)")))
+          .select("grp", "h").distinct()
+        val sk = hashed
+          .withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("h")))
+          .filter(col("rn") <= k).select("grp", "h")
+        def estimate(nSketch: Column, kth: Column): Column =
+          round(when(nSketch < k, nSketch.cast("double"))
+            .otherwise(lit(kthNum).cast("double") / kth.cast("double")), 4)
+        val perGroup = base.groupBy("grp").agg(count(ONE).as("n_exact"))
+          .join(sk.groupBy("grp")
+            .agg(count(ONE).as("n_sketch"), max("h").as("kth")), "grp")
+        val union = sk.select("h").distinct()
+          .withColumn("rn", row_number().over(Window.orderBy("h")))
+          .filter(col("rn") <= k)
+          .agg(count(ONE).as("n_sketch"), max("h").as("kth"))
+        val unionExact = base.select("o_custkey").distinct().agg(count(ONE).as("n_exact"))
+        perGroup.unionByName(
+            unionExact.crossJoin(union).withColumn("grp", lit("ALL")))
+          .select(col("grp"), col("n_exact"), col("n_sketch"),
+            estimate(col("n_sketch"), col("kth")).as("est_distinct"))
+          .orderBy("grp")
+      },
+      Some(s"""
+        WITH base AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey FROM orders),
+        h AS (SELECT DISTINCT grp, ${Ns.oHash52("CAST(o_custkey AS VARCHAR)")} AS h FROM base),
+        r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+        sk AS (SELECT grp, h FROM r WHERE rn <= 256),
+        per AS (SELECT grp, count(*) AS n_sketch, max(h) AS kth FROM sk GROUP BY grp),
+        ex AS (SELECT grp, count(*) AS n_exact FROM base GROUP BY grp),
+        uh AS (SELECT DISTINCT h FROM sk),
+        ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM uh),
+        us AS (SELECT count(*) AS n_sketch, max(h) AS kth FROM ur WHERE rn <= 256),
+        ue AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders),
+        allrows AS (
+          SELECT grp, n_exact, n_sketch, kth FROM ex JOIN per USING (grp)
+          UNION ALL
+          SELECT 'ALL' AS grp, ue.n_exact, us.n_sketch, us.kth FROM ue CROSS JOIN us)
+        SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_sketch AS BIGINT) AS n_sketch,
+               round(CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+                          ELSE CAST(1148417904979476480 AS DOUBLE) / CAST(kth AS DOUBLE) END,
+                     4) AS est_distinct
+        FROM allrows ORDER BY grp"""))
   )
 }
