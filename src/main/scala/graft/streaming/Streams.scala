@@ -83,6 +83,29 @@ object Streams {
       .select(col("err_id"), col("event_id").as("ctx_event_id"))
   }
 
+  /** Left-outer flavor of [[errorContextJoin]]: every error emits at
+    * least one row; errors with NO same-user event in the preceding 5
+    * minutes surface with a NULL ctx_event_id (the fixture makes this
+    * the dominant case — "error out of nowhere" is the row an alerting
+    * pipeline actually wants). In streaming mode the null-padded row
+    * can only be emitted once the watermark passes the error's join
+    * horizon — Spark buffers the error until no matching event can
+    * still arrive — so both sides MUST carry a watermark and the
+    * time-range predicate bounds state exactly as in the inner form;
+    * StreamingSpec proves stream==batch including the null rows.
+    */
+  def errorContextJoinLeftOuter(events: DataFrame): DataFrame = {
+    val err = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("u"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+    val all = events.select(col("user_id"), col("event_id"), col("ts"))
+    err.join(all,
+        col("u") === col("user_id") &&
+          col("ts") >= col("err_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("ts") < col("err_ts"),
+        "left_outer")
+      .select(col("err_id"), col("event_id").as("ctx_event_id"))
+  }
+
   /** Stream-static enrichment join: the events stream against a static
     * customer dimension. The static side is broadcast, so each
     * micro-batch joins map-side with NO stream-side shuffle before the
@@ -471,6 +494,23 @@ object Streams {
          AND e2.ts < e1.ts
         WHERE e1.event_type = 'error'
         ORDER BY err_id, ctx_event_id""")),
+
+    // -------------------------------------------------------------------
+    // Stream-stream LEFT-OUTER interval join (batch form; StreamingSpec
+    // runs the SAME errorContextJoinLeftOuter on a watermarked file
+    // stream and proves the emitted rows — including the null-padded
+    // no-context errors, which dominate the fixture — match).
+    QueryDef("st15_stream_outer_join",
+      (s, d) => errorContextJoinLeftOuter(Tables.events(s, d))
+        .orderBy("err_id", "ctx_event_id"),
+      Some("""
+        SELECT e1.event_id AS err_id, e2.event_id AS ctx_event_id
+        FROM events e1 LEFT JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts >= e1.ts - INTERVAL 5 MINUTE
+         AND e2.ts < e1.ts
+        WHERE e1.event_type = 'error'
+        ORDER BY err_id, ctx_event_id NULLS FIRST""")),
 
     // -------------------------------------------------------------------
     // Streaming exact dedup (batch form): an at-least-once feed (events

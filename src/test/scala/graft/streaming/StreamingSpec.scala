@@ -202,6 +202,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT-OUTER interval join == batch, null rows included") {
+    val dir = Files.createTempDirectory("graft-ss-ljoin")
+    writeOrderedFiles(dir, 3)
+    // outer-join null rows are only emitted once the watermark passes the
+    // error's join horizon; a far-future sentinel finalizes everything
+    val maxTs = eventsBatch.agg(max("ts")).head().getTimestamp(0)
+    val sentinel = spark.sql(
+      s"SELECT CAST(-1 AS BIGINT) AS event_id, timestamp'$maxTs' + INTERVAL 6 HOURS AS ts, " +
+        "CAST(-1 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value, '' AS props")
+    writeFlatFile(sentinel, dir, "z_sentinel.parquet", 1700009000000L)
+    val src = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val joined = Streams.errorContextJoinLeftOuter(src.withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ss_ljoin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def pairs(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val got = pairs(spark.table("ss_ljoin").collect())
+      val want = pairs(Streams.errorContextJoinLeftOuter(eventsBatch).collect())
+      assert(got == want && want.exists(_._2.isEmpty) && want.exists(_._2.nonEmpty),
+        s"got ${got.size} rows, want ${want.size}")
+    } finally q.stop()
+  }
+
   test("stream-static join: st08's enrichedSegmentCounts on a stream == batch") {
     val dir = Files.createTempDirectory("graft-ss-static")
     eventsBatch.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
