@@ -90,7 +90,8 @@ object SparkEntry {
       graft.operators.TpcH.defs ++
       graft.operators.Dedup.defs ++ graft.operators.TextAnalysis.defs ++
       graft.operators.Bpe.defs ++
-      graft.operators.Similarity.defs ++ graft.operators.Multimodal.defs ++
+      graft.operators.Similarity.defs ++ graft.operators.Pca.defs ++
+      graft.operators.Multimodal.defs ++
       graft.operators.Pipeline.defs ++ graft.operators.Clustering.defs ++
       graft.operators.Graph.defs ++
       graft.operators.Skew.defs ++ graft.streaming.Streams.defs

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over the 16-dim matryoshka prefix of `embeddings`
+  * (north star §2.3: the dimensionality-reduction step of an embedding
+  * pipeline — whitening, compression, drift monitoring).
+  *
+  * Two-phase shape, chosen for 100 TB:
+  *
+  *  1. **Moments pass (the only pass over data):** one narrow aggregate
+  *     computing `count`, 16 first moments and the 136 upper-triangle
+  *     second moments as exact DECIMAL(28,12) sums. No explode — the row
+  *     is never amplified; partial aggregation reduces every partition
+  *     to a single 153-field buffer, so the shuffle is one row per
+  *     partition regardless of input size (the same map-side-combine
+  *     shape as the reference's all-reduce, laplace-par.c:476-505).
+  *  2. **Power iteration (data-free):** the 16x16 covariance matrix is
+  *     assembled from the moments on a single-row DataFrame and a fixed
+  *     8-step power iteration runs as ONE `aggregate` fold over
+  *     `sequence(1,8)` — declarative, zero additional scans, zero driver
+  *     round-trips. The fold is deliberately UNNORMALIZED (y8 = A^8 x0,
+  *     normalized once at the end): per-step normalization would
+  *     reference each step's vector twice, and Catalyst's project
+  *     collapse then expands the lineage into 2^ITERS copies of the
+  *     256-cell covariance expression — measured as a codegen hang. The
+  *     fold body references `crow` and the running vector once each, so
+  *     the whole plan stays linear in ITERS. No overflow: ||A^8 x0||
+  *     moves by lambda1^8 with lambda1 = O(per-dim variance).
+  *
+  * The synthetic embeddings are near-isotropic (flat spectrum), so the
+  * iteration is pinned at a FIXED 8 steps rather than run to
+  * convergence — like the iteration-capped `laplace_solve_cell_n8`, the
+  * oracle unrolls the same 8 steps as a CTE chain, and determinism comes
+  * from bit-identical IEEE arithmetic: exact decimal moments, one
+  * double division per covariance cell, and sequential left folds
+  * ([[Ns]] recipe) for every matrix-vector product and norm.
+  * Loadings/eigenvalue are irrational (sqrt-normalized), so `round(_,6)`
+  * cannot hit a decimal midpoint (see the t02/s08 midpoint audit).
+  */
+object Pca {
+
+  private val DIM = 16
+  private val ITERS = 8
+
+  /** Covariance cell (i,j), 1-based, from the moment columns. */
+  private def covCell(i: Int, j: Int): String = {
+    val (a, b) = if (i <= j) (i, j) else (j, i)
+    s"CAST(s2_${a}_$b AS DOUBLE) / n - (CAST(s1_$i AS DOUBLE) / n) * (CAST(s1_$j AS DOUBLE) / n)"
+  }
+
+  private def covMatrix: String =
+    (1 to DIM).map { i =>
+      (1 to DIM).map(j => covCell(i, j)).mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+
+  /** Sequential-fold matrix-vector product: one textual reference to
+    * the matrix and the vector each ([[Ns]] fold order).
+    */
+  private def matvec(m: String, x: String): String =
+    s"transform($m, row -> aggregate(zip_with(row, $x, (cv, xx) -> cv * xx), CAST(0 AS DOUBLE), (acc, y) -> acc + y))"
+
+  private def norm(v: String): String =
+    s"sqrt(aggregate(transform($v, y -> y * y), CAST(0 AS DOUBLE), (acc, y) -> acc + y))"
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("s10_pca_power",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(expr(s"transform(slice(embedding, 1, $DIM), x -> CAST(x AS DOUBLE))").as("v"))
+        val moments =
+          (1 to DIM).map(i =>
+            sum(expr(s"CAST(element_at(v, $i) AS DECIMAL(28,12))")).as(s"s1_$i")) ++
+          (for { i <- 1 to DIM; j <- i to DIM } yield
+            sum(expr(s"CAST(element_at(v, $i) * element_at(v, $j) AS DECIMAL(28,12))")).as(s"s2_${i}_$j"))
+        val x0 =
+          s"transform(sequence(1, $DIM), k -> CASE WHEN k = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+        e.agg(count(lit(1)).as("n"), moments: _*)
+          .withColumn("crow", expr(covMatrix))
+          .withColumn("y8", expr(
+            s"aggregate(sequence(1, $ITERS), $x0, (x, k) -> ${matvec("crow", "x")})"))
+          .withColumn("n8", expr(norm("y8")))
+          .withColumn("y9", expr(matvec("crow", "y8")))
+          .withColumn("n9", expr(norm("y9")))
+          .select(col("crow"), col("n8"), col("n9"), posexplode(col("y8")))
+          .select((col("pos") + 1).cast("int").as("dim_idx"),
+            round(col("col") / col("n8"), 6).as("loading"),
+            round(col("n9") / col("n8"), 6).as("eigenvalue"),
+            round(expr("element_at(element_at(crow, pos + 1), pos + 1)"), 6).as("variance"))
+          .orderBy("dim_idx")
+      },
+      Some(oracleSql))
+  )
+
+  /** DuckDB oracle: the same moments + the same 8 unnormalized steps
+    * unrolled as a CTE chain, with [[Ns]]-order sequential folds.
+    */
+  private def oracleSql: String = {
+    def fold(expr: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $expr), (acc, y) -> acc + y)"
+    def oNorm(v: String): String =
+      s"sqrt(${fold(s"list_transform($v, y -> y * y)")})"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"e AS (SELECT list_transform(embedding[1:$DIM], x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+      s"""mom AS (
+        SELECT ii.i AS i, jj.j AS j,
+               sum(CAST(v[ii.i] * v[jj.j] AS DECIMAL(28,12))) AS s2
+        FROM e, UNNEST(generate_series(1, $DIM)) AS ii(i), UNNEST(generate_series(1, $DIM)) AS jj(j)
+        WHERE jj.j >= ii.i GROUP BY 1, 2)""",
+      s"""sums AS (
+        SELECT ii.i AS i, sum(CAST(v[ii.i] AS DECIMAL(28,12))) AS s1, count(*) AS n
+        FROM e, UNNEST(generate_series(1, $DIM)) AS ii(i) GROUP BY 1)""",
+      s"""cov AS (
+        SELECT m.i AS i, m.j AS j,
+               CAST(m.s2 AS DOUBLE) / a.n - (CAST(a.s1 AS DOUBLE) / a.n) * (CAST(b.s1 AS DOUBLE) / b.n) AS c
+        FROM mom m JOIN sums a ON a.i = m.i JOIN sums b ON b.i = m.j
+        UNION ALL
+        SELECT m.j AS i, m.i AS j,
+               CAST(m.s2 AS DOUBLE) / a.n - (CAST(a.s1 AS DOUBLE) / a.n) * (CAST(b.s1 AS DOUBLE) / b.n) AS c
+        FROM mom m JOIN sums a ON a.i = m.i JOIN sums b ON b.i = m.j
+        WHERE m.i < m.j)""",
+      "crow AS (SELECT i, list(c ORDER BY j) AS row FROM cov GROUP BY i)",
+      s"""y0 AS (SELECT list_transform(generate_series(1, $DIM),
+        k -> CASE WHEN k = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS y)""")
+    for (k <- 1 to ITERS + 1) {
+      ctes += s"""mv$k AS (
+        SELECT c.i AS i, ${fold("list_transform(c.row, (cv, jj) -> cv * y[jj])")} AS m
+        FROM crow c CROSS JOIN y${k - 1})"""
+      ctes += s"y$k AS (SELECT list(m ORDER BY i) AS y FROM mv$k)"
+    }
+    "WITH " + ctes.mkString(",\n") + s"""
+      SELECT CAST(d.d AS INT) AS dim_idx,
+             round(y8.y[d.d] / ${oNorm("y8.y")}, 6) AS loading,
+             round(${oNorm("y9.y")} / ${oNorm("y8.y")}, 6) AS eigenvalue,
+             round(cv.c, 6) AS variance
+      FROM y$ITERS y8, y${ITERS + 1} y9, UNNEST(generate_series(1, $DIM)) AS d(d)
+      JOIN cov cv ON cv.i = d.d AND cv.j = d.d
+      ORDER BY dim_idx"""
+  }
+}
