@@ -536,6 +536,87 @@ object Dedup {
          AND a.doc_id < b.doc_id
          AND abs(a.len - b.len) <= 2
         WHERE levenshtein(a.title, b.title) <= 2
+        ORDER BY doc_a, doc_b""")),
+
+    // -------------------------------------------------------------------
+    // Prefix-filtering set-similarity self-join (the AllPairs/PPJoin
+    // family: Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07) at
+    // 3-shingle Jaccard >= 3/5. Unlike the d04 candidate generator,
+    // which joins on EVERY shingle, each doc emits only its PREFIX —
+    // its (n - ceil(t*n) + 1) globally rarest shingles — and two docs
+    // are candidates only if their prefixes intersect. Complete by the
+    // pigeonhole bound (two sets with Jaccard >= t must overlap inside
+    // those prefixes under any shared total token order), and at 100 TB
+    // the prefix join shuffles a ~(1-t) fraction of the shingle table,
+    // ordered so the RAREST (= least joinable) shingles do the
+    // blocking; the df ranking is one vocab-sized aggregate.
+    //
+    // All threshold math is integer-exact (t = 3/5: ceil(3n/5) =
+    // (3n+4) div 5; J >= t <=> 5*common >= 3*union) — no float enters a
+    // filter, so the pair set is bit-stable across engines and
+    // partitionings; the reported jaccard double is output-only.
+    QueryDef("d09_prefix_filter_join",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("token"))
+        val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
+        val wPfx = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
+        val prefix = tok.join(df, "token").join(sizes, "doc_id")
+          .withColumn("r", row_number().over(wPfx))
+          .filter(col("r") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+          .select(col("doc_id"), col("token"), col("n"))
+        val cands = prefix.select(col("doc_id").as("doc_a"), col("token"), col("n").as("na"))
+          .join(prefix.select(col("doc_id").as("doc_b"), col("token"), col("n").as("nb")),
+            Seq("token"))
+          .filter(col("doc_a") < col("doc_b") &&
+            lit(5) * least(col("na"), col("nb")) >= lit(3) * greatest(col("na"), col("nb")))
+          .select("doc_a", "doc_b", "na", "nb").distinct()
+        val common = cands
+          .join(tok.select(col("doc_id").as("doc_a"), col("token")), "doc_a")
+          .join(tok.select(col("doc_id").as("doc_b"), col("token").as("tok_b")), "doc_b")
+          .filter(col("token") === col("tok_b"))
+          .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("n_common"))
+        common
+          .filter(lit(5) * col("n_common") >= lit(3) * (col("na") + col("nb") - col("n_common")))
+          .select(col("doc_a"), col("doc_b"), col("n_common"),
+            (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tok AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS token
+          FROM raw WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+        prefix AS (
+          SELECT doc_id, token, n FROM (
+            SELECT t.doc_id, t.token, s.n,
+                   row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.token) AS r
+            FROM tok t JOIN df f ON t.token = f.token JOIN sizes s ON t.doc_id = s.doc_id)
+          WHERE r <= n - ((3 * n + 4) // 5) + 1),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb
+          FROM prefix a JOIN prefix b ON a.token = b.token
+          WHERE a.doc_id < b.doc_id
+            AND 5 * least(a.n, b.n) >= 3 * greatest(a.n, b.n)),
+        common AS (
+          SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS n_common
+          FROM cands c
+          JOIN tok x ON x.doc_id = c.doc_a
+          JOIN tok y ON y.doc_id = c.doc_b AND y.token = x.token
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+        FROM common
+        WHERE 5 * n_common >= 3 * (na + nb - n_common)
         ORDER BY doc_a, doc_b"""))
   )
 }

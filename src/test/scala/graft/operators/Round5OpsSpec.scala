@@ -65,4 +65,62 @@ class Round5OpsSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 3.0 / math.sqrt(K.toDouble),
       s"estimate $est for true $n outside bound")
   }
+
+  test("d09: prefix filtering loses no pair vs an exhaustive all-pairs scan") {
+    // the pigeonhole completeness claim, checked against brute force:
+    // every pair with shingle-Jaccard >= 3/5 must survive the prefix join
+    val shingles = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))) AS sh")
+      .where("size(split(text, ' ')) >= 3")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (a, sa) <- shingles; (b, sb) <- shingles if a < b
+      common = (sa & sb).size
+      if 5L * common >= 3L * (sa.size + sb.size - common)
+    } yield (a, b, common.toLong)).toSet
+    val got = run("d09_prefix_filter_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} spurious=${(got -- brute).take(5)}")
+  }
+
+  test("s10: PCA equals a scalar moments + 8-step power iteration, bit for bit") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val DIM = 16
+    // CAST(double AS DECIMAL(28,12)) in both engines: shortest-repr
+    // decimal of the double, HALF_UP at scale 12
+    def dec12(x: Double): JBD = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+    def r6(x: Double): Double =
+      JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("transform(slice(embedding, 1, 16), x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vecs.length.toDouble
+    val s1 = Array.tabulate(DIM)(i => vecs.map(v => dec12(v(i))).reduce(_ add _))
+    val s2 = Array.tabulate(DIM, DIM)((i, j) =>
+      vecs.map(v => dec12(v(i) * v(j))).reduce(_ add _))
+    val c = Array.tabulate(DIM, DIM)((i, j) =>
+      s2(math.min(i, j))(math.max(i, j)).doubleValue() / n -
+        (s1(i).doubleValue() / n) * (s1(j).doubleValue() / n))
+    def matvec(x: Array[Double]): Array[Double] =
+      c.map(row => row.zip(x).map { case (cv, xx) => cv * xx }.foldLeft(0.0)(_ + _))
+    def norm(v: Array[Double]): Double =
+      math.sqrt(v.map(y => y * y).foldLeft(0.0)(_ + _))
+    val y8 = (1 to 8).foldLeft(Array.tabulate(DIM)(i => if (i == 0) 1.0 else 0.0))(
+      (x, _) => matvec(x))
+    val y9 = matvec(y8)
+    val (n8, n9) = (norm(y8), norm(y9))
+
+    val got = run("s10_pca_power").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == DIM)
+    for ((d, loading, eig, varv) <- got) {
+      assert(loading == r6(y8(d - 1) / n8), s"loading dim $d")
+      assert(eig == r6(n9 / n8), s"eigenvalue dim $d")
+      assert(varv == r6(c(d - 1)(d - 1)), s"variance dim $d")
+    }
+  }
 }
