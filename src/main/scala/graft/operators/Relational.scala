@@ -2575,6 +2575,111 @@ object Relational {
                round(CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
                           ELSE CAST(1148417904979476480 AS DOUBLE) / CAST(kth AS DOUBLE) END,
                      4) AS est_distinct
-        FROM allrows ORDER BY grp"""))
+        FROM allrows ORDER BY grp""")),
+
+    // -------------------------------------------------------------------
+    // KMV sketch INTERSECTION: join-cardinality estimation (the
+    // optimizer / capacity-planning use of q84's sketches — Beyer et
+    // al. SIGMOD'07). |A ∩ B| between the ordering custkeys (A) and
+    // each market segment's custkeys (B_g) is estimated WITHOUT joining
+    // the base tables: per side, keep the k smallest 52-bit hashes;
+    // union-merge to the k smallest of S_A ∪ S_B_g (theta = kth/2^52);
+    // then J_est = |{h in S_U : h in S_A and h in S_B_g}| / |S_U| and
+    // |A ∩ B_g| ~= J_est * (k-1)/theta. When the union sketch is not
+    // full it holds EVERY key of A ∪ B_g, so n_both IS the exact
+    // intersection — the small-cardinality branch sf0.001/sf0.01
+    // exercise (the estimator branch needs |A ∪ B_g| > k). Everything
+    // shuffled is k-bounded; the only base-data passes are the two
+    // distinct scans — the shape that lets two 100 TB fact tables
+    // estimate their join size from kilobyte sketches. n_exact (the
+    // semi-join ground truth, one narrow shuffle) rides along so the
+    // oracle pins estimate AND truth.
+    QueryDef("q85_kmv_join_est",
+      (s, d) => {
+        val k = 256
+        val kthNum = 255L * 4503599627370496L // (k-1) * 2^52, exact
+        val aKeys = Tables.orders(s, d).select(col("o_custkey")).distinct()
+        val aSk = aKeys
+          .withColumn("h", expr(Ns.hash52("CAST(o_custkey AS STRING)")))
+          .withColumn("rn", row_number().over(Window.orderBy("h")))
+          .filter(col("rn") <= k).select("h")
+        val bKeys = Tables.customer(s, d)
+          .select(col("c_mktsegment").as("grp"), col("c_custkey"))
+        val bSk = bKeys
+          .withColumn("h", expr(Ns.hash52("CAST(c_custkey AS STRING)")))
+          .withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("h")))
+          .filter(col("rn") <= k).select("grp", "h")
+        val uSk = bSk.unionByName(
+            bKeys.select("grp").distinct().crossJoin(aSk).select("grp", "h"))
+          .distinct()
+          .withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("h")))
+          .filter(col("rn") <= k).select("grp", "h")
+        val nBoth = uSk
+          .join(aSk.select(col("h").as("ha")), col("h") === col("ha"), "left_semi")
+          .join(bSk.select(col("grp").as("gb"), col("h").as("hb")),
+            col("grp") === col("gb") && col("h") === col("hb"), "left_semi")
+          .groupBy("grp").agg(count(ONE).as("n_both"))
+        val stats = uSk.groupBy("grp").agg(count(ONE).as("n_union"), max("h").as("kth"))
+        val exact = bKeys
+          .join(aKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("grp").agg(count(ONE).as("n_exact"))
+        stats
+          .join(nBoth, Seq("grp"), "left")
+          .join(exact, Seq("grp"), "left")
+          .select(col("grp"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            col("n_union"),
+            coalesce(col("n_both"), lit(0L)).as("n_both"),
+            round(when(col("n_union") < k, coalesce(col("n_both"), lit(0L)).cast("double"))
+              .otherwise(coalesce(col("n_both"), lit(0L)).cast("double") / col("n_union").cast("double")
+                * (lit(kthNum).cast("double") / col("kth").cast("double"))), 4)
+              .as("est_intersect"))
+          .orderBy("grp")
+      },
+      Some(s"""
+        WITH a AS (SELECT DISTINCT o_custkey FROM orders),
+        ask AS (
+          SELECT h FROM (
+            SELECT ${Ns.oHash52("CAST(o_custkey AS VARCHAR)")} AS h,
+                   row_number() OVER (ORDER BY ${Ns.oHash52("CAST(o_custkey AS VARCHAR)")}) AS rn
+            FROM a) WHERE rn <= 256),
+        b AS (SELECT c_mktsegment AS grp, c_custkey FROM customer),
+        bsk AS (
+          SELECT grp, h FROM (
+            SELECT grp, ${Ns.oHash52("CAST(c_custkey AS VARCHAR)")} AS h,
+                   row_number() OVER (PARTITION BY grp
+                     ORDER BY ${Ns.oHash52("CAST(c_custkey AS VARCHAR)")}) AS rn
+            FROM b) WHERE rn <= 256),
+        uall AS (
+          SELECT DISTINCT grp, h FROM (
+            SELECT grp, h FROM bsk
+            UNION ALL
+            SELECT g.grp, ask.h FROM (SELECT DISTINCT grp FROM b) g CROSS JOIN ask)),
+        usk AS (
+          SELECT grp, h FROM (
+            SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM uall) WHERE rn <= 256),
+        nboth AS (
+          SELECT u.grp, count(*) AS n_both FROM usk u
+          WHERE EXISTS (SELECT 1 FROM ask WHERE ask.h = u.h)
+            AND EXISTS (SELECT 1 FROM bsk WHERE bsk.grp = u.grp AND bsk.h = u.h)
+          GROUP BY u.grp),
+        stats AS (SELECT grp, count(*) AS n_union, max(h) AS kth FROM usk GROUP BY grp),
+        ex AS (
+          SELECT grp, count(*) AS n_exact FROM b
+          WHERE EXISTS (SELECT 1 FROM a WHERE a.o_custkey = b.c_custkey)
+          GROUP BY grp)
+        SELECT s.grp,
+               CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact,
+               CAST(s.n_union AS BIGINT) AS n_union,
+               CAST(coalesce(nboth.n_both, 0) AS BIGINT) AS n_both,
+               round(CASE WHEN s.n_union < 256 THEN CAST(coalesce(nboth.n_both, 0) AS DOUBLE)
+                          ELSE CAST(coalesce(nboth.n_both, 0) AS DOUBLE) / CAST(s.n_union AS DOUBLE)
+                               * (CAST(1148417904979476480 AS DOUBLE) / CAST(s.kth AS DOUBLE)) END,
+                     4) AS est_intersect
+        FROM stats s
+        LEFT JOIN nboth ON s.grp = nboth.grp
+        LEFT JOIN ex ON s.grp = ex.grp
+        ORDER BY s.grp"""))
   )
 }

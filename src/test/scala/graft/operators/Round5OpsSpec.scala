@@ -66,6 +66,32 @@ class Round5OpsSpec extends SparkSpec {
       s"estimate $est for true $n outside bound")
   }
 
+  test("q85: sketch-intersection estimate equals a scalar KMV intersection") {
+    val aKeys = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_custkey").distinct().collect().map(_.getLong(0))
+    val bRows = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_mktsegment", "c_custkey").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val aSet = aKeys.toSet
+    val aSk = aKeys.map(x => h52(x.toString)).distinct.sorted.take(K).toSeq
+    val got = run("q85_kmv_join_est").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    for ((g, rows) <- bRows.groupBy(_._1)) {
+      val bs = rows.map(_._2)
+      val bSk = bs.map(x => h52(x.toString)).distinct.sorted.take(K).toSeq
+      val u = (aSk ++ bSk).distinct.sorted.take(K)
+      val nBoth = u.count(h => aSk.contains(h) && bSk.contains(h)).toLong
+      val exact = bs.count(aSet).toLong
+      val est =
+        if (u.length < K) nBoth.toDouble
+        else BigDecimal(nBoth.toDouble / u.length *
+          ((255L * 4503599627370496L).toDouble / u.max.toDouble))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(g) == ((exact, u.length.toLong, nBoth, est)), s"segment $g")
+    }
+  }
+
   test("d09: prefix filtering loses no pair vs an exhaustive all-pairs scan") {
     // the pigeonhole completeness claim, checked against brute force:
     // every pair with shingle-Jaccard >= 3/5 must survive the prefix join
