@@ -798,6 +798,67 @@ object TextAnalysis {
                CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_after,
                raw <> nfc_normalize(raw) AS changed
         FROM raw
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Domain-mix drift monitoring: per-source unigram distribution
+    // entropy H(s) = -sum p ln p and KL(source || corpus) =
+    // sum p ln(p/q) — the standard data-mixture health signals (is a
+    // source's token distribution collapsing? how far does each source
+    // sit from the blend it feeds?). Float discipline follows the
+    // t05/t12 recipe: p and q are single exact divisions of exact
+    // counts, each per-token term is one ln + one multiply (ln is
+    // engine-bit-identical on these inputs, proven by t05/t09/t12),
+    // QUANTIZED to DECIMAL(18,9) — so the per-source sums are exact
+    // decimal adds, partition-invariant and engine-identical by
+    // construction, no float ever meets a parallel reduction. Scale:
+    // two vocab-sized aggregates + one vocab-sized equi-join; totals
+    // broadcast as one-row cross joins.
+    QueryDef("t20_domain_divergence",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        val st = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+        val sTot = st.groupBy("source").agg(sum("c").as("t"),
+          count(lit(1)).as("vocab"))
+        val corpus = st.groupBy("token").agg(sum("c").as("cc"))
+        val cTot = corpus.agg(sum("cc").as("tc"))
+        st.join(sTot, "source").join(corpus, "token").crossJoin(cTot)
+          .select(col("source"), col("t"), col("vocab"),
+            expr("""CAST(round(-((CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)), 9)
+                    AS DECIMAL(18,9))""").as("eterm"),
+            expr("""CAST(round((CAST(c AS DOUBLE) / t)
+                    * ln((CAST(c AS DOUBLE) / t) / (CAST(cc AS DOUBLE) / tc)), 9)
+                    AS DECIMAL(18,9))""").as("klterm"))
+          .groupBy("source")
+          .agg(max("t").as("n_tokens"), max("vocab").as("vocab"),
+            round(sum("eterm").cast("double"), 6).as("entropy"),
+            round(sum("klterm").cast("double"), 6).as("kl_vs_corpus"))
+          .select(col("source"), col("n_tokens"), col("vocab"),
+            col("entropy"), col("kl_vs_corpus"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        stot AS (SELECT source, sum(c) AS t, count(*) AS vocab FROM st GROUP BY 1),
+        corpus AS (SELECT token, sum(c) AS cc FROM st GROUP BY 1),
+        ctot AS (SELECT sum(cc) AS tc FROM corpus),
+        terms AS (
+          SELECT st.source, stot.t, stot.vocab,
+                 CAST(round(-((CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)), 9)
+                      AS DECIMAL(18,9)) AS eterm,
+                 CAST(round((CAST(c AS DOUBLE) / t)
+                      * ln((CAST(c AS DOUBLE) / t) / (CAST(cc AS DOUBLE) / tc)), 9)
+                      AS DECIMAL(18,9)) AS klterm
+          FROM st JOIN stot USING (source) JOIN corpus USING (token) CROSS JOIN ctot)
+        SELECT source, CAST(max(t) AS BIGINT) AS n_tokens,
+               CAST(max(vocab) AS BIGINT) AS vocab,
+               round(CAST(sum(eterm) AS DOUBLE), 6) AS entropy,
+               round(CAST(sum(klterm) AS DOUBLE), 6) AS kl_vs_corpus
+        FROM terms
+        GROUP BY source
+        ORDER BY source"""))
   )
 }

@@ -92,6 +92,23 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("t20: entropy and KL respect the information-theoretic bounds") {
+    val rows = run("t20_domain_divergence").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    for ((src, n, vocab, h, kl) <- rows) {
+      assert(h > 0.0 && h <= math.log(vocab.toDouble) + 1e-6,
+        s"$src: entropy $h outside (0, ln($vocab)]")
+      // Gibbs: KL >= 0 (tolerance for the per-term 1e-9 quantization)
+      assert(kl >= -1e-4, s"$src: negative KL $kl")
+      assert(n > vocab, s"$src: token count $n not above vocab $vocab")
+    }
+    // per-source token counts partition the corpus token count
+    val corpusToks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("size(split(text, ' ')) AS n").collect().map(_.getInt(0).toLong).sum
+    assert(rows.map(_._2).sum == corpusToks)
+  }
+
   test("d09: prefix filtering loses no pair vs an exhaustive all-pairs scan") {
     // the pigeonhole completeness claim, checked against brute force:
     // every pair with shingle-Jaccard >= 3/5 must survive the prefix join
