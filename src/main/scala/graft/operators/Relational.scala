@@ -2458,7 +2458,49 @@ object Relational {
         SELECT a.user_id, n_active_days, n_streaks, max_streak_days,
                r.start_day AS best_start_day
         FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
-        ORDER BY a.user_id"""))
+        ORDER BY a.user_id""")),
+
+    // -------------------------------------------------------------------
+    // 2-D skyline (Pareto frontier; Börzsönyi et al. ICDE'01): orders
+    // not dominated on (maximize o_totalprice, minimize o_orderdate) —
+    // "no other order is at least as expensive AND at least as old with
+    // one strict". The naive NOT EXISTS is an O(n^2) inequality join;
+    // the 2-D frontier instead falls out of one sorted scan: group to
+    // per-price min dates (the only full-width shuffle, and the
+    // reduction that makes the sort input |distinct prices|, not
+    // |orders|), then a running-min window over strictly-higher prices
+    // — a point survives iff its date beats every higher-price date.
+    // All comparisons are exact DECIMAL/DATE, so the frontier set is
+    // engine- and partitioning-exact. Round5OpsSpec brute-forces the
+    // dominance definition against this plan at sf0.001.
+    QueryDef("q86_skyline",
+      (s, d) => {
+        val pp = Tables.orders(s, d)
+          .groupBy(col("o_totalprice").as("p")).agg(min("o_orderdate").as("md"))
+        val w = Window.orderBy(col("p").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = pp.withColumn("prior_md", min("md").over(w))
+          .filter(col("prior_md").isNull || col("md") < col("prior_md"))
+        Tables.orders(s, d)
+          .join(frontier,
+            col("o_totalprice") === col("p") && col("o_orderdate") === col("md"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""
+        WITH pp AS (
+          SELECT o_totalprice AS p, min(o_orderdate) AS md
+          FROM orders GROUP BY 1),
+        r AS (
+          SELECT p, md,
+                 min(md) OVER (ORDER BY p DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_md
+          FROM pp),
+        frontier AS (
+          SELECT p, md FROM r WHERE prior_md IS NULL OR md < prior_md)
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders JOIN frontier ON o_totalprice = p AND o_orderdate = md
+        ORDER BY o_totalprice DESC, o_orderkey"""))
   ) ++ variantDefs
 
   /** Spark-4 VariantType over semi-structured events — see q83. */

@@ -129,6 +129,18 @@ class Round5OpsSpec extends SparkSpec {
       s"missing=${(brute -- got).take(5)} spurious=${(got -- brute).take(5)}")
   }
 
+  test("q86: window-scan skyline equals brute-force dominance") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(o_totalprice AS DOUBLE) AS p",
+        "CAST(o_orderdate AS STRING) AS dt")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    def dominates(a: (Long, Double, String), b: (Long, Double, String)): Boolean =
+      a._2 >= b._2 && a._3 <= b._3 && (a._2 > b._2 || a._3 < b._3)
+    val brute = orders.filter(o => !orders.exists(x => dominates(x, o))).map(_._1).toSet
+    val got = run("q86_skyline").collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"missing=${(brute -- got).take(5)} spurious=${(got -- brute).take(5)}")
+  }
+
   test("s10: PCA equals a scalar moments + 8-step power iteration, bit for bit") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val DIM = 16
