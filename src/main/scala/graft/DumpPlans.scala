@@ -30,7 +30,10 @@ object DumpPlans {
       "q79_corr_regression", "q80_market_basket", "t16_lexical_diversity",
       "st14_running_ewma", "q81_rolling_median", "q82_activity_streaks",
       "m05_frame_sample", "p12_incremental_neardup",
-      "t17_unicode_normalize", "q83_variant")
+      "t17_unicode_normalize", "q83_variant",
+      "q84_kmv_sketch", "q85_kmv_join_est", "q86_skyline",
+      "d09_prefix_filter_join", "s10_pca_power", "t18_bpe_train",
+      "t20_domain_divergence", "st15_stream_outer_join")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

@@ -2464,23 +2464,38 @@ object Relational {
     // 2-D skyline (Pareto frontier; Börzsönyi et al. ICDE'01): orders
     // not dominated on (maximize o_totalprice, minimize o_orderdate) —
     // "no other order is at least as expensive AND at least as old with
-    // one strict". The naive NOT EXISTS is an O(n^2) inequality join;
-    // the 2-D frontier instead falls out of one sorted scan: group to
-    // per-price min dates (the only full-width shuffle, and the
-    // reduction that makes the sort input |distinct prices|, not
-    // |orders|), then a running-min window over strictly-higher prices
-    // — a point survives iff its date beats every higher-price date.
-    // All comparisons are exact DECIMAL/DATE, so the frontier set is
-    // engine- and partitioning-exact. Round5OpsSpec brute-forces the
-    // dominance definition against this plan at sf0.001.
+    // one strict". The naive NOT EXISTS is an O(n^2) inequality join,
+    // and the textbook one-window form (running min over a GLOBAL price
+    // sort) plans a single-partition Window over |distinct prices| —
+    // both scale killers. Instead the suffix-min decomposes over fixed-
+    // width price bands: (1) per-price min dates (the only full-width
+    // shuffle); (2) per-BAND running min windows, partitioned by band —
+    // fully parallel; (3) a band-level suffix-min whose single-partition
+    // window is bounded by the band COUNT (price range / 10k, ~60 rows
+    // at any data size), broadcast back. A price survives iff its date
+    // beats both the higher prices of its own band and every higher
+    // band's min. All comparisons are exact DECIMAL/DATE, so the
+    // frontier set is engine- and partitioning-exact. Round5OpsSpec
+    // brute-forces the dominance definition against this plan.
     QueryDef("q86_skyline",
       (s, d) => {
         val pp = Tables.orders(s, d)
           .groupBy(col("o_totalprice").as("p")).agg(min("o_orderdate").as("md"))
-        val w = Window.orderBy(col("p").desc)
+          .withColumn("band", expr("CAST(floor(p / 10000) AS BIGINT)"))
+        val wBand = Window.orderBy(col("band").desc)
           .rowsBetween(Window.unboundedPreceding, -1)
-        val frontier = pp.withColumn("prior_md", min("md").over(w))
-          .filter(col("prior_md").isNull || col("md") < col("prior_md"))
+        val bandSuffix = pp.groupBy("band").agg(min("md").as("bmd"))
+          .withColumn("higher_bmd", min("bmd").over(wBand))
+          .select("band", "higher_bmd")
+        val wIn = Window.partitionBy("band").orderBy(col("p").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = pp.join(broadcast(bandSuffix), "band")
+          .withColumn("in_md", min("md").over(wIn))
+          .withColumn("dom_md", expr(
+            """CASE WHEN in_md IS NULL THEN higher_bmd
+                    WHEN higher_bmd IS NULL THEN in_md
+                    WHEN in_md < higher_bmd THEN in_md ELSE higher_bmd END"""))
+          .filter(col("dom_md").isNull || col("md") < col("dom_md"))
         Tables.orders(s, d)
           .join(frontier,
             col("o_totalprice") === col("p") && col("o_orderdate") === col("md"))
@@ -2489,15 +2504,27 @@ object Relational {
       },
       Some("""
         WITH pp AS (
-          SELECT o_totalprice AS p, min(o_orderdate) AS md
-          FROM orders GROUP BY 1),
+          SELECT o_totalprice AS p, min(o_orderdate) AS md,
+                 CAST(floor(o_totalprice / 10000) AS BIGINT) AS band
+          FROM orders GROUP BY 1, 3),
+        bs AS (
+          SELECT band,
+                 min(min(md)) OVER (ORDER BY band DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS higher_bmd
+          FROM pp GROUP BY band),
         r AS (
-          SELECT p, md,
-                 min(md) OVER (ORDER BY p DESC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_md
-          FROM pp),
+          SELECT p, md, higher_bmd,
+                 min(md) OVER (PARTITION BY pp.band ORDER BY p DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS in_md
+          FROM pp JOIN bs ON pp.band = bs.band),
         frontier AS (
-          SELECT p, md FROM r WHERE prior_md IS NULL OR md < prior_md)
+          SELECT p, md FROM (
+            SELECT p, md,
+                   CASE WHEN in_md IS NULL THEN higher_bmd
+                        WHEN higher_bmd IS NULL THEN in_md
+                        WHEN in_md < higher_bmd THEN in_md ELSE higher_bmd END AS dom_md
+            FROM r)
+          WHERE dom_md IS NULL OR md < dom_md)
         SELECT o_orderkey, o_totalprice, o_orderdate
         FROM orders JOIN frontier ON o_totalprice = p AND o_orderdate = md
         ORDER BY o_totalprice DESC, o_orderkey"""))
