@@ -149,6 +149,7 @@ object GraftFunctions {
     "vec_l2sq" -> { exprs => VecL2Sq(exprs(0), exprs(1)) },
     "char_hist16" -> { exprs => CharHist16(exprs(0)) },
     "topk_structs" -> { exprs => TopKStructAgg(exprs(0), exprs(1)).toAggregateExpression() },
+    "vec_moments" -> { exprs => DecimalMomentsAgg(exprs(0)).toAggregateExpression() },
     // Spark's runtime-filter bloom machinery (InjectRuntimeFilter's
     // BloomFilterAggregate / BloomFilterMightContain) exposed as
     // user-facing functions: build ONCE over xxhash64 keys, persist the
@@ -208,6 +209,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomFilterMightContain].getName,
         "graft_bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_moments"),
+      new ExpressionInfo(classOf[DecimalMomentsAgg].getName, "vec_moments"),
+      (exprs: Seq[Expression]) => DecimalMomentsAgg(exprs(0)).toAggregateExpression()))
     e.injectFunction((
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),

@@ -44,10 +44,19 @@ object Pca {
   private val DIM = 16
   private val ITERS = 8
 
-  /** Covariance cell (i,j), 1-based, from the moment columns. */
+  /** 1-based element_at slot of the (i,j) second moment inside the
+    * `vec_moments` output: D first-moment slots, then the upper
+    * triangle row-major. before(i) = 17(i-1) - i(i-1)/2 pairs precede
+    * row i of the triangle.
+    */
+  private def s2slot(i: Int, j: Int): Int =
+    DIM + (DIM + 1) * (i - 1) - i * (i - 1) / 2 + (j - i) + 1
+
+  /** Covariance cell (i,j), 1-based, from the moments array. */
   private def covCell(i: Int, j: Int): String = {
     val (a, b) = if (i <= j) (i, j) else (j, i)
-    s"CAST(s2_${a}_$b AS DOUBLE) / n - (CAST(s1_$i AS DOUBLE) / n) * (CAST(s1_$j AS DOUBLE) / n)"
+    s"CAST(element_at(ms, ${s2slot(a, b)}) AS DOUBLE) / n - " +
+      s"(CAST(element_at(ms, $i) AS DOUBLE) / n) * (CAST(element_at(ms, $j) AS DOUBLE) / n)"
   }
 
   private def covMatrix: String =
@@ -67,16 +76,17 @@ object Pca {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s10_pca_power",
       (s, d) => {
+        Ns.registerFast(s)
         val e = Tables.embeddings(s, d)
           .select(expr(s"transform(slice(embedding, 1, $DIM), x -> CAST(x AS DOUBLE))").as("v"))
-        val moments =
-          (1 to DIM).map(i =>
-            sum(expr(s"CAST(element_at(v, $i) AS DECIMAL(28,12))")).as(s"s1_$i")) ++
-          (for { i <- 1 to DIM; j <- i to DIM } yield
-            sum(expr(s"CAST(element_at(v, $i) * element_at(v, $j) AS DECIMAL(28,12))")).as(s"s2_${i}_$j"))
+        // moments pass: ONE TypedImperativeAggregate computing all 16
+        // first + 136 second exact-decimal moment sums in a single
+        // per-row loop (graft.functions.DecimalMomentsAgg) — same
+        // decimal terms as 153 separate sum(CAST(...)) expressions
+        // (bit-identical output), several-fold less per-row codegen.
         val x0 =
           s"transform(sequence(1, $DIM), k -> CASE WHEN k = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
-        e.agg(count(lit(1)).as("n"), moments: _*)
+        e.agg(count(lit(1)).as("n"), expr("vec_moments(v)").as("ms"))
           .withColumn("crow", expr(covMatrix))
           .withColumn("y8", expr(
             s"aggregate(sequence(1, $ITERS), $x0, (x, k) -> ${matvec("crow", "x")})"))

@@ -82,13 +82,17 @@ object Similarity {
           .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
         val cent = cd.groupBy("cl")
           .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
-        // assignment: nearest centroid by rounded L2^2, centroid-id tie-break
+        // assignment: nearest centroid by rounded L2^2, centroid-id
+        // tie-break — as a partial-aggregable min(struct(d2, cl)), the
+        // same argmin/tie-break as a row_number window but combined
+        // map-side instead of sorting the 10x-amplified rows per
+        // partition (the Clustering.scala k-means rule, applied here).
         val l2 = "round(vec_l2sq(%s, cv), 6)"
-        val asg = e.crossJoin(cent)
+        val assigned = e.crossJoin(cent)
           .select(col("vec_id"), col("cl"), expr(l2.format("v")).as("d2"))
-        val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))
-        val assigned = asg.withColumn("rn", row_number().over(wA))
-          .filter(col("rn") === 1).select(col("vec_id"), col("cl").as("bucket"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cl"))).as("m"))
+          .select(col("vec_id"), col("m.cl").as("bucket"))
         // probe: NPROBE nearest centroids per query
         val q = e.filter(expr(QFILTER))
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -597,14 +601,18 @@ object Similarity {
         val cent = cd.groupBy("cl")
           .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
         val l2 = "round(vec_l2sq(%s, cv), 6)"
-        // assignment + residual r = v - centroid[bucket]
-        val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))
+        // assignment + residual r = v - centroid[bucket]: argmin as a
+        // partial-aggregable min(struct) — (d2, cl) decide the minimum
+        // exactly as the former row_number window (cl is unique per
+        // centroid, so the trailing cv/v fields are never consulted by
+        // the ordering; they just ride along to build the residual).
         val assigned = e.crossJoin(cent)
           .select(col("vec_id"), col("v"), col("cl"), col("cv"),
             expr(l2.format("v")).as("d2"))
-          .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("cl").as("bucket"),
-            expr("zip_with(v, cv, (a, b) -> a - b)").as("r"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cl"), col("cv"), col("v"))).as("m"))
+          .select(col("vec_id"), col("m.cl").as("bucket"),
+            expr("zip_with(m.v, m.cv, (a, b) -> a - b)").as("r"))
         // residual subspaces; codebooks: seed (vec_id < KC) + one sweep
         val sub = assigned.select(col("vec_id"), col("bucket"), explode(expr(
             s"transform(sequence(0, ${S - 1}), s -> struct(s AS sp, slice(r, s * 16 + 1, 16) AS sv))")).as("x"))

@@ -254,39 +254,53 @@ object TpcH {
         ORDER BY supp_nation, cust_nation, l_year""")),
 
     // -------------------------------------------------------------------
-    // Q22 positive-balance customers without orders: a global scalar
-    // aggregate (average positive account balance) gates the customer
-    // scan, then a NOT EXISTS anti join against orders, rolled up by
-    // market segment. The threshold compare is multiplied through to
-    // exact decimal (bal * cnt > sum) — no division, engine-identical
-    // ties; the 1-row aggregate broadcasts; the anti join shuffles
-    // customer-cardinality keys only.
+    // Q22 positive-balance customers without (qualifying) orders: a
+    // selective country-code filter (this fixture has no c_phone, so
+    // c_nationkey IN (...) plays the cntrycode role), a global scalar
+    // aggregate (average positive account balance over the same
+    // filtered set) gating the customer scan, then a NOT EXISTS anti
+    // join against the open-urgent orders subset, rolled up by country
+    // code. Every customer in the fixture has SOME order, so the
+    // anti-join target is the restricted subset — this keeps the result
+    // non-empty at every sf (12/98/988 rows at sf0.001/0.01/0.1). The
+    // threshold compare is multiplied through to exact decimal
+    // (bal * cnt > sum) — no division, engine-identical ties; the 1-row
+    // aggregate broadcasts; the anti join shuffles customer-cardinality
+    // keys only and the orders side is filter-pruned before the shuffle.
     QueryDef("q57_tpch_q22",
       (s, d) => {
         val cust = Tables.customer(s, d)
+          .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
         val thresh = cust.filter(col("c_acctbal") > 0.0)
           .agg(sum(col("c_acctbal").cast("decimal(12,2)")).as("bal_sum"),
             count(ONE).cast("decimal(12,0)").as("bal_cnt"))
+        val openUrgent = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT")
         cust.crossJoin(broadcast(thresh))
           .filter(col("c_acctbal").cast("decimal(12,2)") * col("bal_cnt") > col("bal_sum"))
-          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
-          .groupBy("c_mktsegment")
+          .join(openUrgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("cntrycode"))
           .agg(count(ONE).as("numcust"),
             Sql.dsum(col("c_acctbal")).as("totacctbal"))
-          .orderBy("c_mktsegment")
+          .orderBy("cntrycode")
       },
       Some(s"""
-        WITH thresh AS (
+        WITH cc AS (
+          SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        thresh AS (
           SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum,
                  CAST(count(*) AS DECIMAL(12,0)) AS bal_cnt
-          FROM customer WHERE c_acctbal > 0.0)
-        SELECT c_mktsegment, count(*) AS numcust,
+          FROM cc WHERE c_acctbal > 0.0)
+        SELECT c_nationkey AS cntrycode, count(*) AS numcust,
                ${Sql.oDsum("c_acctbal")} AS totacctbal
-        FROM customer CROSS JOIN thresh
+        FROM cc CROSS JOIN thresh
         WHERE CAST(c_acctbal AS DECIMAL(12,2)) * bal_cnt > bal_sum
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        GROUP BY c_mktsegment
-        ORDER BY c_mktsegment""")),
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderstatus = 'O'
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY 1
+        ORDER BY cntrycode""")),
 
     // -------------------------------------------------------------------
     // Q2 minimum-cost supplier: for each qualifying part, the EUROPE
