@@ -20,6 +20,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture schema contract: a driver-side regeneration that drifts a
+    // column type must surface as ONE readable banner naming the column —
+    // round 4 lost 38 queries to exactly this, silently. Non-fatal: the
+    // per-query try/catch below still dumps everything that works.
+    val drift = Tables.schemaDrift(spark, sfDir)
+    if (drift.nonEmpty) {
+      System.err.println(s"[verify] FIXTURE SCHEMA DRIFT at $sfDir — ${drift.size} violation(s):")
+      drift.foreach(v => System.err.println(s"[verify]   $v"))
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))

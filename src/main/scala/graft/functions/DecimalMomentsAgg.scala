@@ -61,8 +61,13 @@ case class DecimalMomentsAgg(
   override def createAggregationBuffer(): Array[java.math.BigDecimal] =
     Array.empty[java.math.BigDecimal]
 
-  /** Spark's Cast(double -> DECIMAL(28,12)) then exact add into slot k. */
+  /** Spark's Cast(double -> DECIMAL(28,12)) then exact add into slot k.
+    * Non-finite terms are skipped: `CAST(double AS DECIMAL)` yields NULL
+    * on NaN/Infinity in non-ANSI mode and `sum` skips nulls — whereas
+    * `Decimal(x)` would throw NumberFormatException and kill the query.
+    */
   private def addTerm(b: Array[java.math.BigDecimal], k: Int, x: Double): Unit = {
+    if (!java.lang.Double.isFinite(x)) return
     val dec = Decimal(x)
     if (dec.changePrecision(28, 12)) {
       val j = dec.toJavaBigDecimal
@@ -70,29 +75,37 @@ case class DecimalMomentsAgg(
     }
   }
 
+  /** Invert len = d + d*(d+1)/2 = d*(d+3)/2 to recover the buffer's dim. */
+  private def dimOf(len: Int): Int =
+    ((Math.sqrt(9.0 + 8.0 * len) - 3.0) / 2.0).round.toInt
+
   override def update(
       buf: Array[java.math.BigDecimal], input: InternalRow): Array[java.math.BigDecimal] = {
     val a = child.eval(input)
     if (a == null) return buf
     val arr = a.asInstanceOf[ArrayData]
-    val dim = arr.numElements()
-    val b = if (buf.length > 0) buf else new Array[java.math.BigDecimal](dim + dim * (dim + 1) / 2)
-    require(b.length == dim + dim * (dim + 1) / 2,
-      s"vec_moments: ragged input dimension $dim does not fit buffer of ${b.length} slots")
+    val rowDim = arr.numElements()
+    val b = if (buf.length > 0) buf
+      else new Array[java.math.BigDecimal](rowDim + rowDim * (rowDim + 1) / 2)
+    // Dimension contract: the first non-null row fixes the buffer layout.
+    // Ragged rows degrade like the element_at spelling this replaces did:
+    // indices past a short row evaluate to null terms (skipped), elements
+    // past the buffer dim are ignored — never a per-row exception.
+    val dim = dimOf(b.length)
+    val md = math.min(rowDim, dim)
     var i = 0
-    var k = dim
-    while (i < dim) {
+    while (i < md) {
       if (!arr.isNullAt(i)) {
         val vi = arr.getDouble(i)
         addTerm(b, i, vi)
         var j = i
-        while (j < dim) {
-          if (!arr.isNullAt(j)) addTerm(b, k, vi * arr.getDouble(j))
-          k += 1
+        while (j < md) {
+          // triangle slot for (i, j>=i): dim first-moment slots, then
+          // i*dim - i*(i-1)/2 full rows of the triangle, then (j - i)
+          if (!arr.isNullAt(j))
+            addTerm(b, dim + i * dim - i * (i - 1) / 2 + (j - i), vi * arr.getDouble(j))
           j += 1
         }
-      } else {
-        k += dim - i // skip the whole null row of the triangle (terms are null)
       }
       i += 1
     }
@@ -103,12 +116,16 @@ case class DecimalMomentsAgg(
       a: Array[java.math.BigDecimal], b: Array[java.math.BigDecimal]): Array[java.math.BigDecimal] = {
     if (a.length == 0) return b
     if (b.length == 0) return a
+    // Partials sized from different first-row dims (possible only on
+    // ragged input, where slot layouts already degrade per `update`):
+    // fold the shorter into the longer rather than throwing mid-merge.
+    val (base, other) = if (a.length >= b.length) (a, b) else (b, a)
     var i = 0
-    while (i < a.length) {
-      if (b(i) != null) a(i) = if (a(i) == null) b(i) else a(i).add(b(i))
+    while (i < other.length) {
+      if (other(i) != null) base(i) = if (base(i) == null) other(i) else base(i).add(other(i))
       i += 1
     }
-    a
+    base
   }
 
   override def eval(buf: Array[java.math.BigDecimal]): Any =

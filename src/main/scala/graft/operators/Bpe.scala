@@ -79,8 +79,19 @@ object Bpe {
         .orderBy(col("c").desc, col("lhs"), col("rhs"))
         .limit(1).collect()(0)
       val (l, r) = (top.getString(0), top.getString(1))
+      // enforced, not assumed: a quote/paren/backslash in a symbol would
+      // corrupt the interpolated replace literal below
+      require((l + r).forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'),
+        s"BPE symbol outside [a-z0-9_]: '$l' + '$r' — unsafe to interpolate into replace()")
       merges += Merge(k, l, r, top.getLong(2))
-      w = w.withColumn("seq", expr(s"replace(seq, '($l)($r)', '($l$r)')"))
+      // re-cache each round's state so round k's pair scan reads ONE
+      // materialized table instead of re-running all k-1 prior replaces
+      // over the base (O(rounds) per round, not O(rounds^2) total);
+      // materialize before unpersisting the parent it derives from
+      val next = w.withColumn("seq", expr(s"replace(seq, '($l)($r)', '($l$r)')")).cache()
+      next.count()
+      w.unpersist()
+      w = next
     }
     (merges.result(), w)
   }

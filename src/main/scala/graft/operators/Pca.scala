@@ -52,17 +52,28 @@ object Pca {
   private def s2slot(i: Int, j: Int): Int =
     DIM + (DIM + 1) * (i - 1) - i * (i - 1) / 2 + (j - i) + 1
 
-  /** Covariance cell (i,j), 1-based, from the moments array. */
-  private def covCell(i: Int, j: Int): String = {
-    val (a, b) = if (i <= j) (i, j) else (j, i)
-    s"CAST(element_at(ms, ${s2slot(a, b)}) AS DOUBLE) / n - " +
-      s"(CAST(element_at(ms, $i) AS DOUBLE) / n) * (CAST(element_at(ms, $j) AS DOUBLE) / n)"
+  /** Covariance matrix as ONE nested transform over the packed moments
+    * vector, computing the `s2slot` index arithmetic per cell at eval
+    * time. The earlier spelling textually expanded all 256 cells
+    * (~800 element_at nodes), and every downstream reference to `crow`
+    * that Catalyst's project-collapse inlines re-plans/compiles that
+    * whole tree — measured as s10's dominant constant factor. This tree
+    * is ~30 nodes however often it is inlined; the per-cell arithmetic
+    * (one double division and one product-of-means subtraction, in the
+    * same operation order) is IEEE-identical, so the oracle hash is
+    * unchanged. Runtime is a 256-step interpreted loop on the single
+    * post-aggregation row — nanoseconds.
+    */
+  private def covMatrix: String = {
+    // s2slot(a, b) for a = least(i,j), b = greatest(i,j), spelled with
+    // SQL least/greatest; a*(a-1) is even so `div 2` is exact.
+    val slot = s"$DIM + ${DIM + 1} * (least(i, j) - 1) " +
+      "- (least(i, j) * (least(i, j) - 1)) div 2 " +
+      "+ (greatest(i, j) - least(i, j)) + 1"
+    s"transform(sequence(1, $DIM), i -> transform(sequence(1, $DIM), j -> " +
+      s"CAST(element_at(ms, CAST($slot AS INT)) AS DOUBLE) / n - " +
+      "(CAST(element_at(ms, i) AS DOUBLE) / n) * (CAST(element_at(ms, j) AS DOUBLE) / n)))"
   }
-
-  private def covMatrix: String =
-    (1 to DIM).map { i =>
-      (1 to DIM).map(j => covCell(i, j)).mkString("array(", ", ", ")")
-    }.mkString("array(", ", ", ")")
 
   /** Sequential-fold matrix-vector product: one textual reference to
     * the matrix and the vector each ([[Ns]] fold order).

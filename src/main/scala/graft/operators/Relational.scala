@@ -2674,6 +2674,11 @@ object Relational {
           .filter(col("rn") <= k).select("h")
         val bKeys = Tables.customer(s, d)
           .select(col("c_mktsegment").as("grp"), col("c_custkey"))
+          // KMV sketches are over DISTINCT keys: without this dedup a
+          // duplicated key would occupy several bottom-k slots and bias
+          // kth/n_union low. A no-op on customer (c_custkey is the PK)
+          // but load-bearing for any non-key input.
+          .distinct()
         val bSk = bKeys
           .withColumn("h", expr(Ns.hash52("CAST(c_custkey AS STRING)")))
           .withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("h")))
@@ -2712,7 +2717,7 @@ object Relational {
             SELECT ${Ns.oHash52("CAST(o_custkey AS VARCHAR)")} AS h,
                    row_number() OVER (ORDER BY ${Ns.oHash52("CAST(o_custkey AS VARCHAR)")}) AS rn
             FROM a) WHERE rn <= 256),
-        b AS (SELECT c_mktsegment AS grp, c_custkey FROM customer),
+        b AS (SELECT DISTINCT c_mktsegment AS grp, c_custkey FROM customer),
         bsk AS (
           SELECT grp, h FROM (
             SELECT grp, ${Ns.oHash52("CAST(c_custkey AS VARCHAR)")} AS h,

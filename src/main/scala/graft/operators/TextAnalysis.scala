@@ -91,6 +91,18 @@ object TextAnalysis {
     // aff(t, l) = ln((tf(t,l) + 1) / (tokens(l) + |V|)) are quantized to
     // DECIMAL(18,6) so per-doc score sums are exact (order-independent
     // across engines AND executor counts); argmax with lang tie-break.
+    //
+    // Scale shape: the model is built from OBSERVED (lang, token) counts
+    // only — never a materialized |langs| x |vocab| cross join (a
+    // scale-killer at real vocabularies). Every token a language never
+    // saw contributes the same smoothing affinity miss(l) =
+    // ln(1 / (tokens(l) + |V|)), so the unseen mass is added
+    // analytically per (doc, lang): score = sum_present(aff) +
+    // (n_tok - n_present) * miss. Only the |L|-row miss table is
+    // broadcast; doc-token counts join the observed model on token (an
+    // equi-join AQE can broadcast when the model is small). Because each
+    // token still contributes exactly its quantized decimal affinity,
+    // scores — and the argmax — are bit-identical to the dense model.
     QueryDef("t01_lang_id",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -100,18 +112,24 @@ object TextAnalysis {
           .agg(count(lit(1)).as("c_tl"))
         val lc = tok.groupBy(col("lang").as("l2")).agg(count(lit(1)).as("c_l"))
         val vsize = tok.agg(countDistinct(col("token")).as("v_sz"))
-        val langs = docs.select(col("lang").as("cand")).distinct()
-        val vocab = tok.select(col("token").as("t2")).distinct()
-        // the model table is |langs| x |vocab| — broadcast-sized by
-        // construction (hints pinned; scoring a 100 TB corpus is then a
-        // broadcast join + one groupBy, no model-side shuffles)
-        val aff = langs.crossJoin(vocab).crossJoin(broadcast(vsize))
-          .join(broadcast(lc), col("cand") === col("l2"))
-          .join(broadcast(ltc), col("cand") === col("l") && col("t2") === col("t"), "left")
-          .select(col("cand"), col("t2"),
-            expr("CAST(round(ln((coalesce(c_tl, 0) + 1.0) / (c_l + v_sz)), 6) AS DECIMAL(18,6))").as("aff"))
-        val scored = tok.join(broadcast(aff), col("token") === col("t2"))
-          .groupBy("doc_id", "cand").agg(sum(col("aff")).as("score"))
+        val langmiss = lc.crossJoin(broadcast(vsize))
+          .select(col("l2").as("cand"),
+            expr("CAST(round(ln(1.0 / (c_l + v_sz)), 6) AS DECIMAL(18,6))").as("miss"))
+        val aff = ltc.join(broadcast(lc), col("l") === col("l2"))
+          .crossJoin(broadcast(vsize))
+          .select(col("l"), col("t"),
+            expr("CAST(round(ln((c_tl + 1.0) / (c_l + v_sz)), 6) AS DECIMAL(18,6))").as("aff"))
+        val doctok = tok.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("cnt"))
+        val docstats = tok.groupBy(col("doc_id").as("sdoc"))
+          .agg(count(lit(1)).as("n_tok"))
+        val pres = doctok.join(aff, col("token") === col("t"))
+          .groupBy(col("doc_id").as("pdoc"), col("l").as("pcand"))
+          .agg(sum(col("cnt") * col("aff")).as("psum"), sum(col("cnt")).as("npres"))
+        val scored = docstats.crossJoin(broadcast(langmiss))
+          .join(pres, col("sdoc") === col("pdoc") && col("cand") === col("pcand"), "left")
+          .select(col("sdoc").as("doc_id"), col("cand"),
+            expr("coalesce(psum, CAST(0 AS DECIMAL(18,6))) + (n_tok - coalesce(npres, 0)) * miss").as("score"))
         val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .join(docs.select("doc_id", "lang"), "doc_id")
@@ -125,18 +143,27 @@ object TextAnalysis {
         ltc AS (SELECT lang AS l, token AS t, count(*) AS c_tl FROM tok GROUP BY 1, 2),
         lc AS (SELECT lang AS l2, count(*) AS c_l FROM tok GROUP BY 1),
         vsize AS (SELECT count(DISTINCT token) AS v_sz FROM tok),
-        langs AS (SELECT DISTINCT lang AS cand FROM documents),
-        vocab AS (SELECT DISTINCT token AS t2 FROM tok),
+        langmiss AS (
+          SELECT l2 AS cand,
+                 CAST(round(ln(1.0 / (c_l + v_sz)), 6) AS DECIMAL(18,6)) AS miss
+          FROM lc CROSS JOIN vsize),
         aff AS (
-          SELECT cand, t2,
-                 CAST(round(ln((coalesce(c_tl, 0) + 1.0) / (c_l + v_sz)), 6) AS DECIMAL(18,6)) AS aff
-          FROM langs CROSS JOIN vocab CROSS JOIN vsize
-          JOIN lc ON cand = l2
-          LEFT JOIN ltc ON cand = l AND t2 = t),
+          SELECT l, t,
+                 CAST(round(ln((c_tl + 1.0) / (c_l + v_sz)), 6) AS DECIMAL(18,6)) AS aff
+          FROM ltc JOIN lc ON l = l2 CROSS JOIN vsize),
+        doctok AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        docstats AS (SELECT doc_id AS sdoc, count(*) AS n_tok FROM tok GROUP BY 1),
+        pres AS (
+          SELECT doc_id AS pdoc, l AS pcand,
+                 sum(cnt * aff) AS psum, sum(cnt) AS npres
+          FROM doctok JOIN aff ON token = t
+          GROUP BY 1, 2),
         scored AS (
-          SELECT doc_id, cand, sum(aff) AS score
-          FROM tok JOIN aff ON token = t2
-          GROUP BY doc_id, cand),
+          SELECT sdoc AS doc_id, cand,
+                 coalesce(psum, CAST(0 AS DECIMAL(18,6)))
+                 + (n_tok - coalesce(npres, 0)) * miss AS score
+          FROM docstats CROSS JOIN langmiss
+          LEFT JOIN pres ON sdoc = pdoc AND cand = pcand),
         best AS (
           SELECT doc_id, cand,
                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
