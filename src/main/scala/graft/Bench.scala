@@ -55,7 +55,8 @@ object Bench {
     val total = results.collect { case (_, _, med, true) => med }.sum
     val nFailed = results.count(!_._4)
     val witness = if (sys.env.contains("SPARK_GRAFT_SKIP_WITNESS")) ""
-      else "," + solverWitness(spark) + "," + pipelineWitness(spark)
+      else "," + solverWitness(spark) + "," + pipelineWitness(spark) +
+        "," + invarianceWitness(spark, sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"first":$firsts$witness,"sf":"$sfDir"}""")
     // The full line above can exceed the driver's tail-truncation window,
     // leaving BENCH_r*.json unparseable. Repeat the headline as ONE compact
@@ -71,6 +72,39 @@ object Bench {
       .map { case (f, vs) => (f, BigDecimal(vs.map(_._2).sum).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble) }
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"families":${jmap(fams)},"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Partitioning-invariance witness: the determinism contract argued in
+    * Ns.scala (exact decimal sums, md5-derived hashing, sequential folds,
+    * quantize-then-rank), MEASURED: a representative query per family is
+    * executed under three different shuffle-partition counts and the full
+    * result set is content-hashed each time. Identical hashes = the result
+    * does not depend on how the data was partitioned — the property that
+    * makes local[32] results transfer verbatim to a 1000-executor cluster
+    * (and that the DuckDB single-threaded oracle silently relies on).
+    */
+  private def invarianceWitness(spark: SparkSession, sfDir: String): String = {
+    val reps = Seq("q01_pricing_summary", "d02_minhash_lsh", "s01_cosine_topk",
+      "t01_lang_id", "g01_pagerank")
+    val parts = Seq(5, 13, 32)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    def contentHash(name: String): String = {
+      val rows = SparkEntry.queries(name)(spark, sfDir).collect()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // row order is part of each query's contract (all end in orderBy),
+      // so hash rows in the order delivered
+      rows.foreach(r => md.update(r.toString.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val entries = reps.map { name =>
+      val hashes = parts.map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        contentHash(name)
+      }
+      s""""$name":{"hashes":[${hashes.map("\"" + _ + "\"").mkString(",")}],"invariant":${hashes.distinct.size == 1}}"""
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", saved)
+    s""""invariance_witness":{"partitions":[${parts.mkString(",")}],${entries.mkString(",")}}"""
   }
 
   /** Pipeline scale ladder: the 100 TB design argument for the near-dup

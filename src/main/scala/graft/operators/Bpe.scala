@@ -71,27 +71,43 @@ object Bpe {
     */
   private[operators] def train(
       s: SparkSession, d: String, rounds: Int): (Seq[Merge], DataFrame) = {
+    // Iterative-lineage management: without periodic materialization,
+    // round k's pair scan re-runs all k-1 prior replaces over the base
+    // (O(rounds^2) replace evaluations total — the classic iterative-
+    // algorithm lineage blowup). Caching EVERY round pays a vocab-table
+    // cache write per round, which bench showed costs more than the
+    // <cacheEvery re-evaluations it saves; so the state is cached every
+    // `cacheEvery` rounds — lineage depth stays bounded (<cacheEvery
+    // narrow replaces above the last materialized state, O(rounds) total
+    // work) at a quarter of the cache-write traffic. No extra
+    // materializing action is spent: a cache round's own top-pair collect
+    // fills the fresh cache, and only then is the PREVIOUS materialized
+    // state (now shielded by a newer one) unpersisted — unpersisting
+    // earlier would recompute the whole chain from the base.
+    val cacheEvery = 4
     var w = words(s, d).cache()
+    var lastCached = w
+    var pendingCache: Option[org.apache.spark.sql.DataFrame] = None
     val merges = Seq.newBuilder[Merge]
     for (k <- 1 to rounds) {
       val top = pairs(w)
         .groupBy("lhs", "rhs").agg(sum("cnt").as("c"))
         .orderBy(col("c").desc, col("lhs"), col("rhs"))
         .limit(1).collect()(0)
+      if (pendingCache.exists(_ eq w)) {
+        lastCached.unpersist()
+        lastCached = w
+        pendingCache = None
+      }
       val (l, r) = (top.getString(0), top.getString(1))
       // enforced, not assumed: a quote/paren/backslash in a symbol would
       // corrupt the interpolated replace literal below
       require((l + r).forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'),
         s"BPE symbol outside [a-z0-9_]: '$l' + '$r' — unsafe to interpolate into replace()")
       merges += Merge(k, l, r, top.getLong(2))
-      // re-cache each round's state so round k's pair scan reads ONE
-      // materialized table instead of re-running all k-1 prior replaces
-      // over the base (O(rounds) per round, not O(rounds^2) total);
-      // materialize before unpersisting the parent it derives from
-      val next = w.withColumn("seq", expr(s"replace(seq, '($l)($r)', '($l$r)')")).cache()
-      next.count()
-      w.unpersist()
-      w = next
+      val next = w.withColumn("seq", expr(s"replace(seq, '($l)($r)', '($l$r)')"))
+      w = if (k % cacheEvery == 0) { val c = next.cache(); pendingCache = Some(c); c }
+        else next
     }
     (merges.result(), w)
   }

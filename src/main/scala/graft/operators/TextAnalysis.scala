@@ -108,28 +108,53 @@ object TextAnalysis {
         val docs = Tables.documents(s, d)
         val tok = docs.select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("token"))
+        // model build: ONE aggregation of the exploded stream (observed
+        // (lang, token) counts — never a materialized |langs| x |vocab|
+        // table), materialized once via localCheckpoint. Every model
+        // derivation below (per-lang totals, vocab size, affinities,
+        // smoothing mass) references this table, and Spark expands each
+        // DataFrame reference into its own subtree (exchange reuse does
+        // not collapse them here) — without the checkpoint the corpus
+        // explode ran SIX times per query. The checkpointed table is
+        // model-sized (observed pairs), not corpus-sized, so the
+        // materialization is as bounded as k-means' centroid state.
         val ltc = tok.groupBy(col("lang").as("l"), col("token").as("t"))
           .agg(count(lit(1)).as("c_tl"))
-        val lc = tok.groupBy(col("lang").as("l2")).agg(count(lit(1)).as("c_l"))
-        val vsize = tok.agg(countDistinct(col("token")).as("v_sz"))
+          .localCheckpoint()
+        val lc = ltc.groupBy(col("l").as("l2")).agg(sum(col("c_tl")).as("c_l"))
+        val vsize = ltc.agg(countDistinct(col("t")).as("v_sz"))
+        // affinities quantized to MICRO-NATS AS BIGINT — the same 6-decimal
+        // quantization as CAST(round(ln(...), 6) AS DECIMAL(18,6)) (scores
+        // differ by the constant 1e6 factor, so the argmax is identical),
+        // but per-token sums run in codegen'd long arithmetic instead of
+        // the BigDecimal path (precision 28 sums leave Decimal's
+        // long-backed fast path). No overflow: |aff_u| < 4e7 and a doc has
+        // < 2^44 / 4e7 tokens by a wide margin.
         val langmiss = lc.crossJoin(broadcast(vsize))
           .select(col("l2").as("cand"),
-            expr("CAST(round(ln(1.0 / (c_l + v_sz)), 6) AS DECIMAL(18,6))").as("miss"))
+            expr("CAST(round(ln(1.0 / (c_l + v_sz)) * 1e6, 0) AS BIGINT)").as("miss"))
         val aff = ltc.join(broadcast(lc), col("l") === col("l2"))
           .crossJoin(broadcast(vsize))
           .select(col("l"), col("t"),
-            expr("CAST(round(ln((c_tl + 1.0) / (c_l + v_sz)), 6) AS DECIMAL(18,6))").as("aff"))
-        val doctok = tok.groupBy(col("doc_id"), col("token"))
-          .agg(count(lit(1)).as("cnt"))
-        val docstats = tok.groupBy(col("doc_id").as("sdoc"))
-          .agg(count(lit(1)).as("n_tok"))
-        val pres = doctok.join(aff, col("token") === col("t"))
+            expr("CAST(round(ln((c_tl + 1.0) / (c_l + v_sz)) * 1e6, 0) AS BIGINT)").as("aff"))
+        // per-doc token count comes NARROWLY from the text column (no
+        // doc-grain shuffle); the only doc-grain aggregation is the
+        // present-token score sum, whose join AQE broadcasts while the
+        // model is small and shuffles on token once it is not
+        val docstats = docs.select(col("doc_id").as("sdoc"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        // broadcast pinned: the checkpointed model is a stats-less
+        // LogicalRDD the planner would otherwise size-estimate as huge
+        // and sort-merge the whole corpus against. A lang-id affinity
+        // model is broadcast-sized by nature (observed pairs, quantized);
+        // at an extreme vocabulary drop the hint and shuffle on token.
+        val pres = tok.join(broadcast(aff), col("token") === col("t"))
           .groupBy(col("doc_id").as("pdoc"), col("l").as("pcand"))
-          .agg(sum(col("cnt") * col("aff")).as("psum"), sum(col("cnt")).as("npres"))
+          .agg(sum(col("aff")).as("psum"), count(lit(1)).as("npres"))
         val scored = docstats.crossJoin(broadcast(langmiss))
           .join(pres, col("sdoc") === col("pdoc") && col("cand") === col("pcand"), "left")
           .select(col("sdoc").as("doc_id"), col("cand"),
-            expr("coalesce(psum, CAST(0 AS DECIMAL(18,6))) + (n_tok - coalesce(npres, 0)) * miss").as("score"))
+            expr("coalesce(psum, 0L) + (n_tok - coalesce(npres, 0L)) * miss").as("score"))
         val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .join(docs.select("doc_id", "lang"), "doc_id")
@@ -145,22 +170,23 @@ object TextAnalysis {
         vsize AS (SELECT count(DISTINCT token) AS v_sz FROM tok),
         langmiss AS (
           SELECT l2 AS cand,
-                 CAST(round(ln(1.0 / (c_l + v_sz)), 6) AS DECIMAL(18,6)) AS miss
+                 CAST(round(ln(1.0 / (c_l + v_sz)) * 1e6, 0) AS BIGINT) AS miss
           FROM lc CROSS JOIN vsize),
         aff AS (
           SELECT l, t,
-                 CAST(round(ln((c_tl + 1.0) / (c_l + v_sz)), 6) AS DECIMAL(18,6)) AS aff
+                 CAST(round(ln((c_tl + 1.0) / (c_l + v_sz)) * 1e6, 0) AS BIGINT) AS aff
           FROM ltc JOIN lc ON l = l2 CROSS JOIN vsize),
-        doctok AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
-        docstats AS (SELECT doc_id AS sdoc, count(*) AS n_tok FROM tok GROUP BY 1),
+        docstats AS (
+          SELECT doc_id AS sdoc, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
         pres AS (
           SELECT doc_id AS pdoc, l AS pcand,
-                 sum(cnt * aff) AS psum, sum(cnt) AS npres
-          FROM doctok JOIN aff ON token = t
+                 sum(aff) AS psum, count(*) AS npres
+          FROM tok JOIN aff ON token = t
           GROUP BY 1, 2),
         scored AS (
           SELECT sdoc AS doc_id, cand,
-                 coalesce(psum, CAST(0 AS DECIMAL(18,6)))
+                 coalesce(psum, 0)
                  + (n_tok - coalesce(npres, 0)) * miss AS score
           FROM docstats CROSS JOIN langmiss
           LEFT JOIN pres ON sdoc = pdoc AND cand = pcand),
