@@ -617,6 +617,79 @@ object Dedup {
                CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
         FROM common
         WHERE 5 * n_common >= 3 * (na + nb - n_common)
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // -------------------------------------------------------------------
+    // Content-defined chunking (CDC) sub-document dedup: cut each text
+    // where a rolling hash of the trailing 4 chars hits 0 mod 32 (the
+    // rsync/LBFS boundary trick — boundaries move WITH the content, so a
+    // one-char insertion re-chunks only the neighborhood instead of
+    // shifting every fixed-width block), md5 the chunks, and count how
+    // much of each doc is duplicated elsewhere at chunk granularity.
+    // This is the sub-document complement to d01 (whole-doc) and d04
+    // (shingle similarity): boilerplate/quotation detection at 100 TB is
+    // a groupBy on the chunk hash — content never joins against content,
+    // and the explode fan-out is ~n_chars/32 rows per doc. The rolling
+    // hash is plain integer arithmetic (< 4e6, exact in both engines);
+    // chunk identity crosses engines via md5 hex.
+    QueryDef("d10_cdc_chunks",
+      (s, d) => {
+        val W = 4     // rolling-hash window (chars)
+        val MASK = 32 // boundary when h % MASK == 0 -> ~32-char avg chunks
+        val docs = Tables.documents(s, d)
+        val chunks = docs
+          .withColumn("codes", expr("transform(split(text, ''), c -> ascii(c))"))
+          .withColumn("n", size(col("codes")))
+          // guard: Spark's sequence(4, n) turns DESCENDING for n < 4
+          // (DuckDB's generate_series is empty there) — normalize to empty
+          .withColumn("cuts", expr(
+            s"CASE WHEN n < $W THEN CAST(array() AS ARRAY<INT>) ELSE " +
+              s"filter(sequence($W, n), i -> (element_at(codes, i - 3) * 29791 " +
+              s"+ element_at(codes, i - 2) * 961 + element_at(codes, i - 1) * 31 " +
+              s"+ element_at(codes, i)) % $MASK = 0) END"))
+          .withColumn("chunk", explode(expr(
+            "filter(zip_with(concat(array(0), cuts), concat(cuts, array(n)), " +
+              "(st, en) -> substring(text, st + 1, en - st)), c -> c <> '')")))
+          .select(col("doc_id"), md5(col("chunk")).as("h"))
+        val docChunks = chunks.distinct()
+        val spread = docChunks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+        docChunks.join(spread, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .withColumn("dup_ratio",
+            round(col("n_shared").cast("double") / col("n_chunks"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_transform(regexp_extract_all(text, '.'), c -> ascii(c)) AS codes,
+                 len(regexp_extract_all(text, '.')) AS n
+          FROM documents),
+        cutst AS (
+          SELECT doc_id, text, n,
+                 list_filter(generate_series(4, n),
+                   i -> (codes[i-3] * 29791 + codes[i-2] * 961 + codes[i-1] * 31
+                         + codes[i]) % 32 = 0) AS cuts
+          FROM base),
+        chunkst AS (
+          SELECT doc_id,
+                 unnest(list_filter(list_transform(generate_series(1, len(cuts) + 1),
+                   i -> substring(text,
+                     (CASE WHEN i = 1 THEN 0 ELSE cuts[i-1] END) + 1,
+                     (CASE WHEN i = len(cuts) + 1 THEN n ELSE cuts[i] END)
+                       - (CASE WHEN i = 1 THEN 0 ELSE cuts[i-1] END))),
+                   c -> c <> '')) AS chunk
+          FROM cutst),
+        docchunks AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM chunkst),
+        spread AS (SELECT h, count(DISTINCT doc_id) AS nd FROM docchunks GROUP BY h)
+        SELECT c.doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               round(CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+        FROM docchunks c JOIN spread s ON c.h = s.h
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id"""))
   )
 }

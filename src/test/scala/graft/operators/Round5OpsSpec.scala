@@ -178,4 +178,50 @@ class Round5OpsSpec extends SparkSpec {
       assert(varv == r6(c(d - 1)(d - 1)), s"variance dim $d")
     }
   }
+
+  /** Scalar CDC re-implementation: same 4-char rolling hash, mod-32
+    * boundaries, md5 chunk identity. */
+  private def cdcChunks(text: String): Seq[String] = {
+    val n = text.length
+    val cuts = (4 to n).filter { i =>
+      val c = text.substring(i - 4, i).map(_.toInt)
+      (c(0) * 29791 + c(1) * 961 + c(2) * 31 + c(3)) % 32 == 0
+    }
+    val bounds = 0 +: cuts :+ n
+    bounds.sliding(2).map { case Seq(a, b) => text.substring(a, b) }
+      .filter(_.nonEmpty).toSeq
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("d10: chunking matches a scalar CDC rebuild and chunks reassemble the text") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunksByDoc = docs.map { case (id, text) => id -> cdcChunks(text) }
+    // chunks reassemble the text exactly (boundaries partition, never drop)
+    chunksByDoc.foreach { case (id, cs) => assert(cs.mkString == docs(id), s"doc $id") }
+    // full differential: per-doc distinct-chunk counts and cross-doc
+    // shared counts from the scalar rebuild must equal the query
+    val hashesByDoc = chunksByDoc.map { case (id, cs) => id -> cs.map(md5hex).toSet }
+    val spread = hashesByDoc.values.flatten.groupBy(identity).view
+      .mapValues(_ => 0).keys.map { h =>
+        h -> hashesByDoc.count(_._2.contains(h))
+      }.toMap
+    val expected = hashesByDoc.collect { case (id, hs) if hs.nonEmpty =>
+      id -> ((hs.size.toLong, hs.count(h => spread(h) > 1).toLong))
+    }
+    val got = run("d10_cdc_chunks").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // an exact-duplicate text must be 100% chunk-shared with its twin
+    val byText = docs.groupBy(_._2).filter(_._2.size > 1)
+    val dupRatios = run("d10_cdc_chunks").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    byText.values.flatten.foreach { case (id, _) =>
+      assert(dupRatios(id) == 1.0, s"exact-dup doc $id should be fully shared")
+    }
+  }
 }
