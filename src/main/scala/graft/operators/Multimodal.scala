@@ -309,6 +309,90 @@ object Multimodal {
                CAST(length(substring(text, frame_idx * 32 + 1, 32)) AS INT) AS frame_w,
                md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_md5
         FROM frames
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    // -------------------------------------------------------------------
+    // Perceptual-hash near-dup (pHash architecture, WHT core): treat the
+    // leading 64 payload bytes as the decoded 8x8 thumbnail, take the
+    // 64-point Walsh-Hadamard transform W[k] = SUM_i x[i]*(-1)^popcount(i&k)
+    // (the pHash recipe swaps in a DCT here; WHT is the same
+    // frequency-signature idea in PURE INTEGER arithmetic, so the
+    // signature is exact and cross-engine — a DCT's cos() is not), keep
+    // the sign bit of the 63 non-DC coefficients as a BIGINT fingerprint,
+    // and pair docs at hamming <= 7 via the d03b pigeonhole byte-band
+    // equi-join (8 bands x 8 bits: distance <= 7 forces >= 1 equal band,
+    // so banding is lossless and the plan is never all-pairs). The oracle
+    // joins all pairs (fixture-sized) — identical output pins the
+    // losslessness. At 100 TB: signatures are one narrow per-row pass;
+    // only (band, byte) keys shuffle.
+    QueryDef("m06_whash_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
+        // Each HOF stage is MATERIALIZED before the next references it:
+        // Catalyst's project collapse inlines a referenced array-building
+        // expression into every element evaluation of its consumer, so
+        // the fused spelling rebuilt the 64-element px array 63*64 times
+        // per row (the s10 covMatrix lineage-expansion trap — measured as
+        // a runaway task, not a slow one). Three linear passes over a
+        // 500-5000-row projection instead; the last checkpoint is also
+        // what both sides of the band self-join reuse.
+        val px = docs
+          .select(col("doc_id"), expr(
+            "transform(sequence(0, 63), i -> CASE WHEN i < length(text) " +
+              "THEN ascii(substring(text, i + 1, 1)) ELSE 0 END)").as("px"))
+          .localCheckpoint()
+        val wht = px
+          .select(col("doc_id"), expr(
+            "transform(sequence(1, 63), k -> aggregate(sequence(0, 63), 0L, " +
+              "(acc, i) -> acc + element_at(px, i + 1) * (1 - 2 * (bit_count(i & k) % 2))))").as("wht"))
+          .localCheckpoint()
+        val sigs = wht
+          .select(col("doc_id"), expr(
+            "aggregate(sequence(1, 63), 0L, (acc, k) -> acc + " +
+              "CASE WHEN element_at(wht, k) > 0 THEN shiftleft(CAST(1 AS BIGINT), k - 1) ELSE 0L END)")
+            .as("whash"))
+          .localCheckpoint() // reused by both sides of the band join
+        val bands = sigs.select(col("doc_id"), col("whash"),
+          explode(array((0 until 8).map(t => struct(lit(t).as("band"),
+            expr(s"shiftright(whash, ${8 * t}) % 256").as("byte"))): _*)).as("bb"))
+          .select(col("doc_id"), col("whash"), col("bb.band"), col("bb.byte"))
+        val a = bands.select(col("doc_id").as("doc_a"), col("whash").as("ha"),
+          col("band"), col("byte"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("whash").as("hb"),
+          col("band").as("band_b"), col("byte").as("byte_b"))
+        a.join(b, col("band") === col("band_b") && col("byte") === col("byte_b") &&
+            col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+          .filter(col("hamming") <= 7)
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE n_chars > 0),
+        px AS (
+          SELECT doc_id, list_transform(generate_series(0, 63),
+              i -> CASE WHEN i < length(text) THEN ascii(substring(text, i + 1, 1)) ELSE 0 END) AS px
+          FROM base),
+        wht AS (
+          SELECT doc_id, list_transform(generate_series(1, 63),
+              k -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(generate_series(0, 63),
+                       i -> CAST(px[i + 1] * (1 - 2 * (bit_count(i & k) % 2)) AS BIGINT))),
+                     (acc, x) -> acc + x)) AS w
+          FROM px),
+        sig AS (
+          SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, 63),
+                     k -> CASE WHEN w[k] > 0 THEN (CAST(1 AS BIGINT) << (k - 1))
+                          ELSE CAST(0 AS BIGINT) END)),
+                   (acc, x) -> acc + x) AS whash
+          FROM wht)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.whash, b.whash)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.whash, b.whash)) <= 7
+        ORDER BY doc_a, doc_b"""))
   )
 }
