@@ -598,8 +598,17 @@ object Similarity {
         val cd = e.select(col("label"), posexplode(col("v")))
           .groupBy(col("label").as("cl"), col("pos"))
           .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+        // Index-build tables below are MATERIALIZED (localCheckpoint):
+        // each is referenced by several downstream branches, and every
+        // reference re-expands its whole build subtree (the corpus scan
+        // + argmin ran ~6x through the sub/cb1/codes chain). A real
+        // IVFPQ build persists exactly these artifacts — centroids,
+        // codebooks, residual subspaces, and the codes table ARE the
+        // index; the query side then reads concrete tables, as it would
+        // from storage.
         val cent = cd.groupBy("cl")
           .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
+          .localCheckpoint()
         val l2 = "round(vec_l2sq(%s, cv), 6)"
         // assignment + residual r = v - centroid[bucket]: argmin as a
         // partial-aggregable min(struct) — (d2, cl) decide the minimum
@@ -617,6 +626,7 @@ object Similarity {
         val sub = assigned.select(col("vec_id"), col("bucket"), explode(expr(
             s"transform(sequence(0, ${S - 1}), s -> struct(s AS sp, slice(r, s * 16 + 1, 16) AS sv))")).as("x"))
           .select(col("vec_id"), col("bucket"), col("x.sp"), col("x.sv"))
+          .localCheckpoint()
         val seed = sub.filter(col("vec_id") < KC)
           .select(col("sp"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
         def assign(cb: org.apache.spark.sql.DataFrame) = sub.join(broadcast(cb), "sp")
@@ -630,8 +640,10 @@ object Similarity {
           .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
           .groupBy("sp", "code")
           .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
+          .localCheckpoint()
         val codes = assign(cb1)
           .select(col("vec_id"), col("bucket"), col("sp").as("csp"), col("code").as("ccode"))
+          .localCheckpoint()
         // queries: probe NPROBE buckets, carry the query residual per bucket
         val q = e.filter(expr(QFILTER)).select(col("vec_id").as("qid"), col("v").as("qv"))
         val wP = Window.partitionBy("qid").orderBy(col("qd2"), col("cl"))
