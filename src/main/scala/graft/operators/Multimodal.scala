@@ -328,29 +328,48 @@ object Multimodal {
     QueryDef("m06_whash_neardup",
       (s, d) => {
         val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
-        // Each HOF stage is MATERIALIZED before the next references it:
-        // Catalyst's project collapse inlines a referenced array-building
-        // expression into every element evaluation of its consumer, so
-        // the fused spelling rebuilt the 64-element px array 63*64 times
-        // per row (the s10 covMatrix lineage-expansion trap — measured as
-        // a runaway task, not a slow one). Three linear passes over a
-        // 500-5000-row projection instead; the last checkpoint is also
-        // what both sides of the band self-join reuse.
-        val px = docs
-          .select(col("doc_id"), expr(
-            "transform(sequence(0, 63), i -> CASE WHEN i < length(text) " +
-              "THEN ascii(substring(text, i + 1, 1)) ELSE 0 END)").as("px"))
-          .localCheckpoint()
-        val wht = px
-          .select(col("doc_id"), expr(
-            "transform(sequence(1, 63), k -> aggregate(sequence(0, 63), 0L, " +
-              "(acc, i) -> acc + element_at(px, i + 1) * (1 - 2 * (bit_count(i & k) % 2))))").as("wht"))
-          .localCheckpoint()
-        val sigs = wht
-          .select(col("doc_id"), expr(
-            "aggregate(sequence(1, 63), 0L, (acc, k) -> acc + " +
-              "CASE WHEN element_at(wht, k) > 0 THEN shiftleft(CAST(1 AS BIGINT), k - 1) ELSE 0L END)")
-            .as("whash"))
+        // The WHT is a genuine per-row imperative kernel — the "decode /
+        // feature-extract" step this family models (same shape as m02's
+        // batched byte decode) — so it runs as a typed map with the
+        // O(n log n) butterfly, not as nested SQL HOFs. (A declarative
+        // spelling was tried twice: fused, it hit Catalyst's
+        // project-collapse lineage expansion — px rebuilt 63*64 times per
+        // row, a runaway task, the s10 covMatrix trap; staged through
+        // localCheckpoints it ran ~20M interpreted lambda evals, 6.7 s at
+        // sf0.1 for microseconds of actual integer work.) All arithmetic
+        // is integer-exact, so the fingerprints still hash-match the
+        // oracle's HOF spelling bit for bit.
+        val sess = s
+        import sess.implicits._
+        val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            // leading 64 bytes as the fake 8x8 decode (ascii fixture:
+            // charAt == code point == DuckDB's ascii())
+            val x = new Array[Long](64)
+            var i = 0
+            while (i < 64) { x(i) = if (i < text.length) text.charAt(i).toLong else 0L; i += 1 }
+            // in-place fast WHT butterfly: after the log2(64) stages,
+            // x(k) = SUM_i px(i) * (-1)^popcount(i & k) — exactly the
+            // Sylvester-ordering transform the oracle spells out
+            var h = 1
+            while (h < 64) {
+              var st = 0
+              while (st < 64) {
+                var j = st
+                while (j < st + h) {
+                  val a = x(j); val b = x(j + h)
+                  x(j) = a + b; x(j + h) = a - b
+                  j += 1
+                }
+                st += 2 * h
+              }
+              h *= 2
+            }
+            var sig = 0L
+            var k = 1
+            while (k < 64) { if (x(k) > 0) sig |= 1L << (k - 1); k += 1 }
+            (id, sig)
+          }.toDF("doc_id", "whash")
           .localCheckpoint() // reused by both sides of the band join
         val bands = sigs.select(col("doc_id"), col("whash"),
           explode(array((0 until 8).map(t => struct(lit(t).as("band"),
