@@ -34,7 +34,10 @@ object DumpPlans {
       "q84_kmv_sketch", "q85_kmv_join_est", "q86_skyline",
       "d09_prefix_filter_join", "s10_pca_power", "t18_bpe_train",
       "t20_domain_divergence", "st15_stream_outer_join",
-      "t01_lang_id", "d10_cdc_chunks", "m06_whash_neardup")
+      "t01_lang_id", "d10_cdc_chunks", "m06_whash_neardup",
+      "q87_count_sketch", "q88_twap", "q89_proration",
+      "s11_binary_ann", "g06_kcore", "st16_session_rollup",
+      "t21_readability", "q90_bitemporal", "q91_attribution")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

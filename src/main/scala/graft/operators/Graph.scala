@@ -346,12 +346,101 @@ object Graph {
       GROUP BY doc_id
       ORDER BY doc_id"""
 
+  private val KCORE_K = 2
+  private val KCORE_ROUNDS = 8
+
+  /** k-core decomposition (k=2) of the near-dup graph by iterative
+    * peeling (Matula-Beck): drop every node whose degree among LIVE
+    * nodes is < k, recompute, repeat. The 2-core strips pendant
+    * near-dup chains and keeps only documents embedded in CYCLES of
+    * duplication — the robust "this cluster is real" signal (a single
+    * spurious minhash collision makes a pendant edge, never a cycle).
+    * Both engines run the SAME fixed KCORE_ROUNDS sweeps (the g03/g04
+    * bounded-propagation contract — extra rounds past the fixpoint are
+    * no-ops on both sides, so equality never depends on convergence
+    * detection); GraphOpsSpec asserts the fixpoint IS reached at test
+    * scales. Scale: each round is two semi-joins of the edge list
+    * against the shrinking live set keyed the same way (frontier-sized
+    * work, no all-pairs anything), exactly the d06 label-propagation
+    * shuffle shape.
+    */
+  private def kcore(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(s, d).filter(col("est_jaccard") >= JMIN)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg0 = edges.groupBy("src").agg(count(lit(1)).as("degree"))
+    // Each round reads `live` TWICE (both endpoints) — without a cut the
+    // composed plan doubles per round (2^ROUNDS copies of round 0, the
+    // s10/m06 lineage-expansion trap in join form). localCheckpoint
+    // materializes the shrinking id set each round: 8 frontier-sized
+    // jobs, constant-size plans.
+    var live = deg0.filter(col("degree") >= KCORE_K).select(col("src").as("id"))
+      .localCheckpoint()
+    for (_ <- 1 to KCORE_ROUNDS) {
+      live = edges
+        .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= KCORE_K).select(col("src").as("id"))
+        .localCheckpoint()
+    }
+    val coreEdges = edges
+      .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val cd = coreEdges.groupBy("src").agg(count(lit(1)).as("cdeg"))
+    deg0.join(live, deg0("src") === live("id"), "left")
+      .join(cd, Seq("src"), "left")
+      .select(col("src").as("doc_id"), col("degree"),
+        col("id").isNotNull.as("in_2core"),
+        coalesce(col("cdeg"), lit(0L)).as("core_degree"))
+      .orderBy("doc_id")
+  }
+
+  private def kcoreOracle: String = {
+    // Every l$t is read TWICE by l${t+1} — DuckDB inlines plain CTEs, so
+    // without MATERIALIZED the unrolled SQL explodes 2^ROUNDS-fold (the
+    // same lineage trap the Spark side cuts with localCheckpoint).
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH ${Dedup.minhashPairsOracleCtes},
+      edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM mpairs WHERE est_jaccard >= $JMIN
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM mpairs WHERE est_jaccard >= $JMIN),
+      deg0 AS MATERIALIZED (SELECT src, count(*) AS degree FROM edges GROUP BY src),
+      l0 AS MATERIALIZED (SELECT src AS id FROM deg0 WHERE degree >= $KCORE_K)"""
+    for (t <- 1 to KCORE_ROUNDS) {
+      sb ++= s""",
+      l$t AS MATERIALIZED (
+        SELECT e.src AS id FROM edges e
+        JOIN l${t - 1} a ON e.src = a.id
+        JOIN l${t - 1} b ON e.dst = b.id
+        GROUP BY e.src HAVING count(*) >= $KCORE_K)"""
+    }
+    sb ++= s""",
+      coredeg AS (
+        SELECT e.src, count(*) AS cdeg FROM edges e
+        JOIN l$KCORE_ROUNDS a ON e.src = a.id
+        JOIN l$KCORE_ROUNDS b ON e.dst = b.id
+        GROUP BY e.src)
+      SELECT g.src AS doc_id, g.degree,
+             l.id IS NOT NULL AS in_2core,
+             coalesce(c.cdeg, 0) AS core_degree
+      FROM deg0 g
+      LEFT JOIN l$KCORE_ROUNDS l ON g.src = l.id
+      LEFT JOIN coredeg c ON g.src = c.src
+      ORDER BY doc_id"""
+    sb.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", (s, d) => pagerank(s, d), Some(oracle)),
     QueryDef("g02_triangles", (s, d) => triangles(s, d), Some(trianglesOracle)),
     QueryDef("g03_bfs", (s, d) => bfs(s, d), Some(bfsOracle)),
     QueryDef("g04_sssp", (s, d) => sssp(s, d), Some(ssspOracle)),
     QueryDef("g05_recursive_reach", (s, d) => recursiveReach(s, d),
-      Some(recursiveReachOracle))
+      Some(recursiveReachOracle)),
+    QueryDef("g06_kcore", (s, d) => kcore(s, d), Some(kcoreOracle))
   )
 }

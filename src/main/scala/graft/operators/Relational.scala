@@ -2754,6 +2754,352 @@ object Relational {
         FROM stats s
         LEFT JOIN nboth ON s.grp = nboth.grp
         LEFT JOIN ex ON s.grp = ex.grp
-        ORDER BY s.grp"""))
+        ORDER BY s.grp""")),
+
+    // -------------------------------------------------------------------
+    // Count-Sketch heavy hitters (Charikar-Chen-Farach-Colton): the
+    // UNBIASED sibling of t13's Count-Min — d=5 hash rows x w=16 signed
+    // counters, cell_r(b) += sign_r(t)*count(t), est(t) = MEDIAN over r
+    // of sign_r(t)*cell_r(b_r(t)). Where CMS only ever OVERcounts
+    // (collisions add), Count-Sketch's random signs make collisions
+    // cancel in expectation: the error is two-sided and centered — the
+    // estimator a downstream mean/second-moment needs. d=5 (odd) makes
+    // the median a single order statistic: both engines pick
+    // sorted[2] — pure integer, no interpolation. The sketch is d*w =
+    // 80 mergeable counters (cell-wise ADD across shards, like CMS);
+    // w=16 < |fixture vocab| forces real collisions at every scale, so
+    // the oracle pins actual signed errors — including UNDERestimates,
+    // which CMS can never produce. Scoring joins 16-row broadcast
+    // cell tables; top-20 rides TakeOrderedAndProject.
+    QueryDef("q87_count_sketch",
+      (s, d) => {
+        val D = 5; val W = 16
+        val bucketSign = expr(s"""transform(sequence(0, ${D - 1}),
+          r -> struct(r AS r,
+            ${Ns.hash32("concat('csb', CAST(r AS STRING), ':', token)")} % $W AS b,
+            (${Ns.hash32("concat('css', CAST(r AS STRING), ':', token)")} % 2) * 2 - 1 AS sg))""")
+        val counts = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token").agg(count(ONE).as("c"))
+        val buckets = counts.select(col("token"), col("c"), explode(bucketSign).as("x"))
+          .select(col("token"), col("c"), col("x.r"), col("x.b"), col("x.sg"))
+        val cells = buckets.groupBy("r", "b").agg(sum(col("sg") * col("c")).as("cell"))
+        val top = counts.orderBy(col("c").desc, col("token")).limit(20)
+        top.select(col("token"), col("c"), explode(bucketSign).as("x"))
+          .select(col("token"), col("c"), col("x.r"), col("x.b"), col("x.sg"))
+          .join(broadcast(cells), Seq("r", "b"))
+          .groupBy("token", "c")
+          .agg(expr("element_at(sort_array(collect_list(sg * cell)), 3)").as("cs_est"))
+          .select(col("token"), col("c").as("exact"), col("cs_est"),
+            (col("cs_est") - col("c")).as("err"))
+          .orderBy(col("exact").desc, col("token"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        counts AS (
+          SELECT token, count(*) AS c FROM toks WHERE token <> '' GROUP BY token),
+        buckets AS (
+          SELECT token, c, r,
+                 ${Ns.oHash32("'csb' || CAST(r AS VARCHAR) || ':' || token")} % 16 AS b,
+                 (${Ns.oHash32("'css' || CAST(r AS VARCHAR) || ':' || token")} % 2) * 2 - 1 AS sg
+          FROM counts CROSS JOIN generate_series(0, 4) t(r)),
+        cells AS (
+          SELECT r, b, CAST(sum(sg * c) AS BIGINT) AS cell
+          FROM buckets GROUP BY r, b),
+        top AS (
+          SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 20),
+        scored AS (
+          SELECT t.token, t.c, list_sort(list(bk.sg * ce.cell))[3] AS cs_est
+          FROM top t
+          JOIN buckets bk ON bk.token = t.token
+          JOIN cells ce ON ce.r = bk.r AND ce.b = bk.b
+          GROUP BY t.token, t.c)
+        SELECT token, c AS exact, cs_est, cs_est - c AS err
+        FROM scored
+        ORDER BY exact DESC, token""")),
+
+    // -------------------------------------------------------------------
+    // Bitemporal as-of query (Snodgrass): every event is a CORRECTION to
+    // the user's value, effective from valid time = ts but only KNOWN
+    // from transaction time tx = ts + a deterministic ingest delay of up
+    // to 5 days (md5(event_id)-derived — late-arriving data, modeled, not
+    // random). The query reconstructs "what did we BELIEVE at T1 the
+    // value was at valid instant V" vs the same question asked at T2, and
+    // flags users whose history was REWRITTEN in between — the
+    // restatement audit (finance close, GDPR re-ingest) that uni-temporal
+    // SCD2 (q26) / PIT (q60) cannot answer, because they keep only one
+    // time axis. Both snapshots are one ranked pick over the same
+    // user-partitioned sort; n_late counts the rewriting rows. Scale:
+    // two windows + one join, all shuffled once by user_id.
+    QueryDef("q90_bitemporal",
+      (s, d) => {
+        // valid instant V = Jan 15, snapshots T1 = Jan 18, T2 = Jan 28
+        val V = 1705276800000000L; val T1 = 1705536000000000L; val T2 = 1706400000000000L
+        val base = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("valid_us"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT)").as("v6"))
+          .withColumn("tx_us",
+            col("valid_us") + expr(s"(${Ns.hash32("CAST(event_id AS STRING)")} % 432000) * 1000000"))
+        def snapshot(tx: Long, alias: String) = {
+          val w = Window.partitionBy("user_id")
+            .orderBy(col("valid_us").desc, col("event_id").desc)
+          base.filter(col("valid_us") <= V && col("tx_us") <= tx)
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("user_id"), col("v6").as(alias))
+        }
+        val late = base
+          .filter(col("valid_us") <= V && col("tx_us") > T1 && col("tx_us") <= T2)
+          .groupBy("user_id").agg(count(ONE).as("n_late"))
+        snapshot(T1, "v1_6").join(snapshot(T2, "v2_6"), Seq("user_id"))
+          .join(late, Seq("user_id"), "left")
+          .select(col("user_id"), col("v1_6"), col("v2_6"),
+            (col("v1_6") =!= col("v2_6")).as("restated"),
+            coalesce(col("n_late"), lit(0L)).as("n_late"),
+            (col("v1_6").cast("double") / lit(1000000.0)).as("v_at_t1"),
+            (col("v2_6").cast("double") / lit(1000000.0)).as("v_at_t2"))
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT user_id, event_id, epoch_us(ts) AS valid_us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS v6,
+                 epoch_us(ts) + (${Ns.oHash32("CAST(event_id AS VARCHAR)")} % 432000) * 1000000 AS tx_us
+          FROM events),
+        s1 AS (
+          SELECT user_id, v6 AS v1_6 FROM (
+            SELECT user_id, v6, row_number() OVER (PARTITION BY user_id
+              ORDER BY valid_us DESC, event_id DESC) AS rn
+            FROM base WHERE valid_us <= 1705276800000000 AND tx_us <= 1705536000000000)
+          WHERE rn = 1),
+        s2 AS (
+          SELECT user_id, v6 AS v2_6 FROM (
+            SELECT user_id, v6, row_number() OVER (PARTITION BY user_id
+              ORDER BY valid_us DESC, event_id DESC) AS rn
+            FROM base WHERE valid_us <= 1705276800000000 AND tx_us <= 1706400000000000)
+          WHERE rn = 1),
+        late AS (
+          SELECT user_id, count(*) AS n_late FROM base
+          WHERE valid_us <= 1705276800000000
+            AND tx_us > 1705536000000000 AND tx_us <= 1706400000000000
+          GROUP BY user_id)
+        SELECT s1.user_id, v1_6, v2_6,
+               v1_6 <> v2_6 AS restated,
+               coalesce(late.n_late, 0) AS n_late,
+               CAST(v1_6 AS DOUBLE) / 1000000.0 AS v_at_t1,
+               CAST(v2_6 AS DOUBLE) / 1000000.0 AS v_at_t2
+        FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN late ON s1.user_id = late.user_id
+        ORDER BY s1.user_id""")),
+
+    // -------------------------------------------------------------------
+    // Last-touch marketing attribution: each purchase is credited to the
+    // user's most recent click/view STRICTLY before it and within a 24h
+    // lookback; the touch's props.k is the campaign. One
+    // strictly-preceding last_value(...IGNORE NULLS) window per touch
+    // field (same frame + same CASE -> all three fields come from the
+    // SAME last matching row), then a small groupBy — the q32-funnel
+    // sibling that answers WHO GETS CREDIT rather than where users drop
+    // off. Out-of-window / touchless purchases land in the 'none'
+    // bucket, so revenue is partitioned exactly (sum over rows = all
+    // purchase revenue, oracle-pinned). Revenue is exact micro-unit
+    // BIGINT. Scale: one shuffle by user_id for the windows, then a
+    // tiny aggregate; no joins at all.
+    QueryDef("q91_attribution",
+      (s, d) => {
+        val LOOK = 86400000000L
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        def lastTouch(field: Column, name: String) =
+          last(when(col("event_type").isin("click", "view"), field),
+            ignoreNulls = true).over(w).as(name)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT)").as("v6"),
+            expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+          .select(col("*"),
+            lastTouch(col("us"), "t_us"),
+            lastTouch(col("event_type"), "t_type"),
+            lastTouch(col("k"), "t_k"))
+          .filter(col("event_type") === "purchase")
+          .withColumn("attributed",
+            col("t_us").isNotNull && col("us") - col("t_us") <= LOOK)
+          .select(
+            when(col("attributed"), col("t_type")).otherwise("none").as("touch_type"),
+            when(col("attributed"), col("t_k")).otherwise(-1L).as("campaign"),
+            col("v6"))
+          .groupBy("touch_type", "campaign")
+          .agg(count(ONE).as("n_purchases"), sum("v6").as("rev6"))
+          .withColumn("revenue", col("rev6").cast("double") / lit(1000000.0))
+          .orderBy("touch_type", "campaign")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS v6,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events),
+        tch AS (
+          SELECT *,
+                 last_value(CASE WHEN event_type IN ('click','view') THEN us END IGNORE NULLS)
+                   OVER w AS t_us,
+                 last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+                   OVER w AS t_type,
+                 last_value(CASE WHEN event_type IN ('click','view') THEN k END IGNORE NULLS)
+                   OVER w AS t_k
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        p AS (
+          SELECT CASE WHEN t_us IS NOT NULL AND us - t_us <= 86400000000
+                      THEN t_type ELSE 'none' END AS touch_type,
+                 CASE WHEN t_us IS NOT NULL AND us - t_us <= 86400000000
+                      THEN t_k ELSE -1 END AS campaign,
+                 v6
+          FROM tch WHERE event_type = 'purchase')
+        SELECT touch_type, CAST(campaign AS BIGINT) AS campaign,
+               count(*) AS n_purchases,
+               CAST(sum(v6) AS BIGINT) AS rev6,
+               CAST(CAST(sum(v6) AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue
+        FROM p
+        GROUP BY touch_type, campaign
+        ORDER BY touch_type, campaign""")),
+
+    // -------------------------------------------------------------------
+    // Time-weighted average (TWAP): each event's value holds until the
+    // user's next event; the mean weights each value by its holding
+    // duration. The irregular-interval complement to q31's resample —
+    // finance/metering semantics where plain avg() is wrong whenever
+    // sampling is uneven. All arithmetic is exact: micro-unit BIGINT
+    // values x microsecond durations in DECIMAL(38,0) (30-day gaps x
+    // micro-values overflow int64), integer round-half-up division (the
+    // q62 trick) — no float accumulates, so the result is partition- and
+    // engine-independent. Scale: one lead() window per user (the shuffle
+    // is by user_id, same key the sessionization family already uses)
+    // then a plain groupBy.
+    QueryDef("q88_twap",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .filter(pmod(col("user_id"), lit(10)) === 3)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT)").as("v6"))
+          .withColumn("next_us", lead(col("us"), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .withColumn("dur", col("next_us") - col("us"))
+          .groupBy("user_id")
+          .agg(count(ONE).as("n_holds"),
+            sum("dur").as("span_us"),
+            sum(expr("CAST(v6 AS DECIMAL(38,0)) * dur")).as("num"))
+          .withColumn("twap6", expr("CAST((2 * num + span_us) div (2 * span_us) AS BIGINT)"))
+          .select(col("user_id"), col("n_holds"), col("span_us"), col("twap6"),
+            (col("twap6").cast("double") / lit(1000000.0)).as("twap"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS v6
+          FROM events WHERE user_id % 10 = 3),
+        held AS (
+          SELECT user_id, v6,
+                 lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur
+          FROM e),
+        agg AS (
+          SELECT user_id, count(*) AS n_holds,
+                 CAST(sum(dur) AS BIGINT) AS span_us,
+                 sum(CAST(v6 AS HUGEINT) * dur) AS num
+          FROM held WHERE dur IS NOT NULL GROUP BY user_id)
+        SELECT user_id, n_holds, span_us,
+               CAST((2 * num + span_us) // (2 * span_us) AS BIGINT) AS twap6,
+               CAST(CAST((2 * num + span_us) // (2 * span_us) AS BIGINT) AS DOUBLE)
+                 / 1000000.0 AS twap
+        FROM agg
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------------
+    // Largest-remainder proration: allocate each order's total across its
+    // lineitems proportional to extended price, in whole cents, with the
+    // per-order sum EXACTLY preserved — floor every share, then hand the
+    // leftover cents to the largest fractional remainders (deterministic
+    // tie-break on line number). The billing/ledger primitive naive
+    // round() breaks (pennies appear/vanish). Pure int64 arithmetic
+    // (tc*ec <= 5.6e14), two window passes over the same o_orderkey
+    // partitioning — ONE shuffle, Catalyst collapses the windows. The
+    // exact_total column proves conservation row-by-row in the oracle.
+    QueryDef("q89_proration",
+      (s, d) => {
+        val part = Window.partitionBy("o_orderkey")
+        // the fixture's l_linenumber is NOT unique within an order (dup
+        // line numbers exist) — derive line_seq as the row identity, so
+        // both the remainder tie-break and the output order are total.
+        // (linenumber, ec) twins are interchangeable rows, so which twin
+        // carries which seq cannot change the output.
+        val seqW = part.orderBy(col("l_linenumber"), col("ec"))
+        val rankW = part.orderBy(col("rem").desc, col("line_seq"))
+        Tables.lineitem(s, d)
+          .filter(pmod(col("l_orderkey"), lit(20)) === 0)
+          .join(Tables.orders(s, d).filter(pmod(col("o_orderkey"), lit(20)) === 0),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("l_linenumber"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("tc"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("ec"))
+          .withColumn("line_seq", row_number().over(seqW).cast("int"))
+          .withColumn("etot", sum("ec").over(part))
+          .withColumn("base", expr("(tc * ec) div etot"))
+          .withColumn("rem", expr("(tc * ec) % etot"))
+          .withColumn("leftover", col("tc") - sum("base").over(part))
+          .withColumn("rnk", row_number().over(rankW))
+          .withColumn("alloc_cents",
+            (col("base") + when(col("rnk") <= col("leftover"), 1L).otherwise(0L))
+              .cast("long"))
+          .withColumn("exact_total",
+            sum("alloc_cents").over(part) === col("tc"))
+          .select(col("o_orderkey"), col("line_seq"), col("l_linenumber"),
+            col("alloc_cents"),
+            (col("alloc_cents").cast("double") / lit(100.0)).as("alloc_usd"),
+            col("exact_total"))
+          .orderBy("o_orderkey", "line_seq")
+      },
+      Some("""
+        WITH li AS (
+          SELECT o_orderkey, l_linenumber,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS tc,
+                 CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS ec
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_orderkey % 20 = 0),
+        seqd AS (
+          SELECT o_orderkey, l_linenumber, tc, ec,
+                 CAST(row_number() OVER (PARTITION BY o_orderkey
+                                         ORDER BY l_linenumber, ec) AS INT) AS line_seq
+          FROM li),
+        shares AS (
+          SELECT o_orderkey, line_seq, l_linenumber, tc, ec,
+                 CAST(sum(ec) OVER (PARTITION BY o_orderkey) AS BIGINT) AS etot
+          FROM seqd),
+        based AS (
+          SELECT o_orderkey, line_seq, l_linenumber, tc,
+                 (tc * ec) // etot AS base,
+                 (tc * ec) % etot AS rem
+          FROM shares),
+        ranked AS (
+          SELECT o_orderkey, line_seq, l_linenumber, tc, base,
+                 CAST(tc - sum(base) OVER (PARTITION BY o_orderkey) AS BIGINT) AS leftover,
+                 row_number() OVER (PARTITION BY o_orderkey
+                                    ORDER BY rem DESC, line_seq) AS rnk
+          FROM based),
+        alloc AS (
+          SELECT o_orderkey, line_seq, l_linenumber, tc,
+                 base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS alloc_cents
+          FROM ranked)
+        SELECT o_orderkey, line_seq, l_linenumber,
+               CAST(alloc_cents AS BIGINT) AS alloc_cents,
+               CAST(alloc_cents AS DOUBLE) / 100.0 AS alloc_usd,
+               CAST(sum(alloc_cents) OVER (PARTITION BY o_orderkey) AS BIGINT) = tc
+                 AS exact_total
+        FROM alloc
+        ORDER BY o_orderkey, line_seq"""))
   )
 }

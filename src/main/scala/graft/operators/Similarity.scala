@@ -750,6 +750,119 @@ object Similarity {
         SELECT qid, rank, neighbor, adc_d2
         FROM ranked WHERE rank <= $TOPK
         ORDER BY qid, rank"""
-      })
+      }),
+
+    // -------------------------------------------------------------------
+    // Binary-quantized ANN (sign-bit + Hamming rerank, the faiss
+    // IndexBinaryFlat recipe): each 64-dim float vector compresses to
+    // TWO int64 words of sign bits (32x less memory traffic than the
+    // float scan), the shortlist pass ranks candidates by Hamming
+    // distance — pure xor + popcount, all codegen integer ops — and only
+    // the 32-row shortlist per query pays for exact float cosine. The
+    // output carries the recall@5 vs the exact s01 baseline per query,
+    // so the speed/recall trade is ORACLE-PINNED, not asserted. Scale:
+    // the sign words ride the corpus scan (2 longs/row); Hamming top-32
+    // is a per-partition window merge (no float math touches the 100 TB
+    // pass); rerank joins fetch full vectors for |Q| x 32 rows only.
+    // Bit layout is engine-exact: bit i-1 of word 0 <=> v[i] > 0,
+    // i in 1..32; word 1 covers 33..64 — no sign bit is ever set, so
+    // xor/popcount agree across engines.
+    QueryDef("s11_binary_ann",
+      (s, d) => {
+        Ns.registerFast(s)
+        val SHORTLIST = 32
+        def bin(lo: Int, hi: Int): String =
+          s"coalesce(aggregate(filter(sequence($lo, $hi), i -> element_at(v, i) > 0D), " +
+            s"CAST(0 AS BIGINT), (acc, i) -> acc + shiftleft(CAST(1 AS BIGINT), i - $lo)), " +
+            "CAST(0 AS BIGINT))"
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+          .withColumn("w0", expr(bin(1, 32)))
+          .withColumn("w1", expr(bin(33, 64)))
+        val q = e.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+            col("w0").as("qw0"), col("w1").as("qw1"))
+        val ham = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor"), col("v"), col("nrm"),
+            col("qv"), col("qn"),
+            (expr("bit_count(w0 ^ qw0)") + expr("bit_count(w1 ^ qw1)"))
+              .cast("int").as("hamming"))
+        val wH = Window.partitionBy("qid").orderBy(col("hamming"), col("neighbor"))
+        val wR = Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))
+        val rr = ham.withColumn("srn", row_number().over(wH))
+          .filter(col("srn") <= SHORTLIST)
+          .withColumn("cosine",
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6))
+          .withColumn("rank", row_number().over(wR).cast("int"))
+          .filter(col("rank") <= TOPK)
+          .select("qid", "rank", "neighbor", "cosine", "hamming")
+        // exact s01 baseline for the oracle-pinned recall@5
+        val wE = Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))
+        val exact = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+          .withColumn("ern", row_number().over(wE)).filter(col("ern") <= TOPK)
+          .select(col("qid").as("eqid"), col("neighbor").as("eneighbor"), lit(true).as("in_exact"))
+        val wQ = Window.partitionBy("qid")
+        rr.join(exact,
+            col("qid") === col("eqid") && col("neighbor") === col("eneighbor"), "left")
+          .withColumn("in_exact", coalesce(col("in_exact"), lit(false)))
+          .withColumn("recall5",
+            sum(when(col("in_exact"), 1).otherwise(0)).over(wQ).cast("double") / lit(5.0))
+          .select("qid", "rank", "neighbor", "cosine", "hamming", "in_exact", "recall5")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        b AS (
+          SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm,
+                 CAST(coalesce(list_sum(list_transform(
+                   list_filter(generate_series(1, 32), i -> v[i] > 0),
+                   i -> CAST(1 AS BIGINT) << (i - 1))), 0) AS BIGINT) AS w0,
+                 CAST(coalesce(list_sum(list_transform(
+                   list_filter(generate_series(33, 64), i -> v[i] > 0),
+                   i -> CAST(1 AS BIGINT) << (i - 33))), 0) AS BIGINT) AS w1
+          FROM v),
+        q AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qn, w0 AS qw0, w1 AS qw1
+          FROM b WHERE $QFILTER),
+        ham AS (
+          SELECT qid, b.vec_id AS neighbor, b.v, b.nrm, q.qv, q.qn,
+                 CAST(bit_count(xor(b.w0, q.qw0))
+                      + bit_count(xor(b.w1, q.qw1)) AS INT) AS hamming
+          FROM q JOIN b ON b.vec_id <> q.qid),
+        short AS (
+          SELECT * FROM (
+            SELECT qid, neighbor, v, nrm, qv, qn, hamming,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY hamming, neighbor) AS srn
+            FROM ham) WHERE srn <= 32),
+        rr AS (
+          SELECT qid, rank, neighbor, cosine, hamming FROM (
+            SELECT qid, neighbor, hamming,
+                   round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) AS cosine,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) DESC,
+                              neighbor) AS INT) AS rank
+            FROM short) WHERE rank <= $TOPK),
+        escored AS (
+          SELECT qid, b.vec_id AS neighbor,
+                 round(${Ns.oDot("q.qv", "b.v")} / (q.qn * b.nrm), 6) AS cosine
+          FROM q JOIN b ON b.vec_id <> q.qid),
+        exact AS (
+          SELECT qid AS eqid, neighbor AS eneighbor FROM (
+            SELECT qid, neighbor,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, neighbor) AS ern
+            FROM escored) WHERE ern <= $TOPK)
+        SELECT r.qid, r.rank, r.neighbor, r.cosine, r.hamming,
+               e.eqid IS NOT NULL AS in_exact,
+               CAST(sum(CASE WHEN e.eqid IS NOT NULL THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY r.qid) AS DOUBLE) / 5.0 AS recall5
+        FROM rr r
+        LEFT JOIN exact e ON r.qid = e.eqid AND r.neighbor = e.eneighbor
+        ORDER BY r.qid, r.rank"""))
   )
 }

@@ -912,6 +912,67 @@ object TextAnalysis {
                round(CAST(sum(klterm) AS DOUBLE), 6) AS kl_vs_corpus
         FROM terms
         GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // -------------------------------------------------------------------
+    // Flesch reading-ease readability (the classic 206.835 - 1.015*W/S -
+    // 84.6*Y/W): per-doc word / sentence / syllable counts from pure
+    // regex token classes ([a-z]+ words, [.!?]+ sentence breaks,
+    // [aeiouy]+ vowel GROUPS as the syllable heuristic, >= 1 per word —
+    // the standard dictionary-free approximation). Both ratios leave the
+    // query as exact integer MICRO-units (q62 round-half-up, positive by
+    // construction); the headline score recombines them in doubles with
+    // the identical expression tree both engines (same IEEE ops on the
+    // same integers -> bit-identical before the final round). Quality
+    // filters (t02/p07) use crude length ratios; this is the
+    // linguist-facing score a curation UI reports. Scale: one narrow
+    // map + regexes per row, no shuffle except the final sort.
+    QueryDef("t21_readability",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("words", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .withColumn("n_w", size(col("words")).cast("long"))
+          .filter(col("n_w") >= 1)
+          .withColumn("n_s", greatest(
+            expr("CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)"), lit(1L)))
+          .withColumn("n_y", expr(
+            """aggregate(words, CAST(0 AS BIGINT), (acc, w) -> acc +
+               greatest(CAST(size(regexp_extract_all(w, '[aeiouy]+', 0)) AS BIGINT),
+                        CAST(1 AS BIGINT)))"""))
+          .withColumn("wps6", expr("CAST((2 * 1000000 * n_w + n_s) div (2 * n_s) AS BIGINT)"))
+          .withColumn("spw6", expr("CAST((2 * 1000000 * n_y + n_w) div (2 * n_w) AS BIGINT)"))
+          .withColumn("flesch", round(
+            lit(206.835)
+              - (lit(1.015) * col("wps6").cast("double")) / lit(1000000.0)
+              - (lit(84.6) * col("spw6").cast("double")) / lit(1000000.0), 4))
+          .select(col("doc_id"), col("n_w"), col("n_s"), col("n_y"),
+            col("wps6"), col("spw6"), col("flesch"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text,
+                 regexp_extract_all(lower(text), '[a-z]+') AS words
+          FROM documents),
+        cnt AS (
+          SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_w,
+                 greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                          CAST(1 AS BIGINT)) AS n_s,
+                 CAST(list_sum(list_transform(words, w ->
+                   greatest(CAST(len(regexp_extract_all(w, '[aeiouy]+')) AS BIGINT),
+                            CAST(1 AS BIGINT)))) AS BIGINT) AS n_y
+          FROM base WHERE len(words) >= 1),
+        micro AS (
+          SELECT doc_id, n_w, n_s, n_y,
+                 CAST((2 * 1000000 * n_w + n_s) // (2 * n_s) AS BIGINT) AS wps6,
+                 CAST((2 * 1000000 * n_y + n_w) // (2 * n_w) AS BIGINT) AS spw6
+          FROM cnt)
+        SELECT doc_id, n_w, n_s, n_y, wps6, spw6,
+               round(206.835
+                     - (1.015 * CAST(wps6 AS DOUBLE)) / 1000000.0
+                     - (84.6 * CAST(spw6 AS DOUBLE)) / 1000000.0, 4) AS flesch
+        FROM micro
+        ORDER BY doc_id"""))
   )
 }

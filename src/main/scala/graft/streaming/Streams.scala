@@ -704,8 +704,74 @@ object Streams {
         SELECT user_id, event_id,
                list_reduce(pre, (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma
         FROM p
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // -------------------------------------------------------------------
+    // CHAINED stateful operators (Spark's multiple-stateful-operator
+    // support): stage 1 closes 30-min session windows per user, stage 2
+    // rolls the CLOSED sessions into hourly totals — two stateful aggs
+    // in ONE query, stitched by window_time() (the event-time column of
+    // a window struct, = w.end - 1us; that is what lets the second
+    // watermarked agg consume the first's output — a sentence the
+    // pre-3.5 workaround needed two queries and an intermediate sink
+    // for). The EXACT SAME plan runs batch here and streaming in
+    // StreamingSpec. Averages use the q62 integer round-half-up — no
+    // float accumulates. Scale: both stages shuffle by their natural
+    // keys (user, then hour); state is per-live-session + per-open-hour.
+    QueryDef("st16_session_rollup",
+      (s, d) => sessionHourlyRollup(Tables.events(s, d))
+        .orderBy("h"),
+      Some("""
+        WITH x AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        y AS (
+          SELECT user_id, event_id, us,
+                 sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x),
+        sess AS (
+          SELECT user_id, sid, count(*) AS n_ev,
+                 max(us) - min(us) AS dur_us,
+                 max(us) + 1800000000 AS end_us
+          FROM y GROUP BY user_id, sid),
+        roll AS (
+          SELECT (end_us - 1) // 3600000000 AS h,
+                 count(*) AS n_sessions,
+                 CAST(sum(n_ev) AS BIGINT) AS n_events,
+                 CAST(sum(dur_us) AS BIGINT) AS sum_dur_us
+          FROM sess GROUP BY h)
+        SELECT h, n_sessions, n_events, sum_dur_us,
+               CAST((2 * sum_dur_us + n_sessions) // (2 * n_sessions) AS BIGINT) AS avg_dur_us,
+               CAST(CAST((2 * sum_dur_us + n_sessions) // (2 * n_sessions) AS BIGINT) AS DOUBLE)
+                 / 1000000.0 AS avg_dur_s
+        FROM roll
+        ORDER BY h"""))
   )
+
+  /** The chained session->hourly rollup plan — ONE expression tree used
+    * verbatim in batch (st16's QueryDef) and on a watermarked stream
+    * (StreamingSpec): session_window per user, then an hour bucket over
+    * window_time(w) (= w.end - 1us, so a session closing exactly on an
+    * hour boundary lands in the preceding hour — both engines spell
+    * that (end_us - 1) div 3600000000).
+    */
+  def sessionHourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_ev"),
+        (unix_micros(col("w.end")) - lit(1800000000L) - unix_micros(col("w.start")))
+          .as("dur_us"))
+      .groupBy(window(window_time(col("w")), "1 hour").as("hw"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_ev").as("n_events"),
+        sum("dur_us").as("sum_dur_us"))
+      .select(expr("unix_micros(hw.start) div 3600000000").as("h"),
+        col("n_sessions"), col("n_events"), col("sum_dur_us"))
+      .withColumn("avg_dur_us",
+        expr("CAST((2 * sum_dur_us + n_sessions) div (2 * n_sessions) AS BIGINT)"))
+      .withColumn("avg_dur_s", col("avg_dur_us").cast("double") / lit(1000000.0))
 
   /** Batch twin of the timer-closed sessionization: [[sessionizeBatch]]
     * plus the deterministic timer deadline column.

@@ -607,4 +607,33 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("st16 chained stateful: session_window -> hourly rollup stream == batch") {
+    val dir = Files.createTempDirectory("graft-stream-chain")
+    writeOrderedFiles(dir, 4)
+    // sentinel far past all data: watermark passes every session window
+    // AND every downstream hour window, so both stateful stages flush
+    val maxTs = eventsBatch.agg(max("ts")).head().getTimestamp(0)
+    val sentinel = spark.sql(
+      s"SELECT CAST(-1 AS BIGINT) AS event_id, timestamp'$maxTs' + INTERVAL 12 HOURS AS ts, " +
+        "CAST(-1 AS BIGINT) AS user_id, 'sentinel' AS event_type, 0.0 AS value, '' AS props")
+    writeFlatFile(sentinel, dir, "z_sentinel.parquet", 1700009000000L)
+    val sentinelHour =
+      (maxTs.getTime + 12L * 3600 * 1000) * 1000L / 3600000000L - 1 // first h to exclude
+
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = Streams.sessionHourlyRollup(stream.withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("chain_append")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("chain_append")
+        .filter(col("h") < sentinelHour).orderBy("h").collect()
+      val want = Streams.sessionHourlyRollup(eventsBatch).orderBy("h").collect()
+      assert(got.length == want.length,
+        s"chained stream emitted ${got.length} hour rows, batch has ${want.length}")
+      got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    } finally q.stop()
+  }
 }
