@@ -37,7 +37,9 @@ object DumpPlans {
       "t01_lang_id", "d10_cdc_chunks", "m06_whash_neardup",
       "q87_count_sketch", "q88_twap", "q89_proration",
       "s11_binary_ann", "g06_kcore", "st16_session_rollup",
-      "t21_readability", "q90_bitemporal", "q91_attribution")
+      "t21_readability", "q90_bitemporal", "q91_attribution",
+      "q92_hilbert_layout", "q93_bloom_membership", "s12_random_projection",
+      "t22_zipf_slope", "c03_dbscan_grid", "m07_pcm_energy")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

@@ -166,6 +166,141 @@ object Clustering {
                round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
         FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         WHERE round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.35
-        ORDER BY vec_a, vec_b"""))
+        ORDER BY vec_a, vec_b""")),
+
+    // -------------------------------------------------------------------
+    // DBSCAN on a 2-D quantized projection of the embeddings (the
+    // density-based complement of k-means: finds arbitrary-shape
+    // clusters AND labels outliers as noise — for corpus curation,
+    // "noise" is the long-tail/outlier bucket worth separate review).
+    // Points are integer-quantized (floor(dim*50)), so every distance
+    // is exact integer arithmetic in both engines.
+    //
+    // Scale design: candidate pairs come from a 3x3 neighbor-CELL
+    // equi-join (cell size >= eps, so the blocking is LOSSLESS — the
+    // all-pairs DuckDB oracle pins that), never an all-pairs scan;
+    // work grows with realized neighbor pairs. The core-core connected
+    // components run d06's min-label propagation, O(component diameter)
+    // rounds — ~12 on this grid-local graph. (Pointer jumping was
+    // measured and contributes NOTHING here: a node's label is its
+    // regional minimum, whose own label is itself, so label-of-label
+    // hops never beat the edge wave — the changed-per-round sequence
+    // was bit-identical with and without the extra self-join.) Each
+    // round goes through [[Iterate.checkpointFresh]]: this body reads
+    // its state twice, so a plain localCheckpoint compounds the
+    // inherited sizeInBytes stats into multi-million-bit BigInts by
+    // round 12 — see the helper's doc for the measured pathology.
+    QueryDef("c03_dbscan_grid",
+      (s, d) => {
+        val EPS2 = 2L   // eps = sqrt(2) over the quantized grid
+        val MINPTS = 5  // neighbors incl. self
+        val p = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 50) AS BIGINT)").as("x"),
+            expr("CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 50) AS BIGINT)").as("y"))
+          .withColumn("cx", expr("(x + 64) div 2"))
+          .withColumn("cy", expr("(y + 64) div 2"))
+          .localCheckpoint(true)
+        val a = p.select(col("vec_id").as("ida"), col("x").as("xa"), col("y").as("ya"),
+          explode(expr(
+            """flatten(transform(sequence(cx - 1, cx + 1),
+               i -> transform(sequence(cy - 1, cy + 1), j -> struct(i AS ci, j AS cj))))"""))
+            .as("nc"))
+          .select(col("ida"), col("xa"), col("ya"),
+            col("nc.ci").as("ncx"), col("nc.cj").as("ncy"))
+        val b = p.select(col("vec_id").as("idb"), col("x").as("xb"), col("y").as("yb"),
+          col("cx").as("cxb"), col("cy").as("cyb"))
+        val pairs = a.join(b, col("ncx") === col("cxb") && col("ncy") === col("cyb") &&
+            col("ida") =!= col("idb"))
+          .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+            (col("ya") - col("yb")) * (col("ya") - col("yb")) <= EPS2)
+          .select(col("ida"), col("idb"))
+          .localCheckpoint(true)
+        val nbr = pairs.groupBy(col("ida")).agg(count(lit(1)).as("n_nbr"))
+        val core = p.join(nbr, col("vec_id") === col("ida"), "left")
+          .filter(coalesce(col("n_nbr"), lit(0L)) >= MINPTS - 1)
+          .select(col("vec_id"))
+          .localCheckpoint(true)
+        val edges = pairs
+          .join(core.select(col("vec_id").as("ca")), col("ida") === col("ca"))
+          .join(core.select(col("vec_id").as("cb")), col("idb") === col("cb"))
+          .select(col("ida").as("src"), col("idb").as("dst"))
+          .localCheckpoint(true)
+        def prop(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val nbrMin = edges.join(l, col("dst") === col("vec_id"))
+            .groupBy(col("src")).agg(min(col("cluster")).as("m1"))
+          l.join(nbrMin, col("vec_id") === col("src"), "left")
+            .select(col("vec_id"),
+              least(col("cluster"), coalesce(col("m1"), col("cluster"))).as("cluster"),
+              (coalesce(col("m1"), col("cluster")) < col("cluster")).as("moved"))
+        }
+        var labels = Iterate.checkpointFresh(
+          core.select(col("vec_id"), col("vec_id").as("cluster")))
+        var changed = 1L
+        while (changed > 0) {
+          // TWO propagation steps per materialized round: plan depth
+          // stays constant (the checkpoint cuts it) at half the
+          // checkpoint round trips. Measured at sf0.1: 1-step 6.3 s,
+          // 2-step 5.4 s, 4-step 5.3 s — the floor is the ~24 serial
+          // frontier-sized stage executions (scheduling latency, not
+          // data), so deeper unrolls stop paying; the same profile as
+          // g06's 9 bounded jobs, and at scale the per-stage work grows
+          // while the stage count stays O(diameter).
+          val next = prop(prop(labels).select("vec_id", "cluster"))
+          val nextCk = Iterate.checkpointFresh(next)
+          changed = nextCk.filter(col("moved")).count()
+          labels = nextCk.select("vec_id", "cluster")
+        }
+        val comp = labels.select(col("vec_id").as("coreid"), col("cluster"))
+        val border = pairs
+          .join(comp, col("idb") === col("coreid"))
+          .join(comp.select(col("coreid").as("acore")), col("ida") === col("acore"), "left_anti")
+          .groupBy(col("ida")).agg(min(col("cluster")).as("bcluster"))
+        p.join(comp, col("vec_id") === col("coreid"), "left")
+          .join(border, col("vec_id") === col("ida"), "left")
+          .select(col("vec_id"), col("x"), col("y"),
+            when(col("coreid").isNotNull, "core")
+              .when(col("ida").isNotNull, "border").otherwise("noise").as("role"),
+            coalesce(col("cluster"), col("bcluster")).as("cluster"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH RECURSIVE p AS (
+          SELECT vec_id,
+                 CAST(floor(CAST(embedding[1] AS DOUBLE) * 50) AS BIGINT) AS x,
+                 CAST(floor(CAST(embedding[2] AS DOUBLE) * 50) AS BIGINT) AS y
+          FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS ida, b.vec_id AS idb
+          FROM p a JOIN p b
+            ON a.vec_id <> b.vec_id
+           AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2),
+        nbr AS (SELECT ida, count(*) AS n_nbr FROM pairs GROUP BY ida),
+        core AS (
+          SELECT p.vec_id FROM p LEFT JOIN nbr ON vec_id = ida
+          WHERE coalesce(n_nbr, 0) >= 4),
+        cedges AS (
+          SELECT ida, idb FROM pairs
+          WHERE ida IN (SELECT vec_id FROM core)
+            AND idb IN (SELECT vec_id FROM core)),
+        reach(src, dst) AS (
+          SELECT vec_id, vec_id FROM core
+          UNION
+          SELECT r.src, e.idb FROM reach r JOIN cedges e ON r.dst = e.ida),
+        comp AS (SELECT src AS vec_id, min(dst) AS cluster FROM reach GROUP BY src),
+        border AS (
+          SELECT pr.ida AS vec_id, min(c.cluster) AS bcluster
+          FROM pairs pr JOIN comp c ON pr.idb = c.vec_id
+          WHERE pr.ida NOT IN (SELECT vec_id FROM core)
+          GROUP BY pr.ida)
+        SELECT p.vec_id, p.x, p.y,
+               CASE WHEN comp.vec_id IS NOT NULL THEN 'core'
+                    WHEN border.vec_id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               coalesce(comp.cluster, border.bcluster) AS cluster
+        FROM p
+        LEFT JOIN comp ON p.vec_id = comp.vec_id
+        LEFT JOIN border ON p.vec_id = border.vec_id
+        ORDER BY p.vec_id"""))
   )
 }

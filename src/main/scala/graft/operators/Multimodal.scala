@@ -412,6 +412,73 @@ object Multimodal {
                CAST(bit_count(xor(a.whash, b.whash)) AS INT) AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.whash, b.whash)) <= 7
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // -------------------------------------------------------------------
+    // Audio-style PCM windowed energy: interpret the opaque payload as
+    // PCM16-LE samples (the standard WAV body layout) and compute
+    // per-window sample count, energy (sum of squares) and RMS, plus a
+    // silence flag — the voice-activity-detection pre-filter of an
+    // audio corpus pipeline. The sample decode + windowed fold is the
+    // m02/m06 typed-kernel shape (a real codec drops in by replacing
+    // the per-batch body); all energies are exact integer sums, RMS is
+    // ONE sqrt of an exact ratio — identical IEEE in both engines.
+    // Scale: payloads never leave their partition; windows explode
+    // 64-samples-at-a-time per row, narrowly, with no shuffle at all
+    // (the output order is the only sort, and a real pipeline drops it).
+    QueryDef("m07_pcm_energy",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        mediaFromDocuments(s, d)
+          .flatMap { r =>
+            val bytes = r.payload
+            val nSamples = bytes.length / 2
+            (0 until (nSamples + 63) / 64).map { w =>
+              val lo = w * 64
+              val hi = math.min(lo + 64, nSamples)
+              var sumSq = 0L
+              var k = lo
+              while (k < hi) {
+                val raw = (bytes(2 * k) & 0xff) | ((bytes(2 * k + 1) & 0xff) << 8)
+                val sgn = if (raw >= 32768) raw - 65536 else raw
+                sumSq += sgn.toLong * sgn
+                k += 1
+              }
+              val n = hi - lo
+              val rms = BigDecimal(math.sqrt(sumSq.toDouble / n))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              (r.doc_id, w, n, sumSq, rms, sumSq < 1000L * n)
+            }
+          }
+          .toDF("doc_id", "window_id", "n_samples", "sum_sq", "rms", "is_silence")
+          .select(col("doc_id"), col("window_id").cast("int").as("window_id"),
+            col("n_samples").cast("int").as("n_samples"), col("sum_sq"),
+            col("rms"), col("is_silence"))
+          .orderBy("doc_id", "window_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, length(text) // 2 AS ns
+          FROM documents WHERE length(text) >= 2),
+        samples AS (
+          SELECT doc_id, CAST(u.k AS BIGINT) AS k,
+                 ascii(substring(text, CAST(2 * u.k + 1 AS INT), 1))
+                 + 256 * ascii(substring(text, CAST(2 * u.k + 2 AS INT), 1)) AS raw
+          FROM t, unnest(generate_series(0, ns - 1)) AS u(k)),
+        signed AS (
+          SELECT doc_id, k,
+                 CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS sv
+          FROM samples),
+        win AS (
+          SELECT doc_id, CAST(k // 64 AS INT) AS window_id,
+                 CAST(count(*) AS INT) AS n_samples,
+                 CAST(sum(CAST(sv AS BIGINT) * sv) AS BIGINT) AS sum_sq
+          FROM signed GROUP BY doc_id, k // 64)
+        SELECT doc_id, window_id, n_samples, sum_sq,
+               round(sqrt(CAST(sum_sq AS DOUBLE) / n_samples), 6) AS rms,
+               sum_sq < 1000 * CAST(n_samples AS BIGINT) AS is_silence
+        FROM win
+        ORDER BY doc_id, window_id"""))
   )
 }

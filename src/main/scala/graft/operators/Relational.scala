@@ -3100,6 +3100,166 @@ object Relational {
                CAST(sum(alloc_cents) OVER (PARTITION BY o_orderkey) AS BIGINT) = tc
                  AS exact_total
         FROM alloc
-        ORDER BY o_orderkey, line_seq"""))
+        ORDER BY o_orderkey, line_seq""")),
+
+    // -------------------------------------------------------------------
+    // Hilbert-curve layout (the locality-preserving sibling of q25's
+    // z-order): the Hilbert index never takes the long diagonal jumps
+    // Morton order does, so consecutive index ranges map to tighter
+    // bounding boxes — better file skipping for 2-D range predicates.
+    // The xy2d walk (8 levels for 8-bit coords) is unrolled into 8
+    // chained narrow projections — pure integer CASE/& arithmetic, fully
+    // codegen-fused, zero shuffle until the final per-bucket stats (the
+    // exact q25 shape, so the two layouts are directly comparable).
+    // The SAME step expression text runs in both engines (no ^ operator:
+    // Spark xor vs DuckDB power — the quadrant digit is a CASE table).
+    QueryDef("q92_hilbert_layout",
+      (s, d) => {
+        var df = Tables.orders(s, d).selectExpr(
+          "o_custkey % 256 AS x",
+          "CAST(floor(o_totalprice) AS BIGINT) % 256 AS y",
+          "o_custkey % 256 AS x0",
+          "CAST(floor(o_totalprice) AS BIGINT) % 256 AS y0",
+          "CAST(0 AS BIGINT) AS h")
+        for (lvl <- HilbertSteps.LEVELS) {
+          val (nx, ny, nh) = HilbertSteps.step(lvl)
+          df = df.selectExpr(s"$nx AS x", s"$ny AS y", "x0", "y0", s"$nh AS h")
+        }
+        df.groupBy(expr("h div 1024").as("hbucket"))
+          .agg(count(ONE).as("n_orders"),
+            min(col("h")).as("min_h"), max(col("h")).as("max_h"),
+            min(col("x0")).as("min_x"), max(col("x0")).as("max_x"),
+            min(col("y0")).as("min_y"), max(col("y0")).as("max_y"))
+          .orderBy("hbucket")
+      },
+      Some {
+        val base = """
+        h256 AS (
+          SELECT o_custkey % 256 AS x,
+                 CAST(floor(o_totalprice) AS BIGINT) % 256 AS y,
+                 o_custkey % 256 AS x0,
+                 CAST(floor(o_totalprice) AS BIGINT) % 256 AS y0,
+                 CAST(0 AS BIGINT) AS h
+          FROM orders)"""
+        val steps = HilbertSteps.LEVELS.map { lvl =>
+          val (nx, ny, nh) = HilbertSteps.step(lvl)
+          s"""h$lvl AS (
+          SELECT $nx AS x, $ny AS y, x0, y0, $nh AS h FROM h${lvl * 2})"""
+        }.mkString(",\n        ")
+        s"""
+        WITH $base,
+        $steps
+        SELECT h // 1024 AS hbucket, count(*) AS n_orders,
+               min(h) AS min_h, max(h) AS max_h,
+               min(x0) AS min_x, max(x0) AS max_x,
+               min(y0) AS min_y, max(y0) AS max_y
+        FROM h1
+        GROUP BY hbucket
+        ORDER BY hbucket"""
+      }),
+
+    // -------------------------------------------------------------------
+    // Portable bloom filter AS DATA — the cross-engine sibling of q67's
+    // bloom audit: q67 exercises Spark's native BloomFilterAggregate
+    // (opaque sketch bytes, oracle pins only the contract), while this
+    // filter is 16 bit_or-aggregated BIGINT lanes with md5-derived bit
+    // positions, so DuckDB rebuilds the IDENTICAL bits and the oracle
+    // pins every per-segment hit/true/false-positive count exactly —
+    // the representation you'd persist next to a 100 TB table for other
+    // engines to probe (an Iceberg/Delta-style file-level filter).
+    // Build: distinct high-value custkeys set 3 bits each; the filter
+    // is a 32-row table regardless of corpus size (32-bit lanes — bit
+    // 63 shifts overflow DuckDB's checked BIGINT <<), i.e. broadcast
+    // state like a sketch. Probe: every customer tests its 3 bits
+    // against the broadcast lanes — the probe side never shuffles.
+    QueryDef("q93_bloom_membership",
+      (s, d) => {
+        val pos = Ns.hash32(
+          "concat('bf', CAST(j AS STRING), ':', CAST(k AS STRING))") + " % 1024"
+        val keys = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 150000.0)
+          .select(col("o_custkey").as("k")).distinct()
+        val lanes = keys
+          .select(col("k"), explode(expr("sequence(0, 2)")).as("j"))
+          .select(expr(pos).as("pos"))
+          .select(expr("pos div 32").as("lane"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("m"))
+          .groupBy("lane").agg(expr("bit_or(m)").as("word"))
+        val probes = Tables.customer(s, d)
+          .select(col("c_custkey").as("k"), col("c_mktsegment"))
+          .select(col("k"), col("c_mktsegment"), explode(expr("sequence(0, 2)")).as("j"))
+          .select(col("k"), col("c_mktsegment"), expr(pos).as("pos"))
+          .select(col("k"), col("c_mktsegment"),
+            expr("pos div 32").as("lane"), expr("CAST(pos % 32 AS INT)").as("bit"))
+          .join(broadcast(lanes), Seq("lane"), "left")
+          .groupBy(col("k"), col("c_mktsegment"))
+          .agg(expr("bool_and(coalesce((word >> bit) & 1, CAST(0 AS BIGINT)) = 1)")
+            .as("bloom_member"))
+        probes
+          .join(keys.withColumn("actual", lit(true)), Seq("k"), "left")
+          .withColumn("actual", coalesce(col("actual"), lit(false)))
+          .groupBy("c_mktsegment")
+          .agg(count(ONE).as("n_customers"),
+            sum(when(col("bloom_member"), 1L).otherwise(0L)).as("n_bloom_hits"),
+            sum(when(col("actual"), 1L).otherwise(0L)).as("n_true"),
+            sum(when(col("bloom_member") && !col("actual"), 1L).otherwise(0L))
+              .as("n_false_pos"),
+            expr("bool_and(bloom_member OR NOT actual)").as("no_false_negatives"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""
+        WITH keys AS (
+          SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0),
+        lanes AS (
+          SELECT pos // 32 AS lane,
+                 CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS BIGINT) AS word
+          FROM (
+            SELECT ${Ns.oHash32("'bf' || CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % 1024 AS pos
+            FROM keys CROSS JOIN range(3) t(j))
+          GROUP BY lane),
+        probes AS (
+          SELECT k, c_mktsegment,
+                 bool_and(coalesce((word >> bit) & 1, CAST(0 AS BIGINT)) = 1) AS bloom_member
+          FROM (
+            SELECT c_custkey AS k, c_mktsegment,
+                   pos // 32 AS lane, CAST(pos % 32 AS INT) AS bit
+            FROM (
+              SELECT c_custkey, c_mktsegment,
+                     ${Ns.oHash32("'bf' || CAST(j AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)")} % 1024 AS pos
+              FROM customer CROSS JOIN range(3) t(j)))
+          LEFT JOIN lanes USING (lane)
+          GROUP BY k, c_mktsegment),
+        tagged AS (
+          SELECT p.k, p.c_mktsegment, p.bloom_member,
+                 keys.k IS NOT NULL AS actual
+          FROM probes p LEFT JOIN keys ON p.k = keys.k)
+        SELECT c_mktsegment, count(*) AS n_customers,
+               CAST(sum(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+               CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN bloom_member AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               bool_and(bloom_member OR NOT actual) AS no_false_negatives
+        FROM tagged
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""))
   )
+
+  /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
+    * for Spark and DuckDB (integer CASE/&/- only; the (3*rx) XOR ry
+    * quadrant digit is spelled as a CASE table because `^` means xor in
+    * Spark but power in DuckDB). Standard d-from-xy walk: accumulate
+    * s*s*digit, then reflect (rx=1, ry=0 quadrant) and swap x/y.
+    */
+  private[operators] object HilbertSteps {
+    val LEVELS: Seq[Int] = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+    def step(s: Int): (String, String, String) = {
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      val digit = s"(CASE WHEN $ry = 1 THEN (CASE WHEN $rx = 1 THEN 2 ELSE 1 END)" +
+        s" ELSE (CASE WHEN $rx = 1 THEN 3 ELSE 0 END) END)"
+      val nh = s"h + CAST($s AS BIGINT) * $s * $digit"
+      val nx = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $s - 1 - y ELSE y END) ELSE x END)"
+      val ny = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $s - 1 - x ELSE x END) ELSE y END)"
+      (nx, ny, nh)
+    }
+  }
 }

@@ -863,6 +863,130 @@ object Similarity {
                     OVER (PARTITION BY r.qid) AS DOUBLE) / 5.0 AS recall5
         FROM rr r
         LEFT JOIN exact e ON r.qid = e.eqid AND r.neighbor = e.eneighbor
-        ORDER BY r.qid, r.rank"""))
+        ORDER BY r.qid, r.rank""")),
+
+    // -------------------------------------------------------------------
+    // Johnson-Lindenstrauss random-projection ANN: project 64-dim floats
+    // to 8 dims through a seeded ±1 sign matrix (Achlioptas' database-
+    // friendly JL construction — md5-derived signs, so the "random"
+    // matrix is a pure expression both engines evaluate identically,
+    // never a materialized table), shortlist by projected cosine, rerank
+    // the 32-row shortlist by exact cosine, and carry recall@5 vs the
+    // exact s01 baseline as an oracle-pinned column (the s11 contract).
+    // Multiplying by ±1 is exact and each projected coordinate is ONE
+    // sequential 64-term fold, so projections are bit-identical across
+    // engines and partitionings. Scale: the projection rides the corpus
+    // scan (8 doubles/row replace 64 — the shortlist pass reads 8x less),
+    // with no index build and no state but the seed string.
+    QueryDef("s12_random_projection",
+      (s, d) => {
+        Ns.registerFast(s)
+        val SHORTLIST = 32
+        // The sign matrix is a CONSTANT — derive it from md5 once at
+        // plan-build time and embed ±1 literals, instead of re-hashing
+        // 'rp{j}:{i}' per row per join branch (the expression spelling
+        // cost ~4M md5 evals per run: the projection is re-evaluated on
+        // each side of both the shortlist and baseline joins). The
+        // DuckDB oracle keeps the md5 spelling — same signs, same sums.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def sgn(j: Int, i: Int): String = {
+          val hex = md.digest(s"rp$j:$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 8)
+          if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "1.0D" else "-1.0D"
+        }
+        val proj = "array(" + (1 to 8).map { j =>
+          "aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) -> acc + " +
+            s"element_at(v, i) * element_at(array(${(1 to 64).map(sgn(j, _)).mkString(", ")}), i))"
+        }.mkString(", ") + ")"
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+          .withColumn("pv", expr(proj))
+          .withColumn("pn", sqrt(expr(Ns.dot("pv", "pv"))))
+        val q = e.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+            col("pv").as("qpv"), col("pn").as("qpn"))
+        val wS = Window.partitionBy("qid").orderBy(col("pcos").desc, col("neighbor"))
+        val wR = Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))
+        val rr = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor"), col("v"), col("nrm"),
+            col("qv"), col("qn"),
+            round(expr(Ns.dot("qpv", "pv")) / (col("qpn") * col("pn")), 6).as("pcos"))
+          .withColumn("srn", row_number().over(wS))
+          .filter(col("srn") <= SHORTLIST)
+          .withColumn("cosine",
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6))
+          .withColumn("rank", row_number().over(wR).cast("int"))
+          .filter(col("rank") <= TOPK)
+          .select("qid", "rank", "neighbor", "cosine", "pcos")
+        val wE = Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))
+        val exact = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+          .withColumn("ern", row_number().over(wE)).filter(col("ern") <= TOPK)
+          .select(col("qid").as("eqid"), col("neighbor").as("eneighbor"), lit(true).as("in_exact"))
+        val wQ = Window.partitionBy("qid")
+        rr.join(exact,
+            col("qid") === col("eqid") && col("neighbor") === col("eneighbor"), "left")
+          .withColumn("in_exact", coalesce(col("in_exact"), lit(false)))
+          .withColumn("recall5",
+            sum(when(col("in_exact"), 1).otherwise(0)).over(wQ).cast("double") / lit(5.0))
+          .select("qid", "rank", "neighbor", "cosine", "pcos", "in_exact", "recall5")
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val oSgn = "CASE WHEN " +
+          Ns.oHash32("'rp' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)") +
+          " % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+        val oProj =
+          s"""list_transform(generate_series(1, 8), j ->
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(generate_series(1, 64), i -> v[i] * ($oSgn))),
+                (acc, x) -> acc + x))"""
+        s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        b AS (
+          SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm, $oProj AS pv
+          FROM v),
+        bn AS (
+          SELECT vec_id, v, nrm, pv, sqrt(${Ns.oDot("pv", "pv")}) AS pn FROM b),
+        q AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qn, pv AS qpv, pn AS qpn
+          FROM bn WHERE $QFILTER),
+        short AS (
+          SELECT * FROM (
+            SELECT qid, bn.vec_id AS neighbor, bn.v, bn.nrm, q.qv, q.qn,
+                   round(${Ns.oDot("q.qpv", "bn.pv")} / (q.qpn * bn.pn), 6) AS pcos,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY round(${Ns.oDot("q.qpv", "bn.pv")} / (q.qpn * bn.pn), 6) DESC,
+                              bn.vec_id) AS srn
+            FROM q JOIN bn ON bn.vec_id <> q.qid) WHERE srn <= 32),
+        rr AS (
+          SELECT qid, rank, neighbor, cosine, pcos FROM (
+            SELECT qid, neighbor, pcos,
+                   round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) AS cosine,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) DESC,
+                              neighbor) AS INT) AS rank
+            FROM short) WHERE rank <= $TOPK),
+        escored AS (
+          SELECT qid, bn.vec_id AS neighbor,
+                 round(${Ns.oDot("q.qv", "bn.v")} / (q.qn * bn.nrm), 6) AS cosine
+          FROM q JOIN bn ON bn.vec_id <> q.qid),
+        exact AS (
+          SELECT qid AS eqid, neighbor AS eneighbor FROM (
+            SELECT qid, neighbor,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, neighbor) AS ern
+            FROM escored) WHERE ern <= $TOPK)
+        SELECT r.qid, r.rank, r.neighbor, r.cosine, r.pcos,
+               e.eqid IS NOT NULL AS in_exact,
+               CAST(sum(CASE WHEN e.eqid IS NOT NULL THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY r.qid) AS DOUBLE) / 5.0 AS recall5
+        FROM rr r
+        LEFT JOIN exact e ON r.qid = e.eqid AND r.neighbor = e.eneighbor
+        ORDER BY r.qid, r.rank"""
+      })
   )
 }

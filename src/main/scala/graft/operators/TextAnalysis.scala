@@ -973,6 +973,72 @@ object TextAnalysis {
                      - (1.015 * CAST(wps6 AS DOUBLE)) / 1000000.0
                      - (84.6 * CAST(spw6 AS DOUBLE)) / 1000000.0, 4) AS flesch
         FROM micro
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Zipf-law fit per source: OLS slope of ln(freq) on ln(rank) over
+    // the token frequency spectrum — the corpus-health diagnostic that
+    // flags template/boilerplate-heavy sources (slope far from the ~-1
+    // natural-language line). Numerics: ln's are quantized to micro-nat
+    // BIGINTs (the t01 recipe), ALL regression sums run in exact integer
+    // arithmetic (DECIMAL(38) / HUGEINT), and each of slope/r2 is a
+    // single double combination of those exact sums — bit-identical
+    // across engines and partitionings. Scale: one groupBy over the
+    // exploded token stream, one |sources|-partition window for ranks,
+    // then a 5-sum partial aggregation; nothing is ever collected.
+    QueryDef("t22_zipf_slope",
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy(col("c").desc, col("token"))
+        val xy = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .select(col("source"),
+            expr("CAST(round(ln(CAST(rn AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("x"),
+            expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("y"))
+        xy.groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+            sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+          .select(col("source"), col("n").as("n_distinct_tokens"),
+            round(expr("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"), 6)
+              .as("zipf_slope"),
+            round(expr(
+              """(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))"""), 6)
+              .as("r2"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH freq AS (
+          SELECT source, token, count(*) AS c FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+          GROUP BY source, token),
+        xy AS (
+          SELECT source,
+                 CAST(round(ln(CAST(rn AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+                 CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+          FROM (
+            SELECT source, c,
+                   row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS rn
+            FROM freq)),
+        sums AS (
+          SELECT source, count(*) AS n,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM xy GROUP BY source)
+        SELECT source, CAST(n AS BIGINT) AS n_distinct_tokens,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+               round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        FROM sums
+        ORDER BY source"""))
   )
 }
