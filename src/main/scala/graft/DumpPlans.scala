@@ -39,7 +39,9 @@ object DumpPlans {
       "s11_binary_ann", "g06_kcore", "st16_session_rollup",
       "t21_readability", "q90_bitemporal", "q91_attribution",
       "q92_hilbert_layout", "q93_bloom_membership", "s12_random_projection",
-      "t22_zipf_slope", "c03_dbscan_grid", "m07_pcm_energy")
+      "t22_zipf_slope", "c03_dbscan_grid", "m07_pcm_energy",
+      "s13_multiprobe_lsh", "m08_shot_boundary", "t23_kneser_ney", "q94_cusum",
+      "q95_gini", "s14_knn_label_audit", "p14_bin_packing")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

@@ -479,6 +479,75 @@ object Multimodal {
                round(sqrt(CAST(sum_sq AS DOUBLE) / n_samples), 6) AS rms,
                sum_sq < 1000 * CAST(n_samples AS BIGINT) AS is_silence
         FROM win
-        ORDER BY doc_id, window_id"""))
+        ORDER BY doc_id, window_id""")),
+
+    // -------------------------------------------------------------------
+    // Video-style shot-boundary detection: treat each COMPLETE 32-byte
+    // slice of the payload as a decoded frame, summarize it as a 16-bin
+    // byte histogram (the classic color-histogram shot detector with
+    // bins = byte div 16), and flag a boundary wherever the L1 distance
+    // to the previous frame's histogram crosses the threshold; a
+    // running boundary count assigns shot ids. The per-doc frame walk
+    // is sequential BY NATURE (each frame compares to its predecessor),
+    // so it runs inside the m02-style typed kernel — one narrow pass,
+    // no shuffle, all-integer arithmetic, and a real decoder drops into
+    // the same loop. The DuckDB oracle rebuilds histograms from
+    // ord()-sliced text and windows over frame order.
+    QueryDef("m08_shot_boundary",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        mediaFromDocuments(s, d)
+          .flatMap { r =>
+            val bytes = r.payload
+            val nf = bytes.length / 32
+            val hists = Array.tabulate(nf) { f =>
+              val h = new Array[Int](16)
+              var i = f * 32
+              while (i < f * 32 + 32) { h((bytes(i) & 0xff) / 16) += 1; i += 1 }
+              h
+            }
+            var shot = 0
+            (1 until nf).map { f =>
+              var l1 = 0
+              var b = 0
+              while (b < 16) { l1 += math.abs(hists(f)(b) - hists(f - 1)(b)); b += 1 }
+              val boundary = l1 >= 24
+              if (boundary) shot += 1
+              (r.doc_id, f, l1, boundary, shot)
+            }
+          }
+          .toDF("doc_id", "frame_idx", "l1_prev", "is_boundary", "shot_id")
+          .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+            col("l1_prev").cast("int").as("l1_prev"), col("is_boundary"),
+            col("shot_id").cast("int").as("shot_id"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, length(text) // 32 AS nf
+          FROM documents WHERE length(text) >= 64),
+        frames AS (
+          SELECT doc_id, CAST(u.f AS INT) AS f,
+                 list_transform(generate_series(0, 15), b ->
+                   len(list_filter(generate_series(CAST(u.f AS INT) * 32 + 1, CAST(u.f AS INT) * 32 + 32),
+                       i -> ord(text[i]) // 16 = b))) AS hist
+          FROM t, unnest(generate_series(0, nf - 1)) AS u(f)),
+        lagged AS (
+          SELECT doc_id, f, hist,
+                 lag(hist) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+          FROM frames),
+        dist AS (
+          SELECT doc_id, f,
+                 CAST(list_sum(list_transform(generate_series(1, 16),
+                   b -> abs(hist[b] - prev[b]))) AS INT) AS l1_prev
+          FROM lagged WHERE prev IS NOT NULL)
+        SELECT doc_id, f AS frame_idx, l1_prev,
+               l1_prev >= 24 AS is_boundary,
+               CAST(sum(CASE WHEN l1_prev >= 24 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY f) AS INT) AS shot_id
+        FROM dist
+        WHERE l1_prev IS NOT NULL
+        ORDER BY doc_id, frame_idx"""))
   )
 }

@@ -547,6 +547,93 @@ object Pipeline {
                count(h.band) = 0 AS admitted
         FROM arr a LEFT JOIN hist h ON a.band = h.band AND a.sig = h.sig
         GROUP BY a.doc_id
-        ORDER BY a.doc_id"""))
+        ORDER BY a.doc_id""")),
+
+    // -------------------------------------------------------------------
+    // First-fit-decreasing bin packing into fixed context windows — the
+    // OTHER packing discipline next to p01's concat-then-chunk: p01
+    // splits documents across window boundaries; FFD keeps each
+    // document whole and minimizes wasted tail tokens (the trade every
+    // LLM pretraining pipeline picks between). Packing is inherently
+    // sequential GLOBAL, so it runs per SHARD (deterministic doc_id
+    // sharding — the p05 contract): within a shard, items sorted by
+    // (tokens desc, doc_id) fold through an array-of-bin-loads
+    // accumulator; first bin with room wins, else a new bin opens.
+    // Shards pack in parallel; per-shard state is the shard's bin-load
+    // array. The DuckDB oracle replays the fold as a recursive CTE
+    // carrying the loads LIST. Output: one row per doc with its bin
+    // and the bin's running load — plus per-shard waste accounting.
+    QueryDef("p14_bin_packing",
+      (s, d) => {
+        val CAP = 512L
+        // first bin index (1-based) with room, else NULL — spelled once,
+        // inlined everywhere (SQL has no LET); indexed transform instead
+        // of sequence(1, size) because sequence(1, 0) is DESCENDING in
+        // Spark, which indexes into the empty first-step accumulator
+        val fit = s"try_element_at(filter(transform(acc.loads, (x, i) -> " +
+          s"IF(x + it.tokens <= ${512}L, i + 1, -1)), p -> p > 0), 1)"
+        val wS = Window.partitionBy("shard").orderBy(col("tokens").desc, col("doc_id"))
+        val items = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tokens"))
+          .filter(col("tokens") <= CAP)
+          .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+          .withColumn("k", row_number().over(wS))
+        items.groupBy("shard")
+          .agg(expr("sort_array(collect_list(struct(k, doc_id, tokens)))").as("its"))
+          .withColumn("packed", expr(
+            s"""aggregate(its,
+                named_struct('loads', CAST(array() AS ARRAY<BIGINT>),
+                             'rows', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, bin: INT, load_after: BIGINT>>)),
+                (acc, it) -> named_struct(
+                  'loads',
+                  CASE WHEN $fit IS NULL THEN concat(acc.loads, array(it.tokens))
+                       ELSE transform(acc.loads, (x, i) -> IF(i + 1 = $fit, x + it.tokens, x)) END,
+                  'rows',
+                  concat(acc.rows, array(named_struct(
+                    'doc_id', it.doc_id,
+                    'bin', CAST(coalesce($fit, size(acc.loads) + 1) AS INT),
+                    'load_after',
+                    CASE WHEN $fit IS NULL THEN it.tokens
+                         ELSE element_at(acc.loads, $fit) + it.tokens END)))))"""))
+          .select(col("shard"), explode(col("packed.rows")).as("r"))
+          .select(col("shard"), col("r.doc_id").as("doc_id"),
+            col("r.bin").as("bin"), col("r.load_after").as("load_after"))
+          .join(items.select(col("doc_id").as("jd"), col("tokens")), col("doc_id") === col("jd"))
+          .select(col("shard"), col("doc_id"), col("tokens"), col("bin"), col("load_after"))
+          .orderBy("shard", "doc_id")
+      },
+      Some("""
+        WITH RECURSIVE items AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                 CAST(doc_id % 8 AS INT) AS shard
+          FROM documents WHERE len(string_split(text, ' ')) <= 512),
+        seq AS (
+          SELECT shard, doc_id, tokens,
+                 CAST(row_number() OVER (PARTITION BY shard
+                                         ORDER BY tokens DESC, doc_id) AS INT) AS k
+          FROM items),
+        nsh AS (SELECT shard, count(*) AS n FROM seq GROUP BY shard),
+        walk(shard, k, loads, doc_id, tokens, bin, load_after) AS (
+          SELECT shard, 0, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT),
+                 CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS BIGINT)
+          FROM nsh
+          UNION ALL
+          SELECT w.shard, e.k,
+                 CASE WHEN fit.idx IS NOT NULL
+                      THEN list_transform(range(1, len(w.loads) + 1), i ->
+                             CASE WHEN i = fit.idx THEN w.loads[i] + e.tokens
+                                  ELSE w.loads[i] END)
+                      ELSE list_append(w.loads, e.tokens) END,
+                 e.doc_id, e.tokens,
+                 CAST(coalesce(fit.idx, len(w.loads) + 1) AS INT),
+                 coalesce(w.loads[fit.idx], CAST(0 AS BIGINT)) + e.tokens
+          FROM walk w
+          JOIN seq e ON e.shard = w.shard AND e.k = w.k + 1
+          CROSS JOIN LATERAL (SELECT list_filter(range(1, len(w.loads) + 1),
+                                j -> w.loads[j] + e.tokens <= 512)[1] AS idx) fit)
+        SELECT shard, doc_id, tokens, bin, load_after
+        FROM walk WHERE k > 0
+        ORDER BY shard, doc_id"""))
   )
 }

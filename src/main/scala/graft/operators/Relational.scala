@@ -3240,6 +3240,143 @@ object Relational {
                bool_and(bloom_member OR NOT actual) AS no_false_negatives
         FROM tagged
         GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // -------------------------------------------------------------------
+    // CUSUM change-point / drift detection (Page's one-sided cumulative
+    // sum — the SPC monitor a metrics pipeline runs per entity): per
+    // user, over (ts, event_id)-ordered values, S = max(0, S + x - mean
+    // - slack); crossing the threshold raises an alarm and resets S.
+    // The recursion is inherently sequential per key, so it runs as ONE
+    // sequential fold over the user's collected value list (the t01/q88
+    // micro-unit recipe keeps every step exact BIGINT — no float ever
+    // accumulates), with the per-user mean as the exact truncating
+    // integer division of micro sums. The oracle replays the identical
+    // recursion as a recursive CTE. Scale: one shuffle to the user key;
+    // per-user state is that user's event list — the same per-key
+    // boundedness contract as the session operators; a user too big for
+    // one list is the st11 streaming processor's job instead.
+    QueryDef("q94_cusum",
+      (s, d) => {
+        val K6 = 20000000L  // slack: 20 value units in micros
+        val H6 = 200000000L // alarm threshold: 200 units in micros
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT)").as("v6"))
+        val step = (raw: String) => s"greatest(CAST(0 AS BIGINT), $raw)"
+        val raw = "acc.s + x - mean6 - " + K6 + "L"
+        ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("v6")).as("sv6"),
+            expr("transform(sort_array(collect_list(struct(us, event_id, v6))), e -> e.v6)")
+              .as("vals"))
+          .withColumn("mean6", expr("sv6 div n_events"))
+          .withColumn("fin", expr(
+            s"""aggregate(vals,
+                named_struct('s', CAST(0 AS BIGINT), 'nal', 0,
+                             'firstpos', CAST(NULL AS INT), 'maxs', CAST(0 AS BIGINT),
+                             'pos', 0),
+                (acc, x) -> named_struct(
+                  's', CASE WHEN ${step(raw)} > ${H6}L THEN CAST(0 AS BIGINT)
+                            ELSE ${step(raw)} END,
+                  'nal', acc.nal + CASE WHEN ${step(raw)} > ${H6}L THEN 1 ELSE 0 END,
+                  'firstpos', coalesce(acc.firstpos,
+                    CASE WHEN ${step(raw)} > ${H6}L THEN acc.pos + 1 END),
+                  'maxs', greatest(acc.maxs, ${step(raw)}),
+                  'pos', acc.pos + 1))"""))
+          .select(col("user_id"), col("n_events"), col("mean6"),
+            col("fin.nal").as("n_alarms"), col("fin.firstpos").as("first_alarm_pos"),
+            col("fin.maxs").as("max_s"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS v6
+          FROM events),
+        seq AS (
+          SELECT user_id, v6,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS INT) AS pos
+          FROM ev),
+        stats AS (
+          SELECT user_id, count(*) AS n_events,
+                 CAST(sum(v6) // count(*) AS BIGINT) AS mean6
+          FROM seq GROUP BY user_id),
+        walk(user_id, pos, s, nal, firstpos, maxs) AS (
+          SELECT user_id, 0, CAST(0 AS BIGINT), 0, CAST(NULL AS INT), CAST(0 AS BIGINT)
+          FROM stats
+          UNION ALL
+          SELECT w.user_id, e.pos,
+                 CASE WHEN greatest(CAST(0 AS BIGINT), w.s + e.v6 - t.mean6 - 20000000) > 200000000
+                      THEN CAST(0 AS BIGINT)
+                      ELSE greatest(CAST(0 AS BIGINT), w.s + e.v6 - t.mean6 - 20000000) END,
+                 w.nal + CASE WHEN greatest(CAST(0 AS BIGINT), w.s + e.v6 - t.mean6 - 20000000) > 200000000
+                              THEN 1 ELSE 0 END,
+                 coalesce(w.firstpos,
+                   CASE WHEN greatest(CAST(0 AS BIGINT), w.s + e.v6 - t.mean6 - 20000000) > 200000000
+                        THEN e.pos END),
+                 greatest(w.maxs, greatest(CAST(0 AS BIGINT), w.s + e.v6 - t.mean6 - 20000000))
+          FROM walk w
+          JOIN seq e ON e.user_id = w.user_id AND e.pos = w.pos + 1
+          JOIN stats t ON t.user_id = w.user_id),
+        fin AS (
+          SELECT user_id, max(pos) AS last_pos FROM walk GROUP BY user_id)
+        SELECT w.user_id, t.n_events, t.mean6,
+               w.nal AS n_alarms, w.firstpos AS first_alarm_pos, w.maxs AS max_s
+        FROM walk w
+        JOIN fin f ON w.user_id = f.user_id AND w.pos = f.last_pos
+        JOIN stats t ON t.user_id = w.user_id
+        ORDER BY w.user_id""")),
+
+    // -------------------------------------------------------------------
+    // Gini concentration per segment (the Lorenz-curve inequality
+    // coefficient — "is 80% of this segment's revenue in 2% of its
+    // orders?"): G = (2*SUM(i*x_i) - (n+1)*SUM(x_i)) / (n*SUM(x_i))
+    // over ascending-sorted order totals. All sums run on exact cents
+    // in DECIMAL(38)/HUGEINT (rank x value products overflow int64 at
+    // warehouse scale); ONE double division at the end. Equal values
+    // make rank order irrelevant to SUM(i*x_i), so the result is
+    // deterministic without any value tie-break. Scale: one shuffle to
+    // the segment key for the rank window, then a partial aggregate.
+    QueryDef("q95_gini",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+          .withColumn("i", row_number().over(w))
+          .groupBy("c_mktsegment")
+          .agg(count(ONE).as("n_orders"),
+            sum(col("cents").cast("decimal(38,0)")).as("sx"),
+            sum((col("i") * col("cents")).cast("decimal(38,0)")).as("six"))
+          .select(col("c_mktsegment"), col("n_orders"),
+            col("sx").cast("long").as("total_cents"),
+            round(expr(
+              "CAST(2 * six - (n_orders + 1) * sx AS DOUBLE) / CAST(n_orders * sx AS DOUBLE)"), 6)
+              .as("gini"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH j AS (
+          SELECT c_mktsegment, o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        ranked AS (
+          SELECT c_mktsegment, cents,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY cents, o_orderkey) AS i
+          FROM j),
+        sums AS (
+          SELECT c_mktsegment, count(*) AS n_orders,
+                 CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS six
+          FROM ranked GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n_orders,
+               CAST(sx AS BIGINT) AS total_cents,
+               round(CAST(2 * six - (n_orders + 1) * sx AS DOUBLE)
+                     / CAST(n_orders * sx AS DOUBLE), 6) AS gini
+        FROM sums
         ORDER BY c_mktsegment"""))
   )
 

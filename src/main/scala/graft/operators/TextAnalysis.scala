@@ -1039,6 +1039,84 @@ object TextAnalysis {
                round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
                      / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
         FROM sums
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // -------------------------------------------------------------------
+    // Interpolated Kneser-Ney BIGRAM scoring (the t12 unigram model's
+    // real-LM sibling — Chen & Goodman's recipe with absolute discount
+    // d = 3/4): p(w|v) = (c(vw) - d)/c(v) + d * N1+(v·)/c(v) * pcont(w),
+    // pcont(w) = N1+(·w)/N1+(··) — the continuation probability that
+    // makes KN the standard n-gram smoother. d = 3/4 keeps every factor
+    // an exact small-integer ratio: the per-bigram probability is ONE
+    // double expression over exact counts with identical operation
+    // order in both engines, quantized to micro-nats (t01 recipe), so
+    // per-doc log-likelihoods sum in exact BIGINT arithmetic. Scale:
+    // the model is one groupBy over OBSERVED corpus bigrams (never
+    // |V|^2 — the t01 lesson); scoring joins doc bigrams to the model
+    // on (v, w), an equi-join AQE broadcasts while the model is small.
+    // Docs with < 2 tokens have no bigrams and drop out — both engines.
+    QueryDef("t23_kneser_ney",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("token"))
+        val big = toks.alias("a")
+          .join(toks.alias("b"),
+            col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+          .select(col("a.doc_id").as("doc_id"),
+            col("a.token").as("v"), col("b.token").as("w"))
+          .localCheckpoint() // model + scoring both read the bigram stream
+        val cvw = big.groupBy(col("v").as("mv"), col("w").as("mw"))
+          .agg(count(lit(1)).as("cvw"))
+          .localCheckpoint() // three model derivations below read this
+        val cv = cvw.groupBy(col("mv").as("gv"))
+          .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1f"))
+        val n1b = cvw.groupBy(col("mw").as("gw")).agg(count(lit(1)).as("n1b"))
+        val nbb = cvw.agg(count(lit(1)).as("nbb"))
+        val model = cvw
+          .join(broadcast(cv), col("mv") === col("gv"))
+          .join(broadcast(n1b), col("mw") === col("gw"))
+          .crossJoin(broadcast(nbb))
+          .select(col("mv"), col("mw"),
+            expr("""CAST(round(ln(
+                 CAST(4 * cvw - 3 AS DOUBLE) / (4 * cv)
+                 + (CAST(3 AS DOUBLE) * n1f * n1b) / (CAST(4 AS DOUBLE) * cv * nbb)
+               ) * 1e6, 0) AS BIGINT)""").as("lp6"))
+        big.join(broadcast(model), col("v") === col("mv") && col("w") === col("mw"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("lp6")).as("ll_micro"))
+          .select(col("doc_id"), col("n_bigrams"), col("ll_micro"),
+            round(expr("exp(-(CAST(ll_micro AS DOUBLE) / 1000000.0) / n_bigrams)"), 6)
+              .as("kn_ppl"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, s.pos AS pos, s.token AS token FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks)),
+                     i -> struct_pack(pos := i - 1, token := toks[i]))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+        big AS (
+          SELECT a.doc_id, a.token AS v, b.token AS w
+          FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        cvw AS (SELECT v AS mv, w AS mw, count(*) AS cvw FROM big GROUP BY 1, 2),
+        cv AS (SELECT mv AS gv, CAST(sum(cvw) AS BIGINT) AS cv, count(*) AS n1f
+               FROM cvw GROUP BY 1),
+        n1b AS (SELECT mw AS gw, count(*) AS n1b FROM cvw GROUP BY 1),
+        nbb AS (SELECT count(*) AS nbb FROM cvw),
+        model AS (
+          SELECT mv, mw,
+                 CAST(round(ln(
+                   CAST(4 * cvw - 3 AS DOUBLE) / (4 * cv)
+                   + (CAST(3 AS DOUBLE) * n1f * n1b) / (CAST(4 AS DOUBLE) * cv * nbb)
+                 ) * 1e6, 0) AS BIGINT) AS lp6
+          FROM cvw JOIN cv ON mv = gv JOIN n1b ON mw = gw CROSS JOIN nbb)
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(lp6) AS BIGINT) AS ll_micro,
+               round(exp(-(CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*)), 6) AS kn_ppl
+        FROM big JOIN model ON v = mv AND w = mw
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }
