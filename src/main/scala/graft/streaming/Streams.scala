@@ -747,8 +747,87 @@ object Streams {
                CAST(CAST((2 * sum_dur_us + n_sessions) // (2 * n_sessions) AS BIGINT) AS DOUBLE)
                  / 1000000.0 AS avg_dur_s
         FROM roll
-        ORDER BY h"""))
+        ORDER BY h""")),
+
+    // -------------------------------------------------------------------
+    // Streaming CUSUM drift monitor — q94's online form. q94 references
+    // the per-user FULL-history mean (not streamable); the monitoring
+    // deployment uses a FIXED reference target + slack (the SPC chart's
+    // mu_0/k), which makes the recursion incremental: state is ONE
+    // BIGINT per live user. Batch twin = per-row prefix fold (the
+    // st14/q78 window-frame shape) with the IDENTICAL exact-integer
+    // step, so stream (CusumProcessor on a v2 ValueState), batch, and
+    // the DuckDB list_reduce oracle agree row-for-row with no rounding.
+    // Emits one row per event: the post-event statistic + alarm flag.
+    QueryDef("st17_stream_cusum",
+      (s, d) => streamingCusum(Tables.events(s, d)).orderBy("user_id", "event_id"),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS v6
+          FROM events),
+        pre AS (
+          SELECT user_id, event_id, v6,
+                 list(v6) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+          FROM ev),
+        walked AS (
+          SELECT user_id, event_id, v6,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), coalesce(prev, [])),
+                   (acc, x) -> CASE WHEN greatest(CAST(0 AS BIGINT), acc + x - 70000000) > 200000000
+                                    THEN CAST(0 AS BIGINT)
+                                    ELSE greatest(CAST(0 AS BIGINT), acc + x - 70000000) END) AS s_prev
+          FROM pre)
+        SELECT user_id, event_id,
+               CASE WHEN greatest(CAST(0 AS BIGINT), s_prev + v6 - 70000000) > 200000000
+                    THEN CAST(0 AS BIGINT)
+                    ELSE greatest(CAST(0 AS BIGINT), s_prev + v6 - 70000000) END AS s_after,
+               greatest(CAST(0 AS BIGINT), s_prev + v6 - 70000000) > 200000000 AS alarmed
+        FROM walked
+        ORDER BY user_id, event_id"""))
   )
+
+  /** One CUSUM step on the exact micro-unit statistic: clip at zero,
+    * alarm + reset above the threshold. Target 50 units + slack 20
+    * units = 70_000_000 micros; threshold 200 units. Shared by the
+    * batch prefix fold, the streaming processor, and (textually) the
+    * DuckDB oracle.
+    */
+  private[streaming] val CUSUM_DRIFT = 70000000L
+  private[streaming] val CUSUM_H = 200000000L
+  private[streaming] def cusumClip(s: Long, x: Long): Long =
+    math.max(0L, s + x - CUSUM_DRIFT)
+
+  /** Batch twin of the streaming CUSUM: per-row prefix fold with the
+    * identical integer step (st14's window-frame shape).
+    */
+  def streamingCusum(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val step = (acc: String, x: String) =>
+      s"CASE WHEN greatest(CAST(0 AS BIGINT), $acc + $x - ${CUSUM_DRIFT}L) > ${CUSUM_H}L " +
+        s"THEN CAST(0 AS BIGINT) ELSE greatest(CAST(0 AS BIGINT), $acc + $x - ${CUSUM_DRIFT}L) END"
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT)").as("v6"))
+      .withColumn("prev", collect_list(col("v6")).over(w))
+      .withColumn("s_prev", expr(
+        s"aggregate(prev, CAST(0 AS BIGINT), (acc, x) -> ${step("acc", "x")})"))
+      .select(col("user_id"), col("event_id"),
+        expr(step("s_prev", "v6")).as("s_after"),
+        expr(s"greatest(CAST(0 AS BIGINT), s_prev + v6 - ${CUSUM_DRIFT}L) > ${CUSUM_H}L")
+          .as("alarmed"))
+  }
+
+  final case class CusumOut(user_id: Long, event_id: Long, s_after: Long, alarmed: Boolean)
+
+  def cusumStream(spark: SparkSession, events: Dataset[EvV]): Dataset[CusumOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new CusumProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 
   /** The chained session->hourly rollup plan — ONE expression tree used
     * verbatim in batch (st16's QueryDef) and on a watermarked stream
@@ -987,6 +1066,38 @@ class EwmaProcessor
       Streams.EwmaOut(user, e.event_id, next)
     }
     cur.foreach(acc.update)
+    out.iterator
+  }
+}
+
+/** Streaming CUSUM on a v2 `ValueState[Long]`: the O(1)-state online
+  * form of st17's batch prefix fold — each batch walks its rows in
+  * (event-time, event_id) order on top of the carried statistic with
+  * the IDENTICAL exact-integer step, so stream == batch exactly.
+  */
+class CusumProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Streams.EvV, Streams.CusumOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var acc: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[Long]("cusum",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Streams.EvV],
+      tv: TimerValues): Iterator[Streams.CusumOut] = {
+    val sorted = rows.toSeq.sortBy(e => (Streams.usOf(e.ts), e.event_id))
+    var s = if (acc.exists()) acc.get() else 0L
+    val out = sorted.map { e =>
+      val v6 = BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+      val clipped = Streams.cusumClip(s, v6)
+      val alarmed = clipped > Streams.CUSUM_H
+      s = if (alarmed) 0L else clipped
+      Streams.CusumOut(user, e.event_id, s, alarmed)
+    }
+    acc.update(s)
     out.iterator
   }
 }

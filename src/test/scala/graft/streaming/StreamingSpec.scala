@@ -408,6 +408,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state API v2 ValueState streaming CUSUM == the st17 prefix-fold plan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-cusum")
+    writeOrderedFiles(dir, 3)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[Streams.EvV]
+      val q = Streams.cusumStream(spark, stream)
+        .writeStream.format("memory").queryName("cusum_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("cusum_stream").collect()
+          .map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2), r.getBoolean(3)))).toMap
+        val want = Streams.streamingCusum(eventsBatch).collect()
+          .map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2), r.getBoolean(3)))).toMap
+        assert(got.size == want.size, s"${got.size} != ${want.size}")
+        // exact equality: both sides walk the identical integer recursion
+        assert(got == want)
+        // the alarm path fires across a micro-batch boundary somewhere
+        assert(got.values.exists(_._3), "no alarm ever fired on the stream")
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("state API v2 MapState type stats == the st11 window plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-types-v2")
