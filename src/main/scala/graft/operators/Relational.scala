@@ -3377,7 +3377,79 @@ object Relational {
                round(CAST(2 * six - (n_orders + 1) * sx AS DOUBLE)
                      / CAST(n_orders * sx AS DOUBLE), 6) AS gini
         FROM sums
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+
+    // -------------------------------------------------------------------
+    // Mann-Kendall trend test per user (the nonparametric monotone-trend
+    // detector metric pipelines run next to q94's CUSUM): S = SUM over
+    // i<j of sgn(x_j - x_i) in time order, with the tie-corrected
+    // variance Var(S) = [n(n-1)(2n+5) - SUM_t t(t-1)(2t+5)] / 18. S and
+    // 18*Var are EXACT integers (values are exact micro-unit longs);
+    // the z-score is one sqrt+division of those. Pairs come from a
+    // per-user self-join bounded by the per-user series length — the
+    // q88/q94 per-key contract — and sgn sums partial-aggregate.
+    QueryDef("q96_mann_kendall",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT)").as("v6"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))))
+        val a = ev.select(col("user_id"), col("pos").as("pi"), col("v6").as("xi"))
+        val b = ev.select(col("user_id").as("ub"), col("pos").as("pj"), col("v6").as("xj"))
+        val sstat = a.join(b, col("user_id") === col("ub") && col("pi") < col("pj"))
+          .groupBy("user_id")
+          .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s_stat"))
+        val ties = ev.groupBy(col("user_id").as("ut"), col("v6"))
+          .agg(count(ONE).as("t"))
+          .groupBy("ut")
+          .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"),
+            sum(col("t")).as("n"))
+        sstat.join(ties, col("user_id") === col("ut"))
+          .select(col("user_id"), col("n"), col("s_stat"),
+            expr("n * (n - 1) * (2 * n + 5) - tie_term").as("var18"))
+          .withColumn("z", round(expr(
+            """CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    ELSE CAST(0 AS DOUBLE) END"""), 6))
+          .withColumn("trend",
+            when(col("z") > 1.96, "increasing")
+              .when(col("z") < -1.96, "decreasing").otherwise("no_trend"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS v6
+          FROM events),
+        seq AS (
+          SELECT user_id, v6,
+                 row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS pos
+          FROM ev),
+        sstat AS (
+          SELECT a.user_id, CAST(sum(sign(b.v6 - a.v6)) AS BIGINT) AS s_stat
+          FROM seq a JOIN seq b ON a.user_id = b.user_id AND a.pos < b.pos
+          GROUP BY a.user_id),
+        ties AS (
+          SELECT ut, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+                 CAST(sum(t) AS BIGINT) AS n
+          FROM (SELECT user_id AS ut, v6, count(*) AS t FROM seq GROUP BY user_id, v6)
+          GROUP BY ut),
+        m AS (
+          SELECT user_id, n, s_stat,
+                 n * (n - 1) * (2 * n + 5) - tie_term AS var18
+          FROM sstat JOIN ties ON user_id = ut),
+        z AS (
+          SELECT user_id, n, s_stat, var18,
+                 round(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                            WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                            ELSE CAST(0 AS DOUBLE) END, 6) AS z
+          FROM m)
+        SELECT user_id, n, s_stat, var18, z,
+               CASE WHEN z > 1.96 THEN 'increasing'
+                    WHEN z < -1.96 THEN 'decreasing' ELSE 'no_trend' END AS trend
+        FROM z
+        ORDER BY user_id"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

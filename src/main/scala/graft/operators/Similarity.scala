@@ -1172,6 +1172,99 @@ object Similarity {
                CAST(votes AS INT) AS votes,
                nlabel = true_label AS label_consistent
         FROM best
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // -------------------------------------------------------------------
+    // Ranking-quality evaluation: NDCG@5 of the Matryoshka truncated
+    // ranking (s05's 16-of-64-dim cosine) against the full-precision
+    // ranking — the metric an embedding-compression rollout is actually
+    // judged by (recall@k says WHETHER the right items surface; NDCG
+    // says whether they surface in the right ORDER). Graded relevance =
+    // 6 - exact_rank for the exact top-5, 0 otherwise. The log2
+    // position discounts are micro-quantized at PLAN-BUILD time and
+    // embedded as identical integer literals in both engines (like
+    // s12's sign matrix), so DCG is an EXACT integer sum — no
+    // cross-engine log() ulp ever reaches a comparison — and NDCG is
+    // one double division. Scale: rides the two ranking passes (s05's
+    // quarter-width candidate scan + the output-sized eval join).
+    QueryDef("s15_ndcg_eval",
+      (s, d) => {
+        Ns.registerFast(s)
+        val disc6 = (1 to 5).map(i =>
+          math.round(1e6 / (math.log(i + 1) / math.log(2))))
+        val idcg6 = (1 to 5).map(i => (6 - i) * disc6(i - 1)).sum
+        val discExpr = s"element_at(array(${disc6.mkString("L, ")}L), rank)"
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("v16", expr("slice(v, 1, 16)"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+          .withColumn("nrm16", sqrt(expr(Ns.dot("v16", "v16"))))
+        val q = e.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"), col("v16").as("qv16"), col("nrm16").as("qn16"))
+        val joined = q.join(e, col("vec_id") =!= col("qid"))
+        val wT = Window.partitionBy("qid").orderBy(col("tcos").desc, col("neighbor"))
+        val approx = joined
+          .select(col("qid"), col("vec_id").as("neighbor"),
+            round(expr(Ns.dot("qv16", "v16")) / (col("qn16") * col("nrm16")), 6).as("tcos"))
+          .withColumn("rank", row_number().over(wT)).filter(col("rank") <= TOPK)
+          .select(col("qid"), col("neighbor"), col("rank").cast("int").as("rank"))
+        val wE = Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))
+        val exact = joined
+          .select(col("qid"), col("vec_id").as("neighbor"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+          .withColumn("erank", row_number().over(wE)).filter(col("erank") <= TOPK)
+          .select(col("qid").as("eqid"), col("neighbor").as("eneighbor"),
+            col("erank").cast("int").as("erank"))
+        approx
+          .join(exact, col("qid") === col("eqid") && col("neighbor") === col("eneighbor"), "left")
+          .withColumn("rel", coalesce(lit(6) - col("erank"), lit(0)).cast("long"))
+          .groupBy("qid")
+          .agg(sum(expr(s"rel * $discExpr")).as("dcg6"),
+            sum(when(col("erank").isNotNull, 1).otherwise(0)).cast("int").as("n_hits"))
+          .select(col("qid"), col("n_hits"), col("dcg6"), lit(idcg6).as("idcg6"),
+            round(col("dcg6").cast("double") / lit(idcg6.toDouble), 6).as("ndcg5"))
+          .orderBy("qid")
+      },
+      Some {
+        val disc6 = (1 to 5).map(i =>
+          math.round(1e6 / (math.log(i + 1) / math.log(2))))
+        val idcg6 = (1 to 5).map(i => (6 - i) * disc6(i - 1)).sum
+        val oDisc = s"[${disc6.mkString(", ")}][rank]"
+        s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (
+          SELECT vec_id, v, v[1:16] AS v16,
+                 sqrt(${Ns.oDot("v", "v")}) AS nrm,
+                 sqrt(${Ns.oDot("v[1:16]", "v[1:16]")}) AS nrm16
+          FROM v),
+        q AS (
+          SELECT vec_id AS qid, v AS qv, nrm AS qn, v16 AS qv16, nrm16 AS qn16
+          FROM n WHERE $QFILTER),
+        approx AS (
+          SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM (
+            SELECT qid, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY round(${Ns.oDot("qv16", "n.v16")} / (qn16 * n.nrm16), 6) DESC,
+                              n.vec_id) AS rank
+            FROM q JOIN n ON n.vec_id <> q.qid) WHERE rank <= $TOPK),
+        exact AS (
+          SELECT qid AS eqid, neighbor AS eneighbor, CAST(erank AS INT) AS erank FROM (
+            SELECT qid, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY round(${Ns.oDot("qv", "n.v")} / (qn * n.nrm), 6) DESC,
+                              n.vec_id) AS erank
+            FROM q JOIN n ON n.vec_id <> q.qid) WHERE erank <= $TOPK)
+        SELECT qid, CAST(sum(CASE WHEN erank IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_hits,
+               CAST(sum(CAST(coalesce(6 - erank, 0) AS BIGINT) * $oDisc) AS BIGINT) AS dcg6,
+               CAST($idcg6 AS BIGINT) AS idcg6,
+               round(CAST(sum(CAST(coalesce(6 - erank, 0) AS BIGINT) * $oDisc) AS DOUBLE)
+                     / CAST($idcg6 AS DOUBLE), 6) AS ndcg5
+        FROM approx
+        LEFT JOIN exact ON qid = eqid AND neighbor = eneighbor
+        GROUP BY qid
+        ORDER BY qid"""
+      })
   )
 }

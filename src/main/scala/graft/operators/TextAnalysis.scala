@@ -1117,6 +1117,90 @@ object TextAnalysis {
                round(exp(-(CAST(sum(lp6) AS DOUBLE) / 1000000.0) / count(*)), 6) AS kn_ppl
         FROM big JOIN model ON v = mv AND w = mw
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Two-sample Kolmogorov-Smirnov distance between every pair of
+    // sources' document-length distributions — the distribution-drift
+    // test t20's KL cannot provide (KL needs shared support and a model;
+    // KS is nonparametric on the raw ECDFs). The core is EXACT INTEGER:
+    // D * n1 * n2 = max |cum1*n2 - cum2*n1| over the merged value grid,
+    // so the statistic is hash-pinned with no float comparison; only
+    // the final D and the 5%-level critical value are one double
+    // combination each. Scale: per-source length histograms first (the
+    // data-sized pass, one partial agg), then everything is
+    // |sources|^2 x |distinct lengths| — analysis-sized, broadcast
+    // pairs, one window per pair for the cumulative sums.
+    QueryDef("t24_ks_distance",
+      (s, d) => {
+        val cnts = Tables.documents(s, d)
+          .select(col("source"), expr("CAST(size(split(text, ' ')) AS BIGINT)").as("len"))
+          .groupBy("source", "len").agg(count(lit(1)).as("cnt"))
+        val tot = cnts.groupBy(col("source").as("ts")).agg(sum(col("cnt")).as("n"))
+        val srcs = cnts.select("source").distinct()
+        val pairs = srcs.select(col("source").as("sa"))
+          .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+        val e1 = broadcast(pairs).join(cnts, col("source") === col("sa"))
+          .select(col("sa"), col("sb"), col("len"), col("cnt").as("c1"), lit(0L).as("c2"))
+        val e2 = broadcast(pairs).join(cnts, col("source") === col("sb"))
+          .select(col("sa"), col("sb"), col("len"), lit(0L).as("c1"), col("cnt").as("c2"))
+        val w = Window.partitionBy("sa", "sb").orderBy("len")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e1.unionAll(e2)
+          .groupBy("sa", "sb", "len")
+          .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+          .withColumn("cum1", sum(col("c1")).over(w))
+          .withColumn("cum2", sum(col("c2")).over(w))
+          .join(broadcast(tot.select(col("ts").as("t1"), col("n").as("n1"))), col("sa") === col("t1"))
+          .join(broadcast(tot.select(col("ts").as("t2"), col("n").as("n2"))), col("sb") === col("t2"))
+          .groupBy("sa", "sb", "n1", "n2")
+          .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_num"))
+          .select(col("sa").as("source_a"), col("sb").as("source_b"),
+            col("n1"), col("n2"), col("d_num"),
+            round(expr("CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)"), 6).as("ks_d"),
+            expr("""CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+                    > 1.358 * sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2))""")
+              .as("significant_05"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""
+        WITH cnts AS (
+          SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+                 count(*) AS cnt
+          FROM documents GROUP BY source, len),
+        tot AS (SELECT source AS ts, CAST(sum(cnt) AS BIGINT) AS n FROM cnts GROUP BY source),
+        srcs AS (SELECT DISTINCT source FROM cnts),
+        pairs AS (
+          SELECT a.source AS sa, b.source AS sb
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+        ev AS (
+          SELECT sa, sb, len, CAST(cnt AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2
+          FROM pairs JOIN cnts ON source = sa
+          UNION ALL
+          SELECT sa, sb, len, CAST(0 AS BIGINT), CAST(cnt AS BIGINT)
+          FROM pairs JOIN cnts ON source = sb),
+        merged AS (
+          SELECT sa, sb, len, sum(c1) AS c1, sum(c2) AS c2
+          FROM ev GROUP BY sa, sb, len),
+        cums AS (
+          SELECT sa, sb, len,
+                 CAST(sum(c1) OVER w AS BIGINT) AS cum1,
+                 CAST(sum(c2) OVER w AS BIGINT) AS cum2
+          FROM merged
+          WINDOW w AS (PARTITION BY sa, sb ORDER BY len ROWS UNBOUNDED PRECEDING)),
+        d AS (
+          SELECT sa, sb, n1.n AS n1, n2.n AS n2,
+                 CAST(max(abs(cum1 * n2.n - cum2 * n1.n)) AS BIGINT) AS d_num
+          FROM cums
+          JOIN tot n1 ON sa = n1.ts
+          JOIN tot n2 ON sb = n2.ts
+          GROUP BY sa, sb, n1.n, n2.n)
+        SELECT sa AS source_a, sb AS source_b, n1, n2, d_num,
+               round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
+               CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+                 > 1.358 * sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2))
+                 AS significant_05
+        FROM d
+        ORDER BY source_a, source_b"""))
   )
 }
