@@ -84,8 +84,14 @@ object Bench {
     * (and that the DuckDB single-threaded oracle silently relies on).
     */
   private def invarianceWitness(spark: SparkSession, sfDir: String): String = {
+    // one per family, plus one per NEW determinism-risk class: p14 (array
+    // -accumulator fold), st17 (prefix-fold recursion), m08 (typed
+    // sequential kernel), c03 (iterative min-label CC through
+    // checkpointFresh — the loop a skeptic would most expect to depend
+    // on partitioning)
     val reps = Seq("q01_pricing_summary", "d02_minhash_lsh", "s01_cosine_topk",
-      "t01_lang_id", "g01_pagerank")
+      "t01_lang_id", "g01_pagerank",
+      "p14_bin_packing", "st17_stream_cusum", "m08_shot_boundary", "c03_dbscan_grid")
     val parts = Seq(5, 13, 32)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     def contentHash(name: String): String = {

@@ -42,7 +42,8 @@ object DumpPlans {
       "t22_zipf_slope", "c03_dbscan_grid", "m07_pcm_energy",
       "s13_multiprobe_lsh", "m08_shot_boundary", "t23_kneser_ney", "q94_cusum",
       "q95_gini", "s14_knn_label_audit", "p14_bin_packing", "st17_stream_cusum",
-      "q96_mann_kendall", "t24_ks_distance", "s15_ndcg_eval")
+      "q96_mann_kendall", "t24_ks_distance", "s15_ndcg_eval",
+      "g07_ppr", "q97_holt_smoothing", "q98_burstiness", "m09_avg_pool")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

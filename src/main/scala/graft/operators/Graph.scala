@@ -434,8 +434,88 @@ object Graph {
     sb.toString
   }
 
+  /** Personalized PageRank from a deterministic seed set (doc_id % 100
+    * == 0): the teleport mass returns ONLY to the seeds, so rank
+    * measures proximity to the seed documents through the near-dup
+    * graph — the "find everything duplication-adjacent to this audit
+    * set" primitive (seed a known-bad corpus slice, rank the rest by
+    * contamination proximity). Identical numerics/scale recipe as g01
+    * — per-node sequential folds, rounded output, one (dst-keyed)
+    * shuffle per sweep — the only change is the restart vector, which
+    * is exactly what makes it a DIFFERENT operator (rank concentrates
+    * near seeds instead of spreading uniformly).
+    */
+  private def ppr(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(s, d)
+      .filter(col("est_jaccard") >= JMIN)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), (pmod(col("doc_id"), lit(100)) === 0).as("is_seed"))
+    var ranks = docs.select(col("doc_id"),
+      when(col("is_seed"), 1.0).otherwise(0.0).as("rank"))
+    for (_ <- 1 to ITERS) {
+      val contribs = edges.join(deg, "src")
+        .join(ranks.select(col("doc_id").as("src"), col("rank")), "src")
+        .select(col("dst"), col("src"), (col("rank") / col("deg")).as("c"))
+      val sums = contribs.groupBy("dst")
+        .agg(expr("""aggregate(transform(sort_array(collect_list(struct(src, c))), x -> x.c),
+                     CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("csum"))
+      ranks = docs.join(sums, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          (when(col("is_seed"), 0.15).otherwise(0.0)
+            + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("rank"))
+    }
+    ranks.join(docs, "doc_id")
+      .join(deg, col("doc_id") === col("src"), "left")
+      .select(col("doc_id"), round(col("rank"), 6).as("ppr"), col("is_seed"),
+        coalesce(col("deg"), lit(0L)).as("degree"))
+      .orderBy("doc_id")
+  }
+
+  private def pprOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH ${Dedup.minhashPairsOracleCtes},
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM mpairs WHERE est_jaccard >= $JMIN
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM mpairs WHERE est_jaccard >= $JMIN),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      seeds AS (SELECT doc_id, doc_id % 100 = 0 AS is_seed FROM documents),
+      r0 AS (SELECT doc_id, CASE WHEN doc_id % 100 = 0 THEN CAST(1 AS DOUBLE)
+                                 ELSE CAST(0 AS DOUBLE) END AS rank FROM documents)"""
+    for (t <- 1 to ITERS) {
+      sb ++= s""",
+      s$t AS (
+        SELECT e.dst,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE), list(r.rank / g.deg ORDER BY e.src)),
+                           (acc, x) -> acc + x) AS csum
+        FROM edges e JOIN deg g ON e.src = g.src JOIN r${t - 1} r ON e.src = r.doc_id
+        GROUP BY e.dst),
+      r$t AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 100 = 0 THEN CAST(0.15 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END
+                 + CAST(0.85 AS DOUBLE) * coalesce(s.csum, CAST(0 AS DOUBLE)) AS rank
+        FROM documents d LEFT JOIN s$t s ON d.doc_id = s.dst)"""
+    }
+    sb ++= s"""
+      SELECT r.doc_id, round(r.rank, 6) AS ppr, sd.is_seed,
+             coalesce(g.deg, 0) AS degree
+      FROM r$ITERS r
+      JOIN seeds sd ON r.doc_id = sd.doc_id
+      LEFT JOIN deg g ON r.doc_id = g.src
+      ORDER BY r.doc_id"""
+    sb.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", (s, d) => pagerank(s, d), Some(oracle)),
+    QueryDef("g07_ppr", (s, d) => ppr(s, d), Some(pprOracle)),
     QueryDef("g02_triangles", (s, d) => triangles(s, d), Some(trianglesOracle)),
     QueryDef("g03_bfs", (s, d) => bfs(s, d), Some(bfsOracle)),
     QueryDef("g04_sssp", (s, d) => sssp(s, d), Some(ssspOracle)),

@@ -548,6 +548,55 @@ object Multimodal {
                     OVER (PARTITION BY doc_id ORDER BY f) AS INT) AS shot_id
         FROM dist
         WHERE l1_prev IS NOT NULL
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    // -------------------------------------------------------------------
+    // Thumbnail downsample: 2x2 average pooling of the m06 8x8 decode
+    // (leading 64 payload bytes, zero-padded) to a 4x4 grid — the
+    // resize step of an image pipeline, done in exact integer sums
+    // with the average as an exact dyadic division (sum/4.0 is two
+    // exponent decrements — bit-identical everywhere). Fully narrow:
+    // 16 output cells per row, no shuffle before the output sort.
+    QueryDef("m09_avg_pool",
+      (s, d) => {
+        val px = (r: String, c: String) =>
+          s"""CASE WHEN ($r) * 8 + ($c) < length(text)
+              THEN ascii(substring(text, ($r) * 8 + ($c) + 1, 1)) ELSE 0 END"""
+        Tables.documents(s, d).filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(0, 15)")).as("cell"))
+          .select(col("doc_id"),
+            expr("CAST(cell div 4 AS INT)").as("py"),
+            expr("CAST(cell % 4 AS INT)").as("px"),
+            expr(s"""CAST(${px("cell div 4 * 2", "cell % 4 * 2")}
+                   + ${px("cell div 4 * 2", "cell % 4 * 2 + 1")}
+                   + ${px("cell div 4 * 2 + 1", "cell % 4 * 2")}
+                   + ${px("cell div 4 * 2 + 1", "cell % 4 * 2 + 1")} AS BIGINT)""").as("psum"))
+          .withColumn("pavg", col("psum").cast("double") / lit(4.0))
+          .orderBy("doc_id", "py", "px")
+      },
+      Some {
+        val px = (r: String, c: String) =>
+          s"""CASE WHEN ($r) * 8 + ($c) < length(text)
+              THEN ascii(substring(text, ($r) * 8 + ($c) + 1, 1)) ELSE 0 END"""
+        s"""
+        WITH cells AS (
+          SELECT doc_id, text, CAST(u.cell AS BIGINT) AS cell
+          FROM documents, unnest(generate_series(0, 15)) AS u(cell)
+          WHERE n_chars > 0)
+        SELECT doc_id,
+               CAST(cell // 4 AS INT) AS py,
+               CAST(cell % 4 AS INT) AS px,
+               CAST(${px("cell // 4 * 2", "cell % 4 * 2")}
+                  + ${px("cell // 4 * 2", "cell % 4 * 2 + 1")}
+                  + ${px("cell // 4 * 2 + 1", "cell % 4 * 2")}
+                  + ${px("cell // 4 * 2 + 1", "cell % 4 * 2 + 1")} AS BIGINT) AS psum,
+               CAST(${px("cell // 4 * 2", "cell % 4 * 2")}
+                  + ${px("cell // 4 * 2", "cell % 4 * 2 + 1")}
+                  + ${px("cell // 4 * 2 + 1", "cell % 4 * 2")}
+                  + ${px("cell // 4 * 2 + 1", "cell % 4 * 2 + 1")} AS DOUBLE) / 4.0 AS pavg
+        FROM cells
+        ORDER BY doc_id, py, px"""
+      })
   )
 }

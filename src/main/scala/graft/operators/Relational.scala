@@ -3450,6 +3450,116 @@ object Relational {
                     WHEN z < -1.96 THEN 'decreasing' ELSE 'no_trend' END AS trend
         FROM z
         ORDER BY user_id"""))
+  ) ++ Seq(
+
+    // -------------------------------------------------------------------
+    // Holt double-exponential smoothing per user (level + trend — the
+    // forecasting primitive over q78's single-EWMA): l = a*x + (1-a)*
+    // (l' + b'), b = g*(l - l') + (1-g)*b', one-step forecast l + b.
+    // a = g = 1/2 keeps every step EXACT dyadic IEEE arithmetic (0.5*x
+    // is an exponent decrement) — the st14 recipe — so the sequential
+    // fold is bit-identical across engines and partitionings with NO
+    // rounding crutch anywhere. Spark folds a (level, trend) struct
+    // accumulator per user; the DuckDB oracle replays the identical
+    // recursion as a recursive CTE (its list_reduce cannot carry a
+    // struct accumulator over scalar elements — the q94 precedent).
+    QueryDef("q97_holt_smoothing",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            col("value"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            expr("transform(sort_array(collect_list(struct(us, event_id, value))), e -> e.value)")
+              .as("vals"))
+          .filter(col("n_events") >= 2)
+          .withColumn("fin", expr(
+            """aggregate(slice(vals, 2, size(vals) - 1),
+                named_struct('l', element_at(vals, 1), 'b', CAST(0 AS DOUBLE)),
+                (acc, x) -> named_struct(
+                  'l', 0.5 * x + 0.5 * (acc.l + acc.b),
+                  'b', 0.5 * ((0.5 * x + 0.5 * (acc.l + acc.b)) - acc.l) + 0.5 * acc.b))"""))
+          .select(col("user_id"), col("n_events"),
+            col("fin.l").as("level"), col("fin.b").as("trend"),
+            (col("fin.l") + col("fin.b")).as("forecast_1"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        seq AS (
+          SELECT user_id, value,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS INT) AS pos
+          FROM ev),
+        stats AS (SELECT user_id, count(*) AS n_events FROM seq GROUP BY user_id),
+        walk(user_id, pos, l, b) AS (
+          SELECT user_id, 1, value, CAST(0 AS DOUBLE)
+          FROM seq WHERE pos = 1
+          UNION ALL
+          SELECT w.user_id, e.pos,
+                 0.5 * e.value + 0.5 * (w.l + w.b),
+                 0.5 * ((0.5 * e.value + 0.5 * (w.l + w.b)) - w.l) + 0.5 * w.b
+          FROM walk w JOIN seq e ON e.user_id = w.user_id AND e.pos = w.pos + 1),
+        fin AS (SELECT user_id, max(pos) AS last_pos FROM walk GROUP BY user_id)
+        SELECT w.user_id, t.n_events, w.l AS level, w.b AS trend,
+               w.l + w.b AS forecast_1
+        FROM walk w
+        JOIN fin f ON w.user_id = f.user_id AND w.pos = f.last_pos
+        JOIN stats t ON t.user_id = w.user_id
+        WHERE t.n_events >= 2
+        ORDER BY w.user_id""")),
+
+    // -------------------------------------------------------------------
+    // Inter-arrival burstiness per user (Goh & Barabasi's B =
+    // (sigma - mu)/(sigma + mu) over event gaps: -1 = perfectly
+    // regular, 0 = Poisson, ->1 = bursty — the traffic-shape signal
+    // behind rate-limit and anomaly thresholds). Gap moments run as
+    // EXACT DECIMAL(38)/HUGEINT sums (30-day gaps in micros overflow
+    // int64 when squared); sigma and B are one identical double
+    // combination in both engines.
+    QueryDef("q98_burstiness",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+          .withColumn("prev", lag(col("us"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("user_id"), (col("us") - col("prev")).as("g"))
+          .groupBy("user_id")
+          .agg(count(ONE).as("n_gaps"),
+            sum(col("g").cast("decimal(38,0)")).as("sg"),
+            sum(col("g").cast("decimal(38,0)") * col("g")).as("sgg"))
+          .select(col("user_id"), col("n_gaps"),
+            expr("CAST(sg div n_gaps AS BIGINT)").as("mean_gap_us"),
+            round(expr(
+              """(sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) / n_gaps
+                  - CAST(sg AS DOUBLE) / n_gaps)
+                 / (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) / n_gaps
+                    + CAST(sg AS DOUBLE) / n_gaps)"""), 6).as("burstiness"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        gaps AS (
+          SELECT user_id, us - prev AS g FROM (
+            SELECT user_id, us,
+                   lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+            FROM ev)
+          WHERE prev IS NOT NULL),
+        sums AS (
+          SELECT user_id, count(*) AS n_gaps,
+                 CAST(sum(CAST(g AS HUGEINT)) AS HUGEINT) AS sg,
+                 CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sgg
+          FROM gaps GROUP BY user_id)
+        SELECT user_id, n_gaps,
+               CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+               round((sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) / n_gaps
+                      - CAST(sg AS DOUBLE) / n_gaps)
+                     / (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) / n_gaps
+                        + CAST(sg AS DOUBLE) / n_gaps), 6) AS burstiness
+        FROM sums
+        ORDER BY user_id"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

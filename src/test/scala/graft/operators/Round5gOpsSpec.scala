@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-5 seventh-wave additions (g07 personalized
+  * PageRank, q97 Holt smoothing, q98 burstiness, m09 average pooling).
+  */
+class Round5gOpsSpec extends SparkSpec {
+
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf0001)
+
+  test("g07: seeds anchor the rank; disconnected non-seeds score zero") {
+    val got = run("g07_ppr").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // teleport goes only to seeds: an isolated non-seed can never
+    // receive mass; an isolated seed keeps exactly the 0.15 restart
+    got.foreach { case (id, ppr, seed, deg) =>
+      if (deg == 0 && !seed) assert(ppr == 0.0, s"isolated non-seed $id has rank $ppr")
+      if (deg == 0 && seed) assert(ppr == 0.15, s"isolated seed $id has rank $ppr")
+      assert(ppr >= 0.0)
+    }
+    // the personalization bites: the uniform-teleport g01 ranks every
+    // node positively, g07 must leave some node at zero
+    assert(got.exists(_._2 == 0.0), "no zero-rank node — looks like uniform teleport")
+    assert(got.exists(r => r._2 > 0.0 && !r._3), "rank never propagated off the seed set")
+  }
+
+  test("q97: level/trend equal a scalar Holt fold (exact IEEE, no rounding)") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = ev.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (u, rows) =>
+      val xs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      if (xs.length < 2) None
+      else {
+        var l = xs.head; var b = 0.0
+        xs.tail.foreach { x =>
+          val l2 = 0.5 * x + 0.5 * (l + b)
+          b = 0.5 * (l2 - l) + 0.5 * b
+          l = l2
+        }
+        Some((u, xs.length.toLong, l, b, l + b))
+      }
+    }
+    val got = run("q97_holt_smoothing").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == want, s"holt mismatch: got ${got.take(3)} want ${want.take(3)}")
+  }
+
+  test("q98: burstiness equals scalar exact-moment computation; B in [-1, 1)") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (u, rows) =>
+      val us = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val gaps = us.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+      if (gaps.isEmpty) None
+      else {
+        val n = BigInt(gaps.length)
+        val sg = gaps.map(BigInt(_)).sum
+        val sgg = gaps.map(g => BigInt(g) * g).sum
+        val sd = math.sqrt((n * sgg - sg * sg).toDouble) / gaps.length
+        val mean = sg.toDouble / gaps.length
+        val bd = BigDecimal((sd - mean) / (sd + mean))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some((u, gaps.length.toLong, (sg / n).toLong, bd))
+      }
+    }
+    val got = run("q98_burstiness").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want, s"burstiness mismatch: got ${got.take(3)} want ${want.take(3)}")
+    assert(got.forall(r => r._4 >= -1.0 && r._4 < 1.0), "B out of [-1, 1)")
+  }
+
+  test("m09: pooled cells equal a scalar 2x2 average over the zero-padded 8x8 decode") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("n_chars") > 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      def px(r: Int, c: Int): Long =
+        if (r * 8 + c < text.length) text.charAt(r * 8 + c).toLong else 0L
+      for (cell <- 0 until 16) yield {
+        val (py, pxc) = (cell / 4, cell % 4)
+        val sum = px(2 * py, 2 * pxc) + px(2 * py, 2 * pxc + 1) +
+          px(2 * py + 1, 2 * pxc) + px(2 * py + 1, 2 * pxc + 1)
+        (id, py, pxc, sum, sum / 4.0)
+      }
+    }.sortBy(r => (r._1, r._2, r._3)).toSeq
+    val got = run("m09_avg_pool").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == want, s"pool mismatch: got ${got.take(3)} want ${want.take(3)}")
+  }
+}
