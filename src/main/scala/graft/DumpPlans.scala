@@ -43,7 +43,8 @@ object DumpPlans {
       "s13_multiprobe_lsh", "m08_shot_boundary", "t23_kneser_ney", "q94_cusum",
       "q95_gini", "s14_knn_label_audit", "p14_bin_packing", "st17_stream_cusum",
       "q96_mann_kendall", "t24_ks_distance", "s15_ndcg_eval",
-      "g07_ppr", "q97_holt_smoothing", "q98_burstiness", "m09_avg_pool")
+      "g07_ppr", "q97_holt_smoothing", "q98_burstiness", "m09_avg_pool",
+      "q99_benford", "g08_clustering_coef")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

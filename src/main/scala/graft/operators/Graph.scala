@@ -516,6 +516,73 @@ object Graph {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", (s, d) => pagerank(s, d), Some(oracle)),
     QueryDef("g07_ppr", (s, d) => ppr(s, d), Some(pprOracle)),
+    // Local clustering coefficient per node over the SimHash near-dup
+    // graph: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) — how clique-like a
+    // document's dup neighborhood is (g06's cycle signal, graded).
+    // Composes g02's oriented triangle enumeration (count each node's
+    // appearances across the a/b/c columns) with the symmetric degree
+    // count; the ratio is one exact-integer division rounded once.
+    // Scale: the triangle join IS the cost (g02's analysis applies);
+    // the per-node counts are partial aggregates over its output.
+    QueryDef("g08_clustering_coef",
+      (s, d) => {
+        // ONE banding pass: the checkpointed edge set feeds the three
+        // triangle-join arms AND the degree count (g02's standalone
+        // helper would re-run the SimHash pairing for each consumer)
+        val edges = Dedup.simhashPairs(s, d)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .localCheckpoint()
+        val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+        val e2 = edges.select(col("src").as("b2"), col("dst").as("c"))
+        val e3 = edges.select(col("src").as("a3"), col("dst").as("c3"))
+        val tris = e1.join(e2, col("b") === col("b2"))
+          .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+          .select(col("a"), col("b"), col("c"))
+        val tcount = tris.select(col("a").as("doc_id"))
+          .unionAll(tris.select(col("b").as("doc_id")))
+          .unionAll(tris.select(col("c").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("tri"))
+        val deg = edges.select(col("src").as("doc_id"))
+          .unionAll(edges.select(col("dst").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        deg.join(tcount, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("deg"),
+            coalesce(col("tri"), lit(0L)).as("n_triangles"),
+            when(col("deg") >= 2,
+              round(expr("CAST(2 * coalesce(tri, 0L) AS DOUBLE) / (CAST(deg AS DOUBLE) * (deg - 1))"), 6))
+              .otherwise(0.0).as("clustering_coef"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${Dedup.simhashFpOracleCtes},
+        e AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM fp a JOIN fp b
+            ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+        tris AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM e e1
+          JOIN e e2 ON e1.dst = e2.src
+          JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        tcount AS (
+          SELECT doc_id, count(*) AS tri FROM (
+            SELECT a AS doc_id FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris)
+          GROUP BY doc_id),
+        deg AS (
+          SELECT doc_id, count(*) AS deg FROM (
+            SELECT src AS doc_id FROM e
+            UNION ALL SELECT dst FROM e)
+          GROUP BY doc_id)
+        SELECT d.doc_id, d.deg,
+               CAST(coalesce(t.tri, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.deg >= 2
+                    THEN round(CAST(2 * coalesce(t.tri, 0) AS DOUBLE)
+                               / (CAST(d.deg AS DOUBLE) * (d.deg - 1)), 6)
+                    ELSE CAST(0 AS DOUBLE) END AS clustering_coef
+        FROM deg d LEFT JOIN tcount t ON d.doc_id = t.doc_id
+        ORDER BY d.doc_id""")),
     QueryDef("g02_triangles", (s, d) => triangles(s, d), Some(trianglesOracle)),
     QueryDef("g03_bfs", (s, d) => bfs(s, d), Some(bfsOracle)),
     QueryDef("g04_sssp", (s, d) => sssp(s, d), Some(ssspOracle)),

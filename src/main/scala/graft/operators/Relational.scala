@@ -3559,7 +3559,78 @@ object Relational {
                      / (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) / n_gaps
                         + CAST(sg AS DOUBLE) / n_gaps), 6) AS burstiness
         FROM sums
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------------
+    // Benford first-digit audit per priority class (the classic
+    // fabricated-numbers screen: naturally-grown magnitudes follow
+    // P(d) = log10(1 + 1/d); a flat or spiked digit histogram flags
+    // synthetic or constrained data). Digit counts are exact; the
+    // Benford expectations are micro-quantized at PLAN-BUILD time into
+    // shared integer literals (the s15 discount move — no cross-engine
+    // log10 ulp), so the chi-square statistic is one identical double
+    // combination of exact integers per digit. The fixture's uniform-ish
+    // price generator genuinely FAILS Benford — the audit fires, which
+    // is the point (and the spec pins it).
+    QueryDef("q99_benford",
+      (s, d) => {
+        // P(d) in parts-per-million, derived once in Scala
+        val p6 = (1 to 9).map(dg => math.round(math.log10(1.0 + 1.0 / dg) * 1e6))
+        val pArr = s"element_at(array(${p6.mkString("L, ")}L), digit)"
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"),
+            expr("CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)")
+              .as("digit"))
+          .groupBy("o_orderpriority", "digit")
+          .agg(count(ONE).as("obs"))
+          .withColumn("n", sum(col("obs")).over(Window.partitionBy("o_orderpriority")))
+          .withColumn("exp_ppm", expr(pArr))
+          .withColumn("chi_term", expr(
+            """(CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_ppm / 1e6)
+               * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_ppm / 1e6)
+               / (CAST(n AS DOUBLE) * exp_ppm / 1e6)"""))
+          .groupBy("o_orderpriority")
+          .agg(max(col("n")).as("n_orders"),
+            count(ONE).cast("int").as("n_digits_seen"),
+            round(expr(
+              """aggregate(transform(sort_array(collect_list(struct(digit, chi_term))), x -> x.chi_term),
+                 CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""), 6).as("chi2"))
+          .withColumn("benford_rejected_01", col("chi2") > lit(20.09))
+          .orderBy("o_orderpriority")
+      },
+      Some {
+        val p6 = (1 to 9).map(dg => math.round(math.log10(1.0 + 1.0 / dg) * 1e6))
+        val pArr = s"[${p6.mkString(", ")}][digit]"
+        s"""
+        WITH digits AS (
+          SELECT o_orderpriority,
+                 CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM orders),
+        cnt AS (
+          SELECT o_orderpriority, digit, count(*) AS obs
+          FROM digits GROUP BY o_orderpriority, digit),
+        tot AS (
+          SELECT o_orderpriority, digit, obs,
+                 CAST(sum(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n,
+                 $pArr AS exp_ppm
+          FROM cnt),
+        terms AS (
+          SELECT o_orderpriority, digit, n,
+                 (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_ppm / 1e6)
+                 * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * exp_ppm / 1e6)
+                 / (CAST(n AS DOUBLE) * exp_ppm / 1e6) AS chi_term
+          FROM tot)
+        SELECT o_orderpriority, max(n) AS n_orders,
+               CAST(count(*) AS INT) AS n_digits_seen,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(chi_term ORDER BY digit)), (acc, x) -> acc + x), 6) AS chi2,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(chi_term ORDER BY digit)), (acc, x) -> acc + x), 6) > 20.09
+                 AS benford_rejected_01
+        FROM terms
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""
+      })
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

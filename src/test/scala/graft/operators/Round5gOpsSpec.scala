@@ -74,6 +74,57 @@ class Round5gOpsSpec extends SparkSpec {
     assert(got.forall(r => r._4 >= -1.0 && r._4 < 1.0), "B out of [-1, 1)")
   }
 
+  test("q99: chi-square equals a scalar Benford computation; the audit fires") {
+    val digits = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_orderpriority",
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT) AS digit")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val p6 = (1 to 9).map(dg => math.round(math.log10(1.0 + 1.0 / dg) * 1e6))
+    val want = digits.groupBy(_._1).toSeq.sortBy(_._1).map { case (pri, rows) =>
+      val n = rows.length.toLong
+      val cnt = rows.groupBy(_._2).map { case (dg, g) => dg -> g.length.toLong }
+      val chi2 = cnt.toSeq.sortBy(_._1).map { case (dg, obs) =>
+        val e = n.toDouble * p6(dg - 1) / 1e6
+        (obs.toDouble - e) * (obs.toDouble - e) / e
+      }.foldLeft(0.0)(_ + _)
+      val r6 = BigDecimal(chi2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (pri, n, cnt.size, r6, r6 > 20.09)
+    }
+    val got = run("q99_benford").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == want, s"benford mismatch: got $got want $want")
+    // the fixture's price generator is NOT a naturally-grown magnitude
+    // distribution — the screen must flag at least one class
+    assert(got.exists(_._5), "Benford audit never fired on synthetic prices")
+  }
+
+  test("g08: coefficients equal scalar triangle/degree counts; cc in [0, 1]") {
+    val tris = run("g02_triangles").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tcount = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (id, g) => id -> g.length.toLong }
+    val edges = Dedup.simhashPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (id, g) => id -> g.length.toLong }
+    val got = run("g08_clustering_coef").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == deg.keySet)
+    got.foreach { case (id, d, tri, cc) =>
+      assert(d == deg(id), s"degree mismatch for $id")
+      assert(tri == tcount.getOrElse(id, 0L), s"triangle count mismatch for $id")
+      val want = if (d >= 2)
+        BigDecimal(2.0 * tri / (d.toDouble * (d - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(cc == want, s"cc mismatch for $id")
+      assert(cc >= 0.0 && cc <= 1.0)
+    }
+    // dup neighborhoods ARE clique-like: some node must close a triangle
+    assert(got.exists(_._4 > 0.0), "no clustering anywhere in the dup graph")
+  }
+
   test("m09: pooled cells equal a scalar 2x2 average over the zero-padded 8x8 decode") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .filter(col("n_chars") > 0)
