@@ -3631,6 +3631,265 @@ object Relational {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority"""
       })
+  ) ++ Seq(
+
+    // -------------------------------------------------------------------
+    // Maximum drawdown per user (the risk metric every P&L/monitoring
+    // pipeline computes): treat purchases as inflows and errors as
+    // outflows in event-time order, build the running-equity curve, track
+    // the running peak (floored at the starting equity 0), and report the
+    // deepest peak-to-trough fall. Everything is exact integer cents
+    // through two window passes (running sum, running max) — the q82/q94
+    // per-key sequential contract — so the result is partitioning- and
+    // engine-invariant; the only double is the final ratio, one IEEE
+    // division rounded to 6. Scale: both windows partition by user_id —
+    // one shuffle, no driver state, per-user series bounded.
+    QueryDef("q100_drawdown",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "error"))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            expr("""CASE WHEN event_type = 'purchase'
+                         THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                         ELSE -CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END""").as("flow"))
+          .withColumn("eq", sum(col("flow")).over(w))
+          .withColumn("peak", greatest(lit(0L), max(col("eq")).over(w)))
+          .groupBy("user_id")
+          .agg(count(ONE).as("n_flows"),
+            max(struct(col("us"), col("event_id"), col("eq"))).getField("eq").as("final_cents"),
+            max(col("peak")).as("peak_cents"),
+            max(col("peak") - col("eq")).as("max_drawdown_cents"))
+          .withColumn("drawdown_ratio", round(
+            col("max_drawdown_cents").cast("double") / greatest(lit(1L), col("peak_cents")).cast("double"), 6))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH flows AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      ELSE -CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END AS flow
+          FROM events WHERE event_type IN ('purchase', 'error')),
+        curve AS (
+          SELECT user_id, us, event_id,
+                 CAST(sum(flow) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS eq
+          FROM flows),
+        peaked AS (
+          SELECT user_id, us, event_id, eq,
+                 greatest(CAST(0 AS BIGINT), CAST(max(eq) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS peak
+          FROM curve),
+        agg AS (
+          SELECT user_id, count(*) AS n_flows,
+                 list(eq ORDER BY us, event_id)[-1] AS final_cents,
+                 max(peak) AS peak_cents,
+                 max(peak - eq) AS max_drawdown_cents
+          FROM peaked GROUP BY user_id)
+        SELECT user_id, n_flows, final_cents, peak_cents, max_drawdown_cents,
+               round(CAST(max_drawdown_cents AS DOUBLE)
+                     / CAST(greatest(CAST(1 AS BIGINT), peak_cents) AS DOUBLE), 6) AS drawdown_ratio
+        FROM agg
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------------
+    // Autocorrelation function per user at lags 1..3 (the seasonality /
+    // momentum probe next to q96's trend test and q97's Holt forecast).
+    // Exactness: with x as micro-unit BIGINTs, clear the rational mean
+    // from the textbook estimator by scaling both sides by n^2:
+    //   r_k = [n^2*S_xx(k) - n*S*(A_k + B_k) + (n-k)*S^2]
+    //         / [n^2*S_x2 - n*S^2]
+    // where A_k/B_k are the head/tail partial sums the lag-k pairs
+    // touch. Every term is an exact DECIMAL(38,0) integer (the q88/q95
+    // HUGEINT recipe), so the only float is the final division. The
+    // lagged pairs come from a per-user self-join bounded by lag <= 3 —
+    // each row joins at most 3 partners, so the join output is 3x the
+    // input, never quadratic (unlike q96's i<j pair sweep).
+    QueryDef("q101_acf",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT)").as("v6"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))))
+        val base = ev.groupBy("user_id")
+          .agg(count(ONE).as("n"),
+            sum(col("v6").cast("decimal(38,0)")).as("sx"),
+            sum((col("v6").cast("decimal(38,0)") * col("v6")).cast("decimal(38,0)")).as("sx2"))
+        val a = ev.select(col("user_id"), col("pos").as("pi"), col("v6").as("xi"))
+        val b = ev.select(col("user_id").as("ub"), col("pos").as("pj"), col("v6").as("xj"))
+        val lagged = a.join(b,
+            col("user_id") === col("ub") && (col("pj") - col("pi")).between(1, 3))
+          .select(col("user_id"), (col("pj") - col("pi")).cast("int").as("k"),
+            col("xi"), col("xj"))
+          .groupBy("user_id", "k")
+          .agg(sum((col("xi").cast("decimal(38,0)") * col("xj")).cast("decimal(38,0)")).as("sxx"),
+            sum(col("xi").cast("decimal(38,0)")).as("ak"),
+            sum(col("xj").cast("decimal(38,0)")).as("bk"))
+        lagged.join(base, "user_id")
+          .filter(col("n") > col("k"))
+          .select(col("user_id"), col("k"), col("n"),
+            expr("CAST(n AS DECIMAL(38,0)) * n * sxx - CAST(n AS DECIMAL(38,0)) * sx * (ak + bk) + (CAST(n AS DECIMAL(38,0)) - k) * sx * sx").as("num"),
+            expr("CAST(n AS DECIMAL(38,0)) * n * sx2 - CAST(n AS DECIMAL(38,0)) * sx * sx").as("den"))
+          .filter(col("den") > lit(0))
+          .select(col("user_id"), col("k"), col("n"),
+            round(col("num").cast("double") / col("den").cast("double"), 6).as("acf"))
+          .orderBy("user_id", "k")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS v6
+          FROM events),
+        seq AS (
+          SELECT user_id, v6,
+                 row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS pos
+          FROM ev),
+        base AS (
+          SELECT user_id, count(*) AS n,
+                 CAST(sum(CAST(v6 AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(v6 AS HUGEINT) * v6) AS HUGEINT) AS sx2
+          FROM seq GROUP BY user_id),
+        lagged AS (
+          SELECT a.user_id, CAST(b.pos - a.pos AS INT) AS k,
+                 CAST(sum(CAST(a.v6 AS HUGEINT) * b.v6) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(a.v6 AS HUGEINT)) AS HUGEINT) AS ak,
+                 CAST(sum(CAST(b.v6 AS HUGEINT)) AS HUGEINT) AS bk
+          FROM seq a JOIN seq b
+            ON a.user_id = b.user_id AND b.pos - a.pos BETWEEN 1 AND 3
+          GROUP BY a.user_id, b.pos - a.pos),
+        terms AS (
+          SELECT l.user_id, l.k, t.n,
+                 CAST(t.n AS HUGEINT) * t.n * l.sxx
+                   - CAST(t.n AS HUGEINT) * t.sx * (l.ak + l.bk)
+                   + (CAST(t.n AS HUGEINT) - l.k) * t.sx * t.sx AS num,
+                 CAST(t.n AS HUGEINT) * t.n * t.sx2
+                   - CAST(t.n AS HUGEINT) * t.sx * t.sx AS den
+          FROM lagged l JOIN base t ON l.user_id = t.user_id
+          WHERE t.n > l.k)
+        SELECT user_id, k, n,
+               round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+        FROM terms WHERE den > 0
+        ORDER BY user_id, k""")),
+
+    // -------------------------------------------------------------------
+    // Chi-square independence test: event_type x user cohort (id mod 4 —
+    // the classic hash-cohort A/B assignment q46 uses). The statistic is
+    // computed without ever forming the rational expected counts:
+    //   (O - E)^2 / E  ==  (N*O - R*C)^2 / (N*R*C)
+    // so each cell term is an exact integer ratio; we truncate each term
+    // to micro-units with integer division (both engines floor positive
+    // quotients identically) and integer-sum — the t01/t12 micro-nat
+    // quantization recipe applied to a test statistic. DECIMAL(38,0)
+    // keeps (N*O - R*C)^2 * 1e6 exact (~1e26 max at sf0.1, under the
+    // 38-digit cap). One row out; marginals are two tiny broadcast aggs.
+    QueryDef("q102_chi_square",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), expr("user_id % 4").as("cohort"))
+        val obs = ev.groupBy("event_type", "cohort").agg(count(ONE).as("o"))
+        val rowm = obs.groupBy("event_type").agg(sum(col("o")).as("r"))
+        val colm = obs.groupBy("cohort").agg(sum(col("o")).as("c"))
+        val tot = obs.agg(sum(col("o")).as("n"))
+        val terms = obs.join(rowm, "event_type").join(colm, "cohort").crossJoin(tot)
+          .select(expr(
+            """(CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
+               * (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c) * 1000000
+               div (CAST(n AS DECIMAL(38,0)) * r * c)""").as("term6"))
+        val dims = obs.agg(
+          countDistinct(col("event_type")).as("nr"), countDistinct(col("cohort")).as("nc"))
+        terms.agg(sum(col("term6")).as("chi2_micro")).crossJoin(tot).crossJoin(dims)
+          .select(col("n").as("n_events"),
+            expr("CAST((nr - 1) * (nc - 1) AS INT)").as("df"),
+            round(col("chi2_micro").cast("double") / lit(1e6), 6).as("chi2"))
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, user_id % 4 AS cohort FROM events),
+        obs AS (SELECT event_type, cohort, count(*) AS o FROM ev GROUP BY 1, 2),
+        rowm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+        colm AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        dims AS (SELECT count(DISTINCT event_type) AS nr, count(DISTINCT cohort) AS nc FROM obs),
+        terms AS (
+          SELECT CAST((CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+                 * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c) * 1000000
+                 // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS term6
+          FROM obs JOIN rowm USING (event_type) JOIN colm USING (cohort) CROSS JOIN tot)
+        SELECT n AS n_events, CAST((nr - 1) * (nc - 1) AS INT) AS df,
+               round(CAST(sum(term6) AS DOUBLE) / 1e6, 6) AS chi2
+        FROM terms CROSS JOIN tot CROSS JOIN dims
+        GROUP BY n, nr, nc""")),
+
+    // -------------------------------------------------------------------
+    // Robust outlier screen: median absolute deviation per market
+    // segment (the q29 z-score screen's robust sibling — a single fat
+    // tail distorts mean/stddev but not med/MAD). The median is the
+    // LOWER median spelled explicitly as the ranked value at position
+    // (n+1) div 2 — not percentile_disc/quantile_disc, whose even-n and
+    // tie conventions differ across engines — so every intermediate is
+    // an exact integer and the spelling is the contract. Two ranked
+    // window passes partitioned by segment: same shuffle shape as q81's
+    // rolling median.
+    QueryDef("q103_mad_outliers",
+      (s, d) => {
+        val j = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+        val w1 = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("o_orderkey"))
+        val med = j.withColumn("i", row_number().over(w1))
+          .withColumn("n", count(ONE).over(Window.partitionBy("c_mktsegment")))
+          .filter(expr("i = (n + 1) div 2"))
+          .select(col("c_mktsegment").as("ms"), col("cents").as("med_cents"), col("n"))
+        val dev = j.join(med, col("c_mktsegment") === col("ms"))
+          .select(col("c_mktsegment"), col("o_orderkey"), col("cents"), col("med_cents"), col("n"),
+            abs(col("cents") - col("med_cents")).as("adev"))
+        val w2 = Window.partitionBy("c_mktsegment").orderBy(col("adev"), col("o_orderkey"))
+        val mad = dev.withColumn("i", row_number().over(w2))
+          .filter(expr("i = (n + 1) div 2"))
+          .select(col("c_mktsegment").as("ms2"), col("adev").as("mad_cents"))
+        dev.join(mad, col("c_mktsegment") === col("ms2"))
+          .groupBy("c_mktsegment")
+          .agg(max(col("n")).as("n_orders"),
+            max(col("med_cents")).as("med_cents"),
+            max(col("mad_cents")).as("mad_cents"),
+            sum(when(col("adev") > lit(3) * col("mad_cents"), 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH j AS (
+          SELECT c_mktsegment, o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        ranked AS (
+          SELECT c_mktsegment, o_orderkey, cents,
+                 row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents, o_orderkey) AS i,
+                 count(*) OVER (PARTITION BY c_mktsegment) AS n
+          FROM j),
+        med AS (
+          SELECT c_mktsegment AS ms, cents AS med_cents, n
+          FROM ranked WHERE i = (n + 1) // 2),
+        dev AS (
+          SELECT j.c_mktsegment, j.o_orderkey, j.cents, m.med_cents, m.n,
+                 abs(j.cents - m.med_cents) AS adev
+          FROM j JOIN med m ON j.c_mktsegment = m.ms),
+        devranked AS (
+          SELECT c_mktsegment, adev,
+                 row_number() OVER (PARTITION BY c_mktsegment ORDER BY adev, o_orderkey) AS i,
+                 n
+          FROM dev),
+        mad AS (
+          SELECT c_mktsegment AS ms2, adev AS mad_cents
+          FROM devranked WHERE i = (n + 1) // 2)
+        SELECT d.c_mktsegment, max(d.n) AS n_orders,
+               max(d.med_cents) AS med_cents, max(m.mad_cents) AS mad_cents,
+               CAST(sum(CASE WHEN d.adev > 3 * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m ON d.c_mktsegment = m.ms2
+        GROUP BY d.c_mktsegment
+        ORDER BY d.c_mktsegment"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
