@@ -588,6 +588,100 @@ object Graph {
     QueryDef("g04_sssp", (s, d) => sssp(s, d), Some(ssspOracle)),
     QueryDef("g05_recursive_reach", (s, d) => recursiveReach(s, d),
       Some(recursiveReachOracle)),
-    QueryDef("g06_kcore", (s, d) => kcore(s, d), Some(kcoreOracle))
+    QueryDef("g06_kcore", (s, d) => kcore(s, d), Some(kcoreOracle)),
+
+    // -----------------------------------------------------------------
+    // Link prediction over the embedding kNN graph: common-neighbor
+    // count plus the resource-allocation index RA(u,v) = sum over
+    // shared neighbors w of 1/deg(w) (Zhou/Lu/Zhang 2009 — the
+    // strongest of the classic local indices), for non-adjacent pairs.
+    // The near-dup minhash/simhash graphs are disjoint CLIQUES by
+    // construction (duplicates of a doc are duplicates of each other),
+    // so they have zero open wedges and link prediction over them is
+    // vacuous — the k=3 cosine-kNN graph over `embeddings` is the
+    // natural non-trivial graph (kNN is not transitive). 1/deg is kept
+    // exact cross-engine as the micro-unit integer quotient
+    // 1000000 div deg (both engines floor positive integer division
+    // identically) — no per-row float whose last ulp could differ.
+    // Scale: the kNN build is the s01 per-partition top-k (here over
+    // the fixed 500-vector table); wedges come from one self-join on
+    // the shared neighbor (output bounded by sum of deg^2, deg <= ~2k
+    // on a symmetrized kNN graph — never all-pairs), the anti-join
+    // removes existing edges, and the global top-20 window runs on the
+    // wedge shortlist only.
+    QueryDef("g09_link_prediction",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val scoredAll = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nb"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+        val wK = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cosine").desc, col("nb"))
+        val knn = scoredAll.withColumn("rn", row_number().over(wK))
+          .filter(col("rn") <= 3).select(col("qid"), col("nb"))
+        // symmetrize + dedupe into an undirected edge set (doc_a < doc_b)
+        val und = knn.select(least(col("qid"), col("nb")).as("a"),
+            greatest(col("qid"), col("nb")).as("b")).distinct()
+          .localCheckpoint() // feeds edges, deg, wedges and the anti-join
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val e1 = edges.select(col("src").as("w"), col("dst").as("u"))
+        val e2 = edges.select(col("src").as("w2"), col("dst").as("v"))
+        val wedges = e1.join(e2, col("w") === col("w2") && col("u") < col("v"))
+          .join(deg.select(col("src").as("w3"), col("deg")), col("w") === col("w3"))
+          .groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).as("common_neighbors"),
+            sum(expr("1000000 div deg")).as("ra6"))
+        val cand = wedges.join(und.select(col("a").as("u"), col("b").as("v")),
+          Seq("u", "v"), "left_anti")
+        val wR = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ra6").desc, col("common_neighbors").desc, col("u"), col("v"))
+        cand.withColumn("rank", row_number().over(wR)).filter(col("rank") <= 20)
+          .select(col("rank").cast("int").as("rank"), col("u").as("vec_a"),
+            col("v").as("vec_b"), col("common_neighbors"), col("ra6"))
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n),
+        scored AS (
+          SELECT qid, vec_id AS nb,
+                 round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) AS cosine
+          FROM q JOIN n ON vec_id <> qid),
+        knn AS (
+          SELECT qid, nb FROM (
+            SELECT qid, nb,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nb) AS rn
+            FROM scored) WHERE rn <= 3),
+        und AS (
+          SELECT DISTINCT least(qid, nb) AS a, greatest(qid, nb) AS b FROM knn),
+        edges AS (
+          SELECT a AS src, b AS dst FROM und
+          UNION ALL
+          SELECT b AS src, a AS dst FROM und),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        wedges AS (
+          SELECT e1.dst AS u, e2.dst AS v, count(*) AS common_neighbors,
+                 CAST(sum(1000000 // g.deg) AS BIGINT) AS ra6
+          FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+          JOIN deg g ON e1.src = g.src
+          GROUP BY e1.dst, e2.dst),
+        cand AS (
+          SELECT u, v, common_neighbors, ra6 FROM wedges w
+          WHERE NOT EXISTS (SELECT 1 FROM und f WHERE f.a = w.u AND f.b = w.v)),
+        ranked AS (
+          SELECT u, v, common_neighbors, ra6,
+                 CAST(row_number() OVER (ORDER BY ra6 DESC, common_neighbors DESC, u, v) AS INT) AS rank
+          FROM cand)
+        SELECT rank, u AS vec_a, v AS vec_b, common_neighbors, ra6
+        FROM ranked WHERE rank <= 20
+        ORDER BY rank"""))
   )
 }

@@ -1265,6 +1265,78 @@ object Similarity {
         LEFT JOIN exact ON qid = eqid AND neighbor = eneighbor
         GROUP BY qid
         ORDER BY qid"""
-      })
+      }),
+
+    // -------------------------------------------------------------------
+    // Embedding-quality AUC: score every vector against each label
+    // centroid by cosine (the s02 exact-decimal centroids), and ask how
+    // well that score separates the label's own members from the rest —
+    // the exact Mann-Whitney AUC, computed from ranks, not from the
+    // O(P*N) pair sweep. Ties (possible after the round-6 quantization)
+    // get the textbook average rank, kept exact as the INTEGER
+    // avg2 = 2*minrank + ties - 1, so AUC's numerator/denominator are
+    // exact integers and the single final division is the only float.
+    // Scale: the per-label ranking is one window over |labels| x |vecs|
+    // rows (labels is the small side — broadcast), and rank sums
+    // partial-aggregate; nothing is quadratic in the corpus.
+    QueryDef("s16_auc_eval",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val cd = e.select(col("label"), posexplode(col("v")))
+          .groupBy(col("label").as("cl"), col("pos"))
+          .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+        val cent = cd.groupBy("cl")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
+          .withColumn("cn", sqrt(expr(Ns.dot("cv", "cv"))))
+        val scored = e.crossJoin(broadcast(cent))
+          .select(col("cl"), col("vec_id"), col("label"),
+            round(expr(Ns.dot("v", "cv")) / (col("nrm") * col("cn")), 6).as("cos"))
+        val ranked = scored
+          .withColumn("minr", rank().over(Window.partitionBy("cl").orderBy(col("cos"))))
+          .withColumn("ties", count(lit(1)).over(Window.partitionBy("cl", "cos")))
+          .withColumn("avg2", lit(2L) * col("minr") + col("ties") - 1L)
+        ranked.groupBy("cl")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("label") === col("cl"), 1L).otherwise(0L)).as("p"),
+            sum(when(col("label") === col("cl"), col("avg2")).otherwise(lit(0L))).as("r2pos"))
+          .select(col("cl").as("label"), col("p").as("n_pos"),
+            (col("n") - col("p")).as("n_neg"),
+            round((col("r2pos") - col("p") * (col("p") + 1)).cast("double")
+              / (lit(2L) * col("p") * (col("n") - col("p"))).cast("double"), 6).as("auc"))
+          .orderBy("label")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        cd AS (
+          SELECT label AS cl, i AS pos,
+                 CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+          FROM v CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY label, i),
+        cent AS (SELECT cl, list(c ORDER BY pos) AS cv FROM cd GROUP BY cl),
+        centn AS (SELECT cl, cv, sqrt(${Ns.oDot("cv", "cv")}) AS cn FROM cent),
+        scored AS (
+          SELECT c.cl, n.vec_id, n.label,
+                 round(${Ns.oDot("n.v", "c.cv")} / (n.nrm * c.cn), 6) AS cos
+          FROM n CROSS JOIN centn c),
+        ranked AS (
+          SELECT cl, vec_id, label, cos,
+                 rank() OVER (PARTITION BY cl ORDER BY cos) AS minr,
+                 count(*) OVER (PARTITION BY cl, cos) AS ties
+          FROM scored),
+        agg AS (
+          SELECT cl, count(*) AS n,
+                 CAST(sum(CASE WHEN label = cl THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                 CAST(sum(CASE WHEN label = cl THEN 2 * minr + ties - 1 ELSE 0 END) AS BIGINT) AS r2pos
+          FROM ranked GROUP BY cl)
+        SELECT cl AS label, p AS n_pos, CAST(n - p AS BIGINT) AS n_neg,
+               round(CAST(r2pos - p * (p + 1) AS DOUBLE)
+                     / CAST(2 * p * (n - p) AS DOUBLE), 6) AS auc
+        FROM agg
+        ORDER BY label"""))
   )
 }

@@ -1202,5 +1202,82 @@ object TextAnalysis {
                  AS significant_05
         FROM d
         ORDER BY source_a, source_b"""))
+  ) ++ Seq(
+
+    // -------------------------------------------------------------------
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    // the maximal stopword-free token runs; each word scores
+    // deg(w)/freq(w) where freq counts occurrences corpus-wide and deg
+    // sums the lengths of the phrases it appears in; a phrase scores the
+    // sum of its member word scores; top-3 phrases per document. The
+    // word ratio is kept exact cross-engine as the micro-unit integer
+    // quotient (1e6*deg) div freq — the g09/t01 recipe — so phrase
+    // scores are exact BIGINTs and ranking needs no float tie care.
+    // Scale: phrase segmentation is one per-doc window (stopword prefix
+    // count), word stats partial-aggregate corpus-wide and broadcast
+    // back (vocabulary-sized), ranking is a per-doc top-k window.
+    QueryDef("t25_rake_keywords",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("token"))
+          .withColumn("stop", col("token").isin("the", "a"))
+        val members = toks
+          .withColumn("pid", sum(when(col("stop"), 1).otherwise(0))
+            .over(Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(!col("stop"))
+        val sized = members.withColumn("psize",
+          count(lit(1)).over(Window.partitionBy("doc_id", "pid")))
+        val stats = sized.groupBy("token")
+          .agg(count(lit(1)).as("freq"), sum(col("psize")).as("deg"))
+          .select(col("token"), expr("1000000 * deg div freq").as("score6"))
+        val scored = sized.join(broadcast(stats), "token")
+          .groupBy("doc_id", "pid")
+          .agg(concat_ws(" ",
+              expr("transform(sort_array(collect_list(struct(pos, token))), x -> x.token)"))
+              .as("phrase"),
+            count(lit(1)).as("n_words"),
+            sum(col("score6")).as("score6"))
+        val wR = Window.partitionBy("doc_id").orderBy(col("score6").desc, col("phrase"))
+        scored.withColumn("rank", row_number().over(wR)).filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank").cast("int").as("rank"),
+            col("phrase"), col("n_words"), col("score6"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, s.pos AS pos, s.token AS token FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(tk)),
+                     i -> struct_pack(pos := i - 1, token := tk[i]))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
+        ph AS (
+          SELECT doc_id, pos, token,
+                 token IN ('the', 'a') AS stop,
+                 sum(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+          FROM toks),
+        sized AS (
+          SELECT doc_id, pos, token, pid,
+                 count(*) OVER (PARTITION BY doc_id, pid) AS psize
+          FROM ph WHERE NOT stop),
+        stats AS (
+          SELECT token, 1000000 * CAST(sum(psize) AS BIGINT) // count(*) AS score6
+          FROM sized GROUP BY token),
+        scored AS (
+          SELECT m.doc_id, m.pid,
+                 string_agg(m.token, ' ' ORDER BY m.pos) AS phrase,
+                 count(*) AS n_words,
+                 CAST(sum(s.score6) AS BIGINT) AS score6
+          FROM sized m JOIN stats s USING (token)
+          GROUP BY m.doc_id, m.pid),
+        ranked AS (
+          SELECT doc_id, phrase, n_words, score6,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score6 DESC, phrase) AS INT) AS rank
+          FROM scored)
+        SELECT doc_id, rank, phrase, n_words, score6
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank"""))
   )
 }
