@@ -784,8 +784,98 @@ object Streams {
                     ELSE greatest(CAST(0 AS BIGINT), s_prev + v6 - 70000000) END AS s_after,
                greatest(CAST(0 AS BIGINT), s_prev + v6 - 70000000) > 200000000 AS alarmed
         FROM walked
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // -------------------------------------------------------------------
+    // CEP sequence detection: per user, view -> click -> purchase in
+    // event order with the whole pattern inside a 24h window — the
+    // funnel-as-a-pattern-match operator (Flink CEP / MATCH_RECOGNIZE
+    // territory). Semantics are "greedy latest predecessors, no
+    // consumption": a purchase matches the LATEST preceding click that
+    // itself had a preceding view, carrying that click's view — which
+    // is exactly two chained strictly-preceding IGNORE-NULLS windows
+    // (the q91 shape, composed), and on a stream is O(1) ValueState per
+    // user (last view + last view-carrying click — [[SeqDetectProcessor]];
+    // StreamingSpec proves stream == batch row-for-row with matches
+    // spanning micro-batch boundaries). A consume-on-match variant
+    // would need the full prefix-fold (st17's shape) instead.
+    QueryDef("st18_sequence_detect",
+      (s, d) => sequenceDetect(Tables.events(s, d)).orderBy("user_id", "purchase_id"),
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        p1 AS (
+          SELECT *,
+                 last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+                   OVER w AS v_us,
+                 last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                   OVER w AS v_id
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        p2 AS (
+          SELECT *,
+                 last_value(CASE WHEN event_type = 'click' AND v_us IS NOT NULL THEN v_us END IGNORE NULLS)
+                   OVER w AS cv_us,
+                 last_value(CASE WHEN event_type = 'click' AND v_us IS NOT NULL THEN v_id END IGNORE NULLS)
+                   OVER w AS cv_id,
+                 last_value(CASE WHEN event_type = 'click' AND v_us IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER w AS c_us,
+                 last_value(CASE WHEN event_type = 'click' AND v_us IS NOT NULL THEN event_id END IGNORE NULLS)
+                   OVER w AS c_id
+          FROM p1
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT user_id, cv_id AS view_id, c_id AS click_id,
+               event_id AS purchase_id, us - cv_us AS span_us
+        FROM p2
+        WHERE event_type = 'purchase' AND c_us IS NOT NULL AND us - cv_us <= $SEQ_WIN
+        ORDER BY user_id, purchase_id"""))
   )
+
+  /** Pattern window for [[sequenceDetect]]: the view->click->purchase
+    * chain must span at most 24 hours (the q91 attribution lookback).
+    */
+  private[streaming] val SEQ_WIN = 86400000000L
+
+  /** Batch twin of the CEP sequence detector: two chained
+    * strictly-preceding IGNORE-NULLS window passes — pass 1 carries the
+    * latest view, pass 2 the latest click that had one (all four fields
+    * gated on the SAME null condition, so they come from one row).
+    */
+  def sequenceDetect(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isCand = col("event_type") === "click" && col("v_us").isNotNull
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("v_us",
+        last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
+      .withColumn("v_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("cv_us", last(when(isCand, col("v_us")), ignoreNulls = true).over(w))
+      .withColumn("cv_id", last(when(isCand, col("v_id")), ignoreNulls = true).over(w))
+      .withColumn("c_us", last(when(isCand, col("us")), ignoreNulls = true).over(w))
+      .withColumn("c_id", last(when(isCand, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("c_us").isNotNull &&
+        col("us") - col("cv_us") <= SEQ_WIN)
+      .select(col("user_id"), col("cv_id").as("view_id"), col("c_id").as("click_id"),
+        col("event_id").as("purchase_id"), (col("us") - col("cv_us")).as("span_us"))
+  }
+
+  final case class SeqMatch(user_id: Long, view_id: Long, click_id: Long,
+    purchase_id: Long, span_us: Long)
+  final case class SeqState(vUs: Long, vId: Long, cvUs: Long, cvId: Long,
+    cUs: Long, cId: Long, hasV: Boolean, hasC: Boolean)
+
+  def sequenceDetectStream(spark: SparkSession, events: Dataset[Ev2]): Dataset[SeqMatch] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SeqDetectProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 
   /** One CUSUM step on the exact micro-unit statistic: clip at zero,
     * alarm + reset above the threshold. Target 50 units + slack 20
@@ -1098,6 +1188,50 @@ class CusumProcessor
       Streams.CusumOut(user, e.event_id, s, alarmed)
     }
     acc.update(s)
+    out.iterator
+  }
+}
+
+/** CEP sequence detection on v2 state: the O(1)-per-user online form of
+  * [[Streams.sequenceDetect]]'s chained-window batch plan. State is the
+  * latest view and the latest view-carrying click (greedy latest
+  * predecessors, no consumption on match — a matched purchase leaves
+  * the state untouched, exactly like the batch windows); each batch
+  * walks its rows in (event-time, event_id) order, so matches fire
+  * identically whether the three pattern events share a micro-batch or
+  * arrive batches apart.
+  */
+class SeqDetectProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Streams.Ev2, Streams.SeqMatch] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[Streams.SeqState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Streams.SeqState]("seq",
+      org.apache.spark.sql.Encoders.product[Streams.SeqState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Streams.Ev2],
+      tv: TimerValues): Iterator[Streams.SeqMatch] = {
+    val sorted = rows.toSeq.sortBy(e => (Streams.usOf(e.ts), e.event_id))
+    var s = if (st.exists()) st.get()
+      else Streams.SeqState(0L, 0L, 0L, 0L, 0L, 0L, hasV = false, hasC = false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Streams.SeqMatch]
+    sorted.foreach { e =>
+      val us = Streams.usOf(e.ts)
+      e.event_type match {
+        case "view" =>
+          s = s.copy(vUs = us, vId = e.event_id, hasV = true)
+        case "click" =>
+          if (s.hasV)
+            s = s.copy(cvUs = s.vUs, cvId = s.vId, cUs = us, cId = e.event_id, hasC = true)
+        case "purchase" =>
+          if (s.hasC && us - s.cvUs <= Streams.SEQ_WIN)
+            out += Streams.SeqMatch(user, s.cvId, s.cId, e.event_id, us - s.cvUs)
+        case _ => ()
+      }
+    }
+    st.update(s)
     out.iterator
   }
 }

