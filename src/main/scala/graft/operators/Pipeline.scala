@@ -635,5 +635,79 @@ object Pipeline {
         SELECT shard, doc_id, tokens, bin, load_after
         FROM walk WHERE k > 0
         ORDER BY shard, doc_id"""))
+  ) ++ Seq(
+
+    // -------------------------------------------------------------------
+    // Token-budget curation: per source, admit documents in priority
+    // order (lexical diversity desc — the micro-unit distinct/total
+    // ratio, exact integers — then doc_id) until the per-source token
+    // budget is exhausted; whole-document granularity, so a document
+    // that would overflow the budget is skipped and admission continues
+    // with the next one that still fits (greedy knapsack-by-priority,
+    // the standard corpus-curation shape: fixed token budget per
+    // domain, best documents first). The admission walk is a
+    // sequential fold over the priority-ordered per-source list (the
+    // st17 prefix-fold recipe — state is the running admitted-token
+    // count; a skipped doc leaves it unchanged), spelled identically
+    // in DuckDB. Output: per-source admitted/skipped counts, tokens
+    // used, budget utilization ppm — exact integers end to end.
+    QueryDef("p15_token_budget",
+      (s, d) => {
+        val BUDGET = 500L
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tokens"),
+            expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").as("dist"))
+          .withColumn("prio6", expr("1000000 * dist div tokens"))
+        val w = Window.partitionBy("source").orderBy(col("prio6").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val walked = docs
+          .withColumn("prev", collect_list(col("tokens")).over(w))
+          .withColumn("used_before", expr(
+            s"""aggregate(prev, CAST(0 AS BIGINT),
+                (acc, x) -> CASE WHEN acc + x <= ${BUDGET}L THEN acc + x ELSE acc END)"""))
+          .withColumn("admitted", expr(s"used_before + tokens <= ${BUDGET}L"))
+        walked.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+            sum(when(col("admitted"), col("tokens")).otherwise(0L)).as("tokens_used"))
+          .withColumn("n_skipped", col("n_docs") - col("n_admitted"))
+          .withColumn("util_ppm", expr(s"1000000 * tokens_used div ${BUDGET}L"))
+          .select(col("source"), col("n_docs"), col("n_admitted"), col("n_skipped"),
+            col("tokens_used"), col("util_ppm"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS dist
+          FROM documents),
+        prio AS (
+          SELECT doc_id, source, tokens, 1000000 * dist // tokens AS prio6 FROM docs),
+        pre AS (
+          SELECT source, doc_id, tokens,
+                 list(tokens) OVER (PARTITION BY source ORDER BY prio6 DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+          FROM prio),
+        walked AS (
+          SELECT source, doc_id, tokens,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), coalesce(prev, [])),
+                   (acc, x) -> CASE WHEN acc + x <= 500 THEN acc + x ELSE acc END) AS used_before
+          FROM pre),
+        adm AS (
+          SELECT source, doc_id, tokens,
+                 used_before + tokens <= 500 AS admitted
+          FROM walked),
+        agg AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+                 CAST(sum(CASE WHEN admitted THEN tokens ELSE 0 END) AS BIGINT) AS tokens_used
+          FROM adm GROUP BY source)
+        SELECT source, n_docs, n_admitted,
+               n_docs - n_admitted AS n_skipped,
+               tokens_used, 1000000 * tokens_used // 500 AS util_ppm
+        FROM agg
+        ORDER BY source"""))
   )
 }

@@ -3890,6 +3890,209 @@ object Relational {
         FROM dev d JOIN mad m ON d.c_mktsegment = m.ms2
         GROUP BY d.c_mktsegment
         ORDER BY d.c_mktsegment"""))
+  ) ++ Seq(
+
+    // -------------------------------------------------------------------
+    // Kaplan-Meier survival: time-to-first-BIG-purchase (value >= 100 —
+    // the ~15-25% tail, so censoring is real at every scale) per user in
+    // whole days from their first event, right-censored at their last
+    // event when no qualifying purchase ever happens — the retention-curve estimator
+    // that q33's fixed-horizon retention cannot express (censoring).
+    // S(t) = prod over event-days <= t of (1 - d/n_risk); the product
+    // is a SEQUENTIAL double fold over the day-ordered factors (the
+    // g01 recipe: Spark aggregate over sort_array, DuckDB list_reduce
+    // over list(... ORDER BY day) — identical IEEE sequence), with
+    // censor-only days contributing exactly 1.0 (IEEE identity). Risk
+    // sets are exact integer prefix sums. Scale: one groupBy user, one
+    // groupBy day; the day-level KM table is tiny by construction.
+    QueryDef("q104_kaplan_meier",
+      (s, d) => {
+        val DAY = 86400000000L
+        val peru = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"), col("value"))
+          .groupBy("user_id")
+          .agg(min(col("us")).as("t0"),
+            min(when(col("event_type") === "purchase" && col("value") >= 100, col("us"))).as("fp"),
+            max(col("us")).as("tmax"))
+          .select(col("user_id"),
+            when(col("fp").isNotNull, expr(s"(fp - t0) div $DAY"))
+              .otherwise(expr(s"(tmax - t0) div $DAY")).as("day"),
+            when(col("fp").isNotNull, 1L).otherwise(0L).as("event"))
+        val n = peru.agg(count(ONE).as("n_total"))
+        val byday = peru.groupBy("day")
+          .agg(sum(col("event")).as("d"), sum(lit(1L) - col("event")).as("c"))
+        val wPrev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byday.crossJoin(n)
+          .withColumn("n_risk", col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+          .withColumn("factor", expr(
+            "CASE WHEN d > 0 THEN 1 - CAST(d AS DOUBLE) / n_risk ELSE CAST(1 AS DOUBLE) END"))
+          .withColumn("fl", collect_list(struct(col("day"), col("factor"))).over(wCum))
+          .withColumn("survival", round(expr(
+            """aggregate(transform(sort_array(fl), x -> x.factor),
+               CAST(1 AS DOUBLE), (acc, x) -> acc * x)"""), 6))
+          .filter(col("d") > 0)
+          .select(col("day"), col("n_risk"), col("d").as("n_events"),
+            col("c").as("n_censored"), col("survival"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH peru AS (
+          SELECT user_id, min(epoch_us(ts)) AS t0,
+                 min(CASE WHEN event_type = 'purchase' AND value >= 100 THEN epoch_us(ts) END) AS fp,
+                 max(epoch_us(ts)) AS tmax
+          FROM events GROUP BY user_id),
+        tim AS (
+          SELECT user_id,
+                 CASE WHEN fp IS NOT NULL THEN (fp - t0) // 86400000000
+                      ELSE (tmax - t0) // 86400000000 END AS day,
+                 CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS event
+          FROM peru),
+        n AS (SELECT count(*) AS n_total FROM tim),
+        byday AS (
+          SELECT day, CAST(sum(event) AS BIGINT) AS d,
+                 CAST(sum(1 - event) AS BIGINT) AS c
+          FROM tim GROUP BY day),
+        risked AS (
+          SELECT day, d, c,
+                 n_total - coalesce(CAST(sum(d + c) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+          FROM byday CROSS JOIN n),
+        f AS (
+          SELECT day, d, c, n_risk,
+                 CASE WHEN d > 0 THEN 1 - CAST(d AS DOUBLE) / n_risk
+                      ELSE CAST(1 AS DOUBLE) END AS factor
+          FROM risked),
+        surv AS (
+          SELECT day, d, c, n_risk,
+                 round(list_reduce(list_prepend(CAST(1 AS DOUBLE),
+                   list(factor) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                   (acc, x) -> acc * x), 6) AS survival
+          FROM f)
+        SELECT day, n_risk, d AS n_events, c AS n_censored, survival
+        FROM surv WHERE d > 0
+        ORDER BY day""")),
+
+    // -------------------------------------------------------------------
+    // Theil-Sen robust slope per user: the lower median of all pairwise
+    // slopes (v_j - v_i)/(j - i) over the event-order series — the
+    // outlier-immune trend estimate next to q96's Mann-Kendall test
+    // (they pair in the literature: MK decides IF there is a trend,
+    // Theil-Sen says HOW steep). Slopes are micro-quantized with FLOOR
+    // division made engine-portable by a positivity shift: Spark `div`
+    // truncates toward zero but DuckDB `//` floors, so the quotient is
+    // computed on the shifted-positive numerator (v_j - v_i + S*dx with
+    // S > max|v|) and S*1e6 subtracted back — floor is translation-
+    // equivariant, so this IS floor division, identically in both
+    // engines. The pair sweep is per-user bounded (the q96 contract);
+    // the median is the explicit ranked position (the q103 contract).
+    QueryDef("q105_theil_sen",
+      (s, d) => {
+        val SHIFT = 1000000000L // > max v6 (~3.3e8), makes every numerator positive
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT)").as("v6"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))))
+        val a = ev.select(col("user_id"), col("pos").as("pi"), col("v6").as("xi"))
+        val b = ev.select(col("user_id").as("ub"), col("pos").as("pj"), col("v6").as("xj"))
+        val slopes = a.join(b, col("user_id") === col("ub") && col("pi") < col("pj"))
+          .select(col("user_id"),
+            (expr(s"(CAST(1000000 AS BIGINT) * (xj - xi + CAST($SHIFT AS BIGINT) * (pj - pi))) div (pj - pi)")
+              - lit(SHIFT * 1000000L)).as("slope6"))
+        val w = Window.partitionBy("user_id").orderBy(col("slope6"))
+        slopes
+          .withColumn("i", row_number().over(w))
+          .withColumn("np", count(ONE).over(Window.partitionBy("user_id")))
+          .filter(expr("i = (np + 1) div 2"))
+          .select(col("user_id"), col("np").as("n_pairs"),
+            col("slope6").as("med_slope6"),
+            round(col("slope6").cast("double") / lit(1e6), 6).as("slope"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS v6
+          FROM events),
+        seq AS (
+          SELECT user_id, v6,
+                 row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS pos
+          FROM ev),
+        slopes AS (
+          SELECT a.user_id,
+                 (1000000 * (b.v6 - a.v6 + 1000000000 * (b.pos - a.pos)))
+                   // (b.pos - a.pos) - 1000000000000000 AS slope6
+          FROM seq a JOIN seq b ON a.user_id = b.user_id AND a.pos < b.pos),
+        ranked AS (
+          SELECT user_id, slope6,
+                 row_number() OVER (PARTITION BY user_id ORDER BY slope6) AS i,
+                 count(*) OVER (PARTITION BY user_id) AS np
+          FROM slopes)
+        SELECT user_id, np AS n_pairs, slope6 AS med_slope6,
+               round(CAST(slope6 AS DOUBLE) / 1e6, 6) AS slope
+        FROM ranked WHERE i = (np + 1) // 2
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------------
+    // Winsorized and trimmed means per market segment: clamp (or drop)
+    // the k = n div 20 most extreme values on each side before
+    // averaging — the robust-mean pair to q103's MAD screen; the
+    // comparison of the three means (plain/winsorized/trimmed) is the
+    // standard tail-contamination diagnostic. Boundary values are the
+    // ranked positions k+1 and n-k (exact, engine-independent), sums
+    // are exact integer cents, and each mean is one final division.
+    QueryDef("q106_winsorized_mean",
+      (s, d) => {
+        val j = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"),  col("o_orderkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("o_orderkey"))
+        j.withColumn("i", row_number().over(w))
+          .withColumn("n", count(ONE).over(Window.partitionBy("c_mktsegment")))
+          .withColumn("k", expr("n div 20"))
+          .groupBy("c_mktsegment")
+          .agg(max(col("n")).as("n_orders"), max(col("k")).as("k"),
+            sum(col("cents")).as("sum_all"),
+            max(expr("CASE WHEN i = k + 1 THEN cents END")).as("lo_cents"),
+            max(expr("CASE WHEN i = n - k THEN cents END")).as("hi_cents"),
+            sum(expr("CASE WHEN i > k AND i <= n - k THEN cents ELSE 0 END")).as("sum_mid"),
+            sum(expr("CASE WHEN i > k AND i <= n - k THEN 1 ELSE 0 END")).as("n_mid"))
+          .select(col("c_mktsegment"), col("n_orders"), col("k"),
+            round(col("sum_all").cast("double") / col("n_orders"), 6).as("mean_cents"),
+            round((col("sum_mid") + col("k") * (col("lo_cents") + col("hi_cents")))
+              .cast("double") / col("n_orders"), 6).as("winsorized_cents"),
+            round(col("sum_mid").cast("double") / col("n_mid"), 6).as("trimmed_cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH j AS (
+          SELECT c_mktsegment, o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        ranked AS (
+          SELECT c_mktsegment, cents,
+                 row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents, o_orderkey) AS i,
+                 count(*) OVER (PARTITION BY c_mktsegment) AS n,
+                 count(*) OVER (PARTITION BY c_mktsegment) // 20 AS k
+          FROM j),
+        agg AS (
+          SELECT c_mktsegment, max(n) AS n_orders, max(k) AS k,
+                 CAST(sum(cents) AS BIGINT) AS sum_all,
+                 max(CASE WHEN i = k + 1 THEN cents END) AS lo_cents,
+                 max(CASE WHEN i = n - k THEN cents END) AS hi_cents,
+                 CAST(sum(CASE WHEN i > k AND i <= n - k THEN cents ELSE 0 END) AS BIGINT) AS sum_mid,
+                 CAST(sum(CASE WHEN i > k AND i <= n - k THEN 1 ELSE 0 END) AS BIGINT) AS n_mid
+          FROM ranked GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n_orders, k,
+               round(CAST(sum_all AS DOUBLE) / n_orders, 6) AS mean_cents,
+               round(CAST(sum_mid + k * (lo_cents + hi_cents) AS DOUBLE) / n_orders, 6) AS winsorized_cents,
+               round(CAST(sum_mid AS DOUBLE) / n_mid, 6) AS trimmed_cents
+        FROM agg
+        ORDER BY c_mktsegment"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
