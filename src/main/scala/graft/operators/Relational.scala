@@ -4092,7 +4092,85 @@ object Relational {
                round(CAST(sum_mid + k * (lo_cents + hi_cents) AS DOUBLE) / n_orders, 6) AS winsorized_cents,
                round(CAST(sum_mid AS DOUBLE) / n_mid, 6) AS trimmed_cents
         FROM agg
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+
+    // -------------------------------------------------------------------
+    // Offline changepoint detection per user (single change, binary-
+    // segmentation step — the retrospective partner of q94's online
+    // CUSUM): choose the split k that maximizes the two-segment fit
+    // f(k) = S1^2/k + S2^2/(n-k), i.e. the largest between-segment SSE
+    // reduction over the one-mean fit S^2/n. The rational f(k) is
+    // micro-floor-quantized over a common exact DECIMAL(38) numerator
+    // — (S1^2*(n-k) + S2^2*k) * 1e6 div (k*(n-k)) — so the argmax key
+    // is an exact integer and tie-break (earliest k) is engine-free.
+    // One prefix-sum window + one argmax window per user: linear work,
+    // no pair sweep, unlike the q96/q105 O(n^2) statistics.
+    QueryDef("q107_changepoint",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            // CENTS, not micro-units: the argmax key is f(k) in squared
+            // units x 1e6, and cents keep it under 2^63 for per-user
+            // series up to ~10^4 rows (micro-units overflow at n ~ 70)
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("v6"))
+        val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val pre = ev
+          .withColumn("k", row_number().over(wOrd))
+          .withColumn("s1", sum(col("v6").cast("decimal(38,0)"))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", count(ONE).over(Window.partitionBy("user_id")))
+          .withColumn("st", sum(col("v6").cast("decimal(38,0)"))
+            .over(Window.partitionBy("user_id")))
+          .filter(col("k") < col("n"))
+          .withColumn("q6", expr(
+            """(s1 * s1 * (CAST(n AS DECIMAL(38,0)) - k) + (st - s1) * (st - s1) * k) * 1000000
+               div (CAST(k AS DECIMAL(38,0)) * (n - k))"""))
+          .withColumn("base6", expr("st * st * 1000000 div CAST(n AS DECIMAL(38,0))"))
+        val wBest = Window.partitionBy("user_id").orderBy(col("q6").desc, col("k"))
+        pre.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+          .select(col("user_id"), col("n"), col("k").cast("bigint").as("k_star"),
+            (col("q6") - col("base6")).as("gain6"),
+            // means as exact round-half-up micro-units then ONE identical
+            // IEEE division — round(double, 6) diverged cross-engine on a
+            // .x0934375 midpoint at sf0.1 (the t02/s08 knife-edge class)
+            (expr("CAST((2 * s1 * 10000 + k) div (2 * CAST(k AS DECIMAL(38,0))) AS BIGINT)")
+              .cast("double") / lit(1e6)).as("mean_before"),
+            (expr("CAST((2 * (st - s1) * 10000 + (n - k)) div (2 * (CAST(n AS DECIMAL(38,0)) - k)) AS BIGINT)")
+              .cast("double") / lit(1e6)).as("mean_after"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v6
+          FROM events),
+        pre AS (
+          SELECT user_id,
+                 row_number() OVER w AS k,
+                 CAST(sum(CAST(v6 AS HUGEINT)) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS s1,
+                 count(*) OVER (PARTITION BY user_id) AS n,
+                 CAST(sum(CAST(v6 AS HUGEINT)) OVER (PARTITION BY user_id) AS HUGEINT) AS st
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        scoredcp AS (
+          SELECT user_id, k, n, s1, st,
+                 (s1 * s1 * (CAST(n AS HUGEINT) - k) + (st - s1) * (st - s1) * k) * 1000000
+                   // (CAST(k AS HUGEINT) * (n - k)) AS q6,
+                 st * st * 1000000 // CAST(n AS HUGEINT) AS base6
+          FROM pre WHERE k < n),
+        best AS (
+          SELECT user_id, n, k, q6, base6, s1, st,
+                 row_number() OVER (PARTITION BY user_id ORDER BY q6 DESC, k) AS rn
+          FROM scoredcp)
+        SELECT user_id, n, CAST(k AS BIGINT) AS k_star,
+               CAST(q6 - base6 AS BIGINT) AS gain6,
+               CAST(CAST((2 * s1 * 10000 + k) // (2 * CAST(k AS HUGEINT)) AS BIGINT) AS DOUBLE)
+                 / 1e6 AS mean_before,
+               CAST(CAST((2 * (st - s1) * 10000 + (n - k)) // (2 * (CAST(n AS HUGEINT) - k)) AS BIGINT) AS DOUBLE)
+                 / 1e6 AS mean_after
+        FROM best WHERE rn = 1
+        ORDER BY user_id"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

@@ -1338,5 +1338,133 @@ object Similarity {
                      / CAST(2 * p * (n - p) AS DOUBLE), 6) AS auc
         FROM agg
         ORDER BY label"""))
+  ) ++ Seq(
+
+    // -------------------------------------------------------------------
+    // IVF probe-recall curve: recall@5 vs the exact s01 baseline for
+    // nprobe = 1..4 over the same 10-centroid IVF index s02 queries at
+    // nprobe=2 — the tuning curve that justifies (or indicts) a probe
+    // budget before a 100 TB rollout, produced as DATA by one query.
+    // Recall must be nondecreasing in nprobe (probing more buckets only
+    // adds candidates) and hit 1.0 when all 10 buckets are probed; the
+    // spec asserts monotonicity, the oracle pins every point. Hit
+    // counts are exact integers; each curve point is one division.
+    QueryDef("s17_ivf_probe_curve",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val cd = e.select(col("label"), posexplode(col("v")))
+          .groupBy(col("label").as("cl"), col("pos"))
+          .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+        val cent = cd.groupBy("cl")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
+        val l2 = "round(vec_l2sq(%s, cv), 6)"
+        val assigned = e.crossJoin(cent)
+          .select(col("vec_id"), col("cl"), expr(l2.format("v")).as("d2"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cl"))).as("m"))
+          .select(col("vec_id"), col("m.cl").as("bucket"))
+        val q = e.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val wP = Window.partitionBy("qid").orderBy(col("qd2"), col("cl"))
+        val probe = q.crossJoin(cent)
+          .select(col("qid"), col("qv"), col("qn"), col("cl"), expr(l2.format("qv")).as("qd2"))
+          .withColumn("prn", row_number().over(wP)).filter(col("prn") <= 4)
+          .select("qid", "qv", "qn", "cl", "prn")
+        // exact top-5 baseline (the s01 ranking)
+        val wE = Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))
+        val exact = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid").as("eqid"), col("vec_id").as("neighbor"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+          .withColumn("erank", row_number().over(
+            Window.partitionBy("eqid").orderBy(col("cosine").desc, col("neighbor"))))
+          .filter(col("erank") <= TOPK)
+          .select(col("eqid"), col("neighbor"))
+        val ps = s.sql("SELECT explode(array(1, 2, 3, 4)) AS nprobe")
+        val cands = broadcast(ps).join(probe, col("prn") <= col("nprobe"))
+          .join(assigned, col("cl") === col("bucket"))
+          .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("nprobe"), col("qid"), col("vec_id").as("neighbor"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+        val wR = Window.partitionBy("nprobe", "qid").orderBy(col("cosine").desc, col("neighbor"))
+        val approx = cands.withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= TOPK)
+        val hits = approx.join(exact,
+            approx("qid") === exact("eqid") && approx("neighbor") === exact("neighbor"), "left_semi")
+          .groupBy("nprobe", "qid").agg(count(lit(1)).as("h"))
+        val perq = q.select(col("qid")).crossJoin(broadcast(ps))
+          .join(hits, Seq("nprobe", "qid"), "left")
+          .select(col("nprobe"), col("qid"), coalesce(col("h"), lit(0L)).as("h"))
+        perq.groupBy("nprobe")
+          .agg(count(lit(1)).as("n_queries"), sum(col("h")).as("hits"))
+          .select(col("nprobe"), col("n_queries"),
+            round(col("hits").cast("double") / (col("n_queries") * lit(TOPK.toDouble)), 6)
+              .as("mean_recall"))
+          .orderBy("nprobe")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        cd AS (
+          SELECT label AS cl, i AS pos,
+                 CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+          FROM v CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY label, i),
+        cent AS (SELECT cl, list(c ORDER BY pos) AS cv FROM cd GROUP BY cl),
+        asg AS (
+          SELECT vec_id, cl,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, (x, i) -> (x - cv[i]) * (x - cv[i]))), (acc, x) -> acc + x), 6) AS d2
+          FROM n CROSS JOIN cent),
+        assigned AS (
+          SELECT vec_id, cl AS bucket FROM (
+            SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+            FROM asg) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE $QFILTER),
+        probe AS (
+          SELECT qid, qv, qn, cl, prn FROM (
+            SELECT qid, qv, qn, cl,
+                   row_number() OVER (PARTITION BY qid ORDER BY
+                     round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(qv, (x, i) -> (x - cv[i]) * (x - cv[i]))), (acc, x) -> acc + x), 6), cl) AS prn
+            FROM q CROSS JOIN cent) WHERE prn <= 4),
+        exact AS (
+          SELECT eqid, neighbor FROM (
+            SELECT qid AS eqid, n.vec_id AS neighbor,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY round(${Ns.oDot("qv", "n.v")} / (qn * n.nrm), 6) DESC,
+                              n.vec_id) AS erank
+            FROM q JOIN n ON n.vec_id <> qid) WHERE erank <= $TOPK),
+        ps AS (SELECT unnest([1, 2, 3, 4]) AS nprobe),
+        cands AS (
+          SELECT ps.nprobe, probe.qid, n.vec_id AS neighbor,
+                 round(${Ns.oDot("probe.qv", "n.v")} / (probe.qn * n.nrm), 6) AS cosine
+          FROM ps JOIN probe ON probe.prn <= ps.nprobe
+          JOIN assigned ON probe.cl = assigned.bucket
+          JOIN n ON n.vec_id = assigned.vec_id
+          WHERE n.vec_id <> probe.qid),
+        approx AS (
+          SELECT nprobe, qid, neighbor FROM (
+            SELECT nprobe, qid, neighbor,
+                   row_number() OVER (PARTITION BY nprobe, qid
+                     ORDER BY cosine DESC, neighbor) AS rank
+            FROM cands) WHERE rank <= $TOPK),
+        hits AS (
+          SELECT a.nprobe, a.qid, count(*) AS h
+          FROM approx a JOIN exact e ON a.qid = e.eqid AND a.neighbor = e.neighbor
+          GROUP BY a.nprobe, a.qid),
+        perq AS (
+          SELECT ps.nprobe, q.qid, coalesce(h.h, 0) AS h
+          FROM q CROSS JOIN ps
+          LEFT JOIN hits h ON h.nprobe = ps.nprobe AND h.qid = q.qid)
+        SELECT nprobe, count(*) AS n_queries,
+               round(CAST(sum(h) AS DOUBLE) / (count(*) * CAST($TOPK AS DOUBLE)), 6) AS mean_recall
+        FROM perq
+        GROUP BY nprobe
+        ORDER BY nprobe"""))
   )
 }

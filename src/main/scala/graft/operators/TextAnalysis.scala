@@ -1278,6 +1278,47 @@ object TextAnalysis {
           FROM scored)
         SELECT doc_id, rank, phrase, n_words, score6
         FROM ranked WHERE rank <= 3
-        ORDER BY doc_id, rank"""))
+        ORDER BY doc_id, rank""")),
+
+    // -------------------------------------------------------------------
+    // Vocabulary coverage curve: what fraction of all corpus tokens the
+    // top-K most frequent types cover, for K in {1,2,4,8,16,32} — the
+    // diminishing-returns curve every tokenizer-budget decision reads
+    // (t18's BPE picks merges off the same curve's tail). Frequencies,
+    // ranks (count desc, token asc — total order), cumulative sums and
+    // the ppm ratio are all exact integers. Scale: the vocabulary table
+    // after the first groupBy is tiny; the curve join is broadcast.
+    QueryDef("t26_vocab_coverage",
+      (s, d) => {
+        val freq = Tables.documents(s, d)
+          .select(posexplode(split(col("text"), " ")))
+          .groupBy(col("col").as("token")).agg(count(lit(1)).as("f"))
+        val ranked = freq.withColumn("r",
+          row_number().over(Window.orderBy(col("f").desc, col("token"))))
+        val tot = freq.agg(sum(col("f")).as("total"))
+        val ks = s.sql("SELECT explode(array(1, 2, 4, 8, 16, 32)) AS k")
+        broadcast(ks).join(ranked, col("r") <= col("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_types"), sum(col("f")).as("cum_tokens"))
+          .crossJoin(tot)
+          .select(col("k"), col("n_types"), col("cum_tokens"),
+            expr("1000000 * cum_tokens div total").as("coverage_ppm"))
+          .orderBy("k")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        freq AS (SELECT token, count(*) AS f FROM toks GROUP BY token),
+        ranked AS (
+          SELECT token, f, row_number() OVER (ORDER BY f DESC, token) AS r
+          FROM freq),
+        tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM freq),
+        ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k)
+        SELECT k, count(*) AS n_types,
+               CAST(sum(f) AS BIGINT) AS cum_tokens,
+               1000000 * CAST(sum(f) AS BIGINT) // max(total) AS coverage_ppm
+        FROM ks JOIN ranked ON r <= k CROSS JOIN tot
+        GROUP BY k
+        ORDER BY k"""))
   )
 }
