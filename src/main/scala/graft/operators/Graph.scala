@@ -682,6 +682,89 @@ object Graph {
           FROM cand)
         SELECT rank, u AS vec_a, v AS vec_b, common_neighbors, ra6
         FROM ranked WHERE rank <= 20
-        ORDER BY rank"""))
+        ORDER BY rank""")),
+
+    // -----------------------------------------------------------------
+    // Degree assortativity of the kNN embedding graph (Newman 2002):
+    // the Pearson correlation of endpoint degrees over all directed
+    // edges — do well-connected vectors link to each other (r > 0,
+    // hub clustering) or to isolates (r < 0, the typical kNN shape)?
+    // Over directed edge ends the estimator is pure moment sums:
+    //   r = [M*Sxy - Sx*Sy] / sqrt(M*Sxx - Sx^2) / sqrt(M*Syy - Sy^2)
+    // with every S an exact BIGINT (degrees are small ints), so the
+    // only floats are two sqrts and one division of exact integers —
+    // identical IEEE both engines. One self-joinless pass: join each
+    // directed edge to the two degree rows (equi-joins on vertex id).
+    QueryDef("g10_assortativity",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val scoredAll = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nb"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+        val wK = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cosine").desc, col("nb"))
+        val knn = scoredAll.withColumn("rn", row_number().over(wK))
+          .filter(col("rn") <= 3).select(col("qid"), col("nb"))
+        val und = knn.select(least(col("qid"), col("nb")).as("a"),
+            greatest(col("qid"), col("nb")).as("b")).distinct()
+          .localCheckpoint() // feeds both edge directions and the degrees
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val ends = edges
+          .join(deg.select(col("src").as("s1"), col("deg").as("dx")), col("src") === col("s1"))
+          .join(deg.select(col("src").as("s2"), col("deg").as("dy")), col("dst") === col("s2"))
+          .select(col("dx"), col("dy"))
+        ends.agg(count(lit(1)).as("m"),
+            sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+            sum(col("dx") * col("dy")).as("sxy"),
+            sum(col("dx") * col("dx")).as("sxx"),
+            sum(col("dy") * col("dy")).as("syy"))
+          .select(col("m").as("n_edge_ends"),
+            round(expr(
+              """CAST(m * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(m * syy - sy * sy AS DOUBLE))"""), 6).as("assortativity"))
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n),
+        scored AS (
+          SELECT qid, vec_id AS nb,
+                 round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) AS cosine
+          FROM q JOIN n ON vec_id <> qid),
+        knn AS (
+          SELECT qid, nb FROM (
+            SELECT qid, nb,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nb) AS rn
+            FROM scored) WHERE rn <= 3),
+        und AS (
+          SELECT DISTINCT least(qid, nb) AS a, greatest(qid, nb) AS b FROM knn),
+        edges AS (
+          SELECT a AS src, b AS dst FROM und
+          UNION ALL
+          SELECT b AS src, a AS dst FROM und),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        ends AS (
+          SELECT g1.deg AS dx, g2.deg AS dy
+          FROM edges e JOIN deg g1 ON e.src = g1.src JOIN deg g2 ON e.dst = g2.src),
+        agg AS (
+          SELECT count(*) AS m,
+                 CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+                 CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                 CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                 CAST(sum(dy * dy) AS BIGINT) AS syy
+          FROM ends)
+        SELECT m AS n_edge_ends,
+               round(CAST(m * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                     / sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+        FROM agg"""))
   )
 }

@@ -104,101 +104,14 @@ object TextAnalysis {
     // token still contributes exactly its quantized decimal affinity,
     // scores — and the argmax — are bit-identical to the dense model.
     QueryDef("t01_lang_id",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val tok = docs.select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("token"))
-        // model build: ONE aggregation of the exploded stream (observed
-        // (lang, token) counts — never a materialized |langs| x |vocab|
-        // table), materialized once via localCheckpoint. Every model
-        // derivation below (per-lang totals, vocab size, affinities,
-        // smoothing mass) references this table, and Spark expands each
-        // DataFrame reference into its own subtree (exchange reuse does
-        // not collapse them here) — without the checkpoint the corpus
-        // explode ran SIX times per query. The checkpointed table is
-        // model-sized (observed pairs), not corpus-sized, so the
-        // materialization is as bounded as k-means' centroid state.
-        val ltc = tok.groupBy(col("lang").as("l"), col("token").as("t"))
-          .agg(count(lit(1)).as("c_tl"))
-          .localCheckpoint()
-        val lc = ltc.groupBy(col("l").as("l2")).agg(sum(col("c_tl")).as("c_l"))
-        val vsize = ltc.agg(countDistinct(col("t")).as("v_sz"))
-        // affinities quantized to MICRO-NATS AS BIGINT — the same 6-decimal
-        // quantization as CAST(round(ln(...), 6) AS DECIMAL(18,6)) (scores
-        // differ by the constant 1e6 factor, so the argmax is identical),
-        // but per-token sums run in codegen'd long arithmetic instead of
-        // the BigDecimal path (precision 28 sums leave Decimal's
-        // long-backed fast path). No overflow: |aff_u| < 4e7 and a doc has
-        // < 2^44 / 4e7 tokens by a wide margin.
-        val langmiss = lc.crossJoin(broadcast(vsize))
-          .select(col("l2").as("cand"),
-            expr("CAST(round(ln(1.0 / (c_l + v_sz)) * 1e6, 0) AS BIGINT)").as("miss"))
-        val aff = ltc.join(broadcast(lc), col("l") === col("l2"))
-          .crossJoin(broadcast(vsize))
-          .select(col("l"), col("t"),
-            expr("CAST(round(ln((c_tl + 1.0) / (c_l + v_sz)) * 1e6, 0) AS BIGINT)").as("aff"))
-        // per-doc token count comes NARROWLY from the text column (no
-        // doc-grain shuffle); the only doc-grain aggregation is the
-        // present-token score sum, whose join AQE broadcasts while the
-        // model is small and shuffles on token once it is not
-        val docstats = docs.select(col("doc_id").as("sdoc"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        // broadcast pinned: the checkpointed model is a stats-less
-        // LogicalRDD the planner would otherwise size-estimate as huge
-        // and sort-merge the whole corpus against. A lang-id affinity
-        // model is broadcast-sized by nature (observed pairs, quantized);
-        // at an extreme vocabulary drop the hint and shuffle on token.
-        val pres = tok.join(broadcast(aff), col("token") === col("t"))
-          .groupBy(col("doc_id").as("pdoc"), col("l").as("pcand"))
-          .agg(sum(col("aff")).as("psum"), count(lit(1)).as("npres"))
-        val scored = docstats.crossJoin(broadcast(langmiss))
-          .join(pres, col("sdoc") === col("pdoc") && col("cand") === col("pcand"), "left")
-          .select(col("sdoc").as("doc_id"), col("cand"),
-            expr("coalesce(psum, 0L) + (n_tok - coalesce(npres, 0L)) * miss").as("score"))
-        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .join(docs.select("doc_id", "lang"), "doc_id")
-          .select(col("doc_id"), col("lang").as("true_lang"),
-            col("cand").as("pred_lang"), (col("cand") === col("lang")).as("correct"))
-          .orderBy("doc_id")
-      },
-      Some("""
-        WITH tok AS (
-          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
-        ltc AS (SELECT lang AS l, token AS t, count(*) AS c_tl FROM tok GROUP BY 1, 2),
-        lc AS (SELECT lang AS l2, count(*) AS c_l FROM tok GROUP BY 1),
-        vsize AS (SELECT count(DISTINCT token) AS v_sz FROM tok),
-        langmiss AS (
-          SELECT l2 AS cand,
-                 CAST(round(ln(1.0 / (c_l + v_sz)) * 1e6, 0) AS BIGINT) AS miss
-          FROM lc CROSS JOIN vsize),
-        aff AS (
-          SELECT l, t,
-                 CAST(round(ln((c_tl + 1.0) / (c_l + v_sz)) * 1e6, 0) AS BIGINT) AS aff
-          FROM ltc JOIN lc ON l = l2 CROSS JOIN vsize),
-        docstats AS (
-          SELECT doc_id AS sdoc, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-          FROM documents),
-        pres AS (
-          SELECT doc_id AS pdoc, l AS pcand,
-                 sum(aff) AS psum, count(*) AS npres
-          FROM tok JOIN aff ON token = t
-          GROUP BY 1, 2),
-        scored AS (
-          SELECT sdoc AS doc_id, cand,
-                 coalesce(psum, 0)
-                 + (n_tok - coalesce(npres, 0)) * miss AS score
-          FROM docstats CROSS JOIN langmiss
-          LEFT JOIN pres ON sdoc = pdoc AND cand = pcand),
-        best AS (
-          SELECT doc_id, cand,
-                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
-          FROM scored)
-        SELECT d.doc_id, d.lang AS true_lang, b.cand AS pred_lang,
-               b.cand = d.lang AS correct
-        FROM best b JOIN documents d ON b.doc_id = d.doc_id
-        WHERE b.rn = 1
-        ORDER BY d.doc_id""")),
+      (s, d) => langIdPredict(s, d).orderBy("doc_id"),
+      Some(s"""
+        WITH $langIdOracleCtes
+        SELECT doc_id, true_lang, pred_lang, correct
+        FROM pred
+        ORDER BY doc_id""")),
+
+    
 
     // -------------------------------------------------------------------
     // Quality scoring: lexical diversity, stopword ratio, length
@@ -1319,6 +1232,142 @@ object TextAnalysis {
                1000000 * CAST(sum(f) AS BIGINT) // max(total) AS coverage_ppm
         FROM ks JOIN ranked ON r <= k CROSS JOIN tot
         GROUP BY k
-        ORDER BY k"""))
+        ORDER BY k""")),
+
+    // -------------------------------------------------------------------
+    // Language-ID confusion matrix + per-language recall/precision: the
+    // evaluation rollup of t01's classifier (shared model via
+    // langIdPredict — the prediction plan is literally the same
+    // subtree). Counts are exact; recall/precision are ppm integer
+    // quotients of them, so the whole eval is hash-pinned. The
+    // confusion matrix is |langs|^2-bounded output from one groupBy.
+    QueryDef("t27_langid_confusion",
+      (s, d) => {
+        val pred = langIdPredict(s, d)
+        val cm = pred.groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+        val rows = cm.groupBy(col("true_lang").as("tl")).agg(sum(col("n_docs")).as("row_n"))
+        val cols = cm.groupBy(col("pred_lang").as("pl")).agg(sum(col("n_docs")).as("col_n"))
+        cm.join(broadcast(rows), col("true_lang") === col("tl"))
+          .join(broadcast(cols), col("pred_lang") === col("pl"))
+          .select(col("true_lang"), col("pred_lang"), col("n_docs"),
+            expr("1000000 * n_docs div row_n").as("recall_ppm"),
+            expr("1000000 * n_docs div col_n").as("precision_ppm"))
+          .orderBy("true_lang", "pred_lang")
+      },
+      Some(s"""
+        WITH $langIdOracleCtes,
+        cm AS (
+          SELECT true_lang, pred_lang, count(*) AS n_docs
+          FROM pred GROUP BY true_lang, pred_lang),
+        rws AS (SELECT true_lang AS tl, CAST(sum(n_docs) AS BIGINT) AS row_n FROM cm GROUP BY 1),
+        cls AS (SELECT pred_lang AS pl, CAST(sum(n_docs) AS BIGINT) AS col_n FROM cm GROUP BY 1)
+        SELECT true_lang, pred_lang, n_docs,
+               1000000 * n_docs // row_n AS recall_ppm,
+               1000000 * n_docs // col_n AS precision_ppm
+        FROM cm JOIN rws ON true_lang = tl JOIN cls ON pred_lang = pl
+        ORDER BY true_lang, pred_lang"""))
   )
+
+  /** Shared lang-id model + per-doc prediction (the t01 pipeline minus
+    * the final sort): observed-pair affinities in micro-nats, analytic
+    * smoothing mass, argmax per doc. t27's confusion matrix reuses it.
+    */
+  private def langIdPredict(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+        // model build: ONE aggregation of the exploded stream (observed
+        // (lang, token) counts — never a materialized |langs| x |vocab|
+        // table), materialized once via localCheckpoint. Every model
+        // derivation below (per-lang totals, vocab size, affinities,
+        // smoothing mass) references this table, and Spark expands each
+        // DataFrame reference into its own subtree (exchange reuse does
+        // not collapse them here) — without the checkpoint the corpus
+        // explode ran SIX times per query. The checkpointed table is
+        // model-sized (observed pairs), not corpus-sized, so the
+        // materialization is as bounded as k-means' centroid state.
+        val ltc = tok.groupBy(col("lang").as("l"), col("token").as("t"))
+          .agg(count(lit(1)).as("c_tl"))
+          .localCheckpoint()
+        val lc = ltc.groupBy(col("l").as("l2")).agg(sum(col("c_tl")).as("c_l"))
+        val vsize = ltc.agg(countDistinct(col("t")).as("v_sz"))
+        // affinities quantized to MICRO-NATS AS BIGINT — the same 6-decimal
+        // quantization as CAST(round(ln(...), 6) AS DECIMAL(18,6)) (scores
+        // differ by the constant 1e6 factor, so the argmax is identical),
+        // but per-token sums run in codegen'd long arithmetic instead of
+        // the BigDecimal path (precision 28 sums leave Decimal's
+        // long-backed fast path). No overflow: |aff_u| < 4e7 and a doc has
+        // < 2^44 / 4e7 tokens by a wide margin.
+        val langmiss = lc.crossJoin(broadcast(vsize))
+          .select(col("l2").as("cand"),
+            expr("CAST(round(ln(1.0 / (c_l + v_sz)) * 1e6, 0) AS BIGINT)").as("miss"))
+        val aff = ltc.join(broadcast(lc), col("l") === col("l2"))
+          .crossJoin(broadcast(vsize))
+          .select(col("l"), col("t"),
+            expr("CAST(round(ln((c_tl + 1.0) / (c_l + v_sz)) * 1e6, 0) AS BIGINT)").as("aff"))
+        // per-doc token count comes NARROWLY from the text column (no
+        // doc-grain shuffle); the only doc-grain aggregation is the
+        // present-token score sum, whose join AQE broadcasts while the
+        // model is small and shuffles on token once it is not
+        val docstats = docs.select(col("doc_id").as("sdoc"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        // broadcast pinned: the checkpointed model is a stats-less
+        // LogicalRDD the planner would otherwise size-estimate as huge
+        // and sort-merge the whole corpus against. A lang-id affinity
+        // model is broadcast-sized by nature (observed pairs, quantized);
+        // at an extreme vocabulary drop the hint and shuffle on token.
+        val pres = tok.join(broadcast(aff), col("token") === col("t"))
+          .groupBy(col("doc_id").as("pdoc"), col("l").as("pcand"))
+          .agg(sum(col("aff")).as("psum"), count(lit(1)).as("npres"))
+        val scored = docstats.crossJoin(broadcast(langmiss))
+          .join(pres, col("sdoc") === col("pdoc") && col("cand") === col("pcand"), "left")
+          .select(col("sdoc").as("doc_id"), col("cand"),
+            expr("coalesce(psum, 0L) + (n_tok - coalesce(npres, 0L)) * miss").as("score"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"), col("lang").as("true_lang"),
+            col("cand").as("pred_lang"), (col("cand") === col("lang")).as("correct"))
+
+  }
+
+  /** DuckDB CTE chain for [[langIdPredict]], ending in
+    * `pred(doc_id, true_lang, pred_lang, correct)`.
+    */
+  private val langIdOracleCtes: String = """tok AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        ltc AS (SELECT lang AS l, token AS t, count(*) AS c_tl FROM tok GROUP BY 1, 2),
+        lc AS (SELECT lang AS l2, count(*) AS c_l FROM tok GROUP BY 1),
+        vsize AS (SELECT count(DISTINCT token) AS v_sz FROM tok),
+        langmiss AS (
+          SELECT l2 AS cand,
+                 CAST(round(ln(1.0 / (c_l + v_sz)) * 1e6, 0) AS BIGINT) AS miss
+          FROM lc CROSS JOIN vsize),
+        aff AS (
+          SELECT l, t,
+                 CAST(round(ln((c_tl + 1.0) / (c_l + v_sz)) * 1e6, 0) AS BIGINT) AS aff
+          FROM ltc JOIN lc ON l = l2 CROSS JOIN vsize),
+        docstats AS (
+          SELECT doc_id AS sdoc, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        pres AS (
+          SELECT doc_id AS pdoc, l AS pcand,
+                 sum(aff) AS psum, count(*) AS npres
+          FROM tok JOIN aff ON token = t
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT sdoc AS doc_id, cand,
+                 coalesce(psum, 0)
+                 + (n_tok - coalesce(npres, 0)) * miss AS score
+          FROM docstats CROSS JOIN langmiss
+          LEFT JOIN pres ON sdoc = pdoc AND cand = pcand),
+        best AS (
+          SELECT doc_id, cand,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+          FROM scored),
+        pred AS (
+          SELECT d.doc_id, d.lang AS true_lang, b.cand AS pred_lang,
+                 b.cand = d.lang AS correct
+          FROM best b JOIN documents d ON b.doc_id = d.doc_id
+          WHERE b.rn = 1)"""
 }
