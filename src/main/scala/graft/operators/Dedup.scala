@@ -690,6 +690,46 @@ object Dedup {
                round(CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
         FROM docchunks c JOIN spread s ON c.h = s.h
         GROUP BY c.doc_id
-        ORDER BY c.doc_id"""))
+        ORDER BY c.doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Near-dup threshold tuning curve: how the candidate-pair count and
+    // the affected-document rate fall as the est_jaccard cut rises —
+    // the knob-setting table a dedup rollout reads before committing to
+    // a threshold (d02 fixes 0.5; this shows what 0.75/0.9/1.0 would
+    // have removed instead). One pass over the LSH candidate pairs
+    // (never all-pairs), a broadcast thresholds dimension, exact ppm.
+    QueryDef("d11_dup_rate_curve",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val pairs = minhashPairs(s, d).localCheckpoint() // three curve points read it
+        val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val thr = s.sql("SELECT explode(array(0.5D, 0.75D, 0.9D, 1.0D)) AS thr")
+        val byThr = broadcast(thr).join(pairs, col("est_jaccard") >= col("thr"))
+        val perPair = byThr.groupBy("thr").agg(count(lit(1)).as("n_pairs"))
+        val docs = byThr.select(col("thr"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+          .distinct().groupBy(col("thr").as("t2")).agg(count(lit(1)).as("n_docs_dup"))
+        perPair.join(docs, col("thr") === col("t2")).crossJoin(nd)
+          .select(col("thr"), col("n_pairs"), col("n_docs_dup"),
+            expr("1000000 * n_docs_dup div n_docs").as("dup_ppm"))
+          .orderBy("thr")
+      },
+      Some(s"""
+        WITH $minhashPairsOracleCtes,
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        thr AS (SELECT unnest([0.5, 0.75, 0.9, 1.0]) AS thr),
+        bythr AS (
+          SELECT t.thr, p.doc_a, p.doc_b
+          FROM thr t JOIN mpairs p ON p.est_jaccard >= t.thr),
+        perpair AS (SELECT thr, count(*) AS n_pairs FROM bythr GROUP BY thr),
+        docs AS (
+          SELECT thr, count(*) AS n_docs_dup FROM (
+            SELECT DISTINCT thr, doc FROM (
+              SELECT thr, unnest([doc_a, doc_b]) AS doc FROM bythr))
+          GROUP BY thr)
+        SELECT p.thr, p.n_pairs, d.n_docs_dup,
+               1000000 * d.n_docs_dup // n.n_docs AS dup_ppm
+        FROM perpair p JOIN docs d ON p.thr = d.thr CROSS JOIN nd n
+        ORDER BY p.thr"""))
   )
 }

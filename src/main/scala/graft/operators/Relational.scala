@@ -4171,6 +4171,87 @@ object Relational {
                  / 1e6 AS mean_after
         FROM best WHERE rn = 1
         ORDER BY user_id"""))
+  ) ++ Seq(
+
+    // -------------------------------------------------------------------
+    // Holt-Winters additive seasonal smoothing per user (q97's Holt
+    // level+trend extended with an m=4 seasonal component over the
+    // event-order index): l' = a*(x - s_m) + (1-a)*(l + b),
+    // b' = g*(l' - l) + (1-g)*b, s' = d*(x - l') + (1-d)*s_m, with
+    // a = g = d = 1/2 so every step is exact dyadic IEEE arithmetic —
+    // zero rounding anywhere, outputs compare raw-double-equal. The
+    // state is a STRUCT WITH AN ARRAY FIELD (level, trend, 4 seasonal
+    // slots, index) threaded through one sequential fold per user:
+    // Spark `aggregate` over the sorted values; DuckDB's list_reduce
+    // cannot seed a struct init into a double list, so the oracle walks
+    // the identical recursion as a recursive CTE carrying a DOUBLE[]
+    // column (the q97 oracle shape, plus list state). Scale: one
+    // groupBy per user, state O(m), nothing quadratic.
+    QueryDef("q108_holt_winters",
+      (s, d) => {
+        val SIDX = "CAST(acc.i % 4 AS INT) + 1"
+        val LNEW = s"0.5 * (x - element_at(acc.s, $SIDX)) + 0.5 * (acc.l + acc.b)"
+        Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            col("value"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            expr("transform(sort_array(collect_list(struct(us, event_id, value))), e -> e.value)")
+              .as("vals"))
+          .filter(col("n_events") >= 2)
+          .withColumn("fin", expr(
+            s"""aggregate(slice(vals, 2, size(vals) - 1),
+                named_struct('l', element_at(vals, 1), 'b', CAST(0 AS DOUBLE),
+                  's', array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)),
+                  'i', 1),
+                (acc, x) -> named_struct(
+                  'l', $LNEW,
+                  'b', 0.5 * (($LNEW) - acc.l) + 0.5 * acc.b,
+                  's', transform(sequence(1, 4), j -> CASE WHEN j = $SIDX
+                         THEN 0.5 * (x - ($LNEW)) + 0.5 * element_at(acc.s, j)
+                         ELSE element_at(acc.s, j) END),
+                  'i', acc.i + 1))"""))
+          .select(col("user_id"), col("n_events"),
+            col("fin.l").as("level"), col("fin.b").as("trend"),
+            expr("element_at(fin.s, 1)").as("s1"),
+            expr("element_at(fin.s, 2)").as("s2"),
+            expr("element_at(fin.s, 3)").as("s3"),
+            expr("element_at(fin.s, 4)").as("s4"),
+            expr("fin.l + fin.b + element_at(fin.s, CAST(fin.i % 4 AS INT) + 1)").as("forecast_1"))
+          .orderBy("user_id")
+      },
+      Some {
+        val LNEW = "0.5 * (e.value - w.s[(w.pos % 4) + 1]) + 0.5 * (w.l + w.b)"
+        s"""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        seq AS (
+          SELECT user_id, value,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS INT) AS pos
+          FROM ev),
+        stats AS (SELECT user_id, count(*) AS n_events FROM seq GROUP BY user_id),
+        walk(user_id, pos, l, b, s) AS (
+          SELECT user_id, 1, value, CAST(0 AS DOUBLE),
+                 [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]
+          FROM seq WHERE pos = 1
+          UNION ALL
+          SELECT w.user_id, e.pos,
+                 $LNEW,
+                 0.5 * (($LNEW) - w.l) + 0.5 * w.b,
+                 list_transform([1, 2, 3, 4], j -> CASE WHEN j = (w.pos % 4) + 1
+                   THEN 0.5 * (e.value - ($LNEW)) + 0.5 * w.s[j]
+                   ELSE w.s[j] END)
+          FROM walk w JOIN seq e ON e.user_id = w.user_id AND e.pos = w.pos + 1),
+        fin AS (
+          SELECT w.user_id, t.n_events, w.l, w.b, w.s, w.pos
+          FROM walk w JOIN stats t ON w.user_id = t.user_id AND w.pos = t.n_events
+          WHERE t.n_events >= 2)
+        SELECT user_id, n_events, l AS level, b AS trend,
+               s[1] AS s1, s[2] AS s2, s[3] AS s3, s[4] AS s4,
+               l + b + s[(pos % 4) + 1] AS forecast_1
+        FROM fin
+        ORDER BY user_id"""
+      })
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
