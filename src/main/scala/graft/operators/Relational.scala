@@ -4251,7 +4251,63 @@ object Relational {
                l + b + s[(pos % 4) + 1] AS forecast_1
         FROM fin
         ORDER BY user_id"""
-      })
+      }),
+
+    // -------------------------------------------------------------------
+    // Rule-table data-quality engine: a declared rule set evaluated in
+    // ONE scan — each event computes all five violation flags, the
+    // flags unpivot into (rule, violated) rows, and the rollup reports
+    // checked/violation counts, exact ppm rates, and the first
+    // offending event id per rule (q68's DQ audit generalized from
+    // hard-coded checks to a rule-shaped result a quarantine pipeline
+    // consumes). Passing rules stay in the output with zero violations
+    // — absence-of-violations is itself the auditable fact. One narrow
+    // projection + explode + one partial agg; nothing joins.
+    QueryDef("q109_dq_rules",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("event_id"),
+            expr("""array(
+              named_struct('rule', 'r1_value_nonneg',  'bad', value < 0),
+              named_struct('rule', 'r2_value_cap_100', 'bad', value > 100),
+              named_struct('rule', 'r3_ts_in_2024',    'bad', year(ts) <> 2024),
+              named_struct('rule', 'r4_campaign_le_50',
+                'bad', CAST(get_json_object(props, '$.k') AS BIGINT) > 50),
+              named_struct('rule', 'r5_type_known',
+                'bad', NOT event_type IN ('view','click','purchase','signup','error'))
+            )""").as("checks"))
+          .select(col("event_id"), explode(col("checks")).as("c"))
+          .select(col("event_id"), col("c.rule").as("rule"), col("c.bad").as("bad"))
+          .groupBy("rule")
+          .agg(count(ONE).as("n_checked"),
+            sum(when(col("bad"), 1L).otherwise(0L)).as("n_violations"),
+            min(when(col("bad"), col("event_id"))).as("first_bad_event"))
+          .withColumn("violation_ppm", expr("1000000 * n_violations div n_checked"))
+          .select(col("rule"), col("n_checked"), col("n_violations"),
+            col("violation_ppm"), col("first_bad_event"))
+          .orderBy("rule")
+      },
+      Some("""
+        WITH checks AS (
+          SELECT event_id,
+                 unnest([
+                   struct_pack(rule := 'r1_value_nonneg',  bad := value < 0),
+                   struct_pack(rule := 'r2_value_cap_100', bad := value > 100),
+                   struct_pack(rule := 'r3_ts_in_2024',    bad := year(ts) <> 2024),
+                   struct_pack(rule := 'r4_campaign_le_50',
+                     bad := CAST(json_extract_string(props, '$.k') AS BIGINT) > 50),
+                   struct_pack(rule := 'r5_type_known',
+                     bad := NOT event_type IN ('view','click','purchase','signup','error'))
+                 ]) AS c
+          FROM events),
+        flat AS (SELECT event_id, c.rule AS rule, c.bad AS bad FROM checks)
+        SELECT rule, count(*) AS n_checked,
+               CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               1000000 * CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) // count(*) AS violation_ppm,
+               min(CASE WHEN bad THEN event_id END) AS first_bad_event
+        FROM flat
+        GROUP BY rule
+        ORDER BY rule"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
