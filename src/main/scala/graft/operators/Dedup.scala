@@ -730,6 +730,76 @@ object Dedup {
         SELECT p.thr, p.n_pairs, d.n_docs_dup,
                1000000 * d.n_docs_dup // n.n_docs AS dup_ppm
         FROM perpair p JOIN docs d ON p.thr = d.thr CROSS JOIN nd n
-        ORDER BY p.thr"""))
+        ORDER BY p.thr""")),
+
+    // -------------------------------------------------------------------
+    // LSH band-parameter tuning curve: the same 16 minhashes regrouped
+    // as (bands x rows) = (8x2), (4x4), (2x8) — candidate volume vs
+    // precision for each banding, the b/r tradeoff table (more, shorter
+    // bands = higher recall, lower precision) that justifies d02's 4x4
+    // before scaling out. The signatures are computed ONCE (the d02
+    // aggregation) and only re-sliced per config; candidate pairs stay
+    // equi-join-blocked per (config, band, key) — never all-pairs.
+    // "good" = signature agreement >= 0.5, the d02 admission bar.
+    QueryDef("d12_lsh_band_curve",
+      (s, d) => {
+        import org.apache.spark.sql.functions.broadcast
+        val sig = minhashBands(s, d).select(col("doc_id"), col("sigv")).distinct()
+          .localCheckpoint() // one signature pass feeds all three bandings
+        val cfg = s.sql("""SELECT c.b AS b, c.r AS r FROM (
+          SELECT explode(array(named_struct('b', 8, 'r', 2),
+                               named_struct('b', 4, 'r', 4),
+                               named_struct('b', 2, 'r', 8))) AS c)""")
+        val banded = sig.crossJoin(broadcast(cfg))
+          .select(col("doc_id"), col("sigv"), col("b"), col("r"),
+            explode(expr("sequence(0, b - 1)")).as("band"))
+          .withColumn("key", expr(
+            "md5(concat_ws(',', transform(slice(sigv, band * r + 1, r), x -> CAST(x AS STRING))))"))
+        val a = banded.select(col("b"), col("r"), col("band"), col("key"),
+          col("doc_id").as("doc_a"), col("sigv").as("sa"))
+        val bb = banded.select(col("b").as("b2"), col("r").as("r2"),
+          col("band").as("band2"), col("key").as("key2"),
+          col("doc_id").as("doc_b"), col("sigv").as("sb"))
+        val pairs = a.join(bb,
+            col("b") === col("b2") && col("r") === col("r2") &&
+              col("band") === col("band2") && col("key") === col("key2") &&
+              col("doc_a") < col("doc_b"))
+          .select(col("b"), col("r"), col("doc_a"), col("doc_b"),
+            expr(s"""CAST(aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+                     0, (acc, x) -> acc + x) AS DOUBLE) / $K""").as("est"))
+          .distinct()
+        pairs.groupBy("b", "r")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("est") >= 0.5, 1L).otherwise(0L)).as("n_good"))
+          .withColumn("precision_ppm", expr("1000000 * n_good div n_pairs"))
+          .select(col("b").as("n_bands"), col("r").as("rows_per_band"),
+            col("n_pairs"), col("n_good"), col("precision_ppm"))
+          .orderBy(col("n_bands").desc)
+      },
+      Some(s"""
+        WITH $minhashPairsOracleCtes,
+        sigl AS (SELECT doc_id, sigv FROM (SELECT DISTINCT doc_id, sigv FROM bands)),
+        cfg AS (SELECT c.b AS b, c.r AS r FROM (
+          SELECT unnest([struct_pack(b := 8, r := 2),
+                         struct_pack(b := 4, r := 4),
+                         struct_pack(b := 2, r := 8)]) AS c)),
+        banded AS (
+          SELECT doc_id, sigv, b, r, CAST(u.band AS INT) AS band,
+                 md5(array_to_string(sigv[CAST(u.band AS INT) * r + 1 : CAST(u.band AS INT) * r + r], ',')) AS key
+          FROM sigl CROSS JOIN cfg, unnest(generate_series(0, b - 1)) AS u(band)),
+        prs AS (
+          SELECT DISTINCT x.b, x.r, x.doc_a, x.doc_b, x.est FROM (
+            SELECT a.b, a.r, a.doc_id AS doc_a, bb.doc_id AS doc_b,
+                   CAST(list_sum(list_transform(a.sigv, (x, i) -> CASE WHEN x = bb.sigv[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $K AS est
+            FROM banded a JOIN banded bb
+              ON a.b = bb.b AND a.r = bb.r AND a.band = bb.band
+             AND a.key = bb.key AND a.doc_id < bb.doc_id) x)
+        SELECT b AS n_bands, r AS rows_per_band,
+               count(*) AS n_pairs,
+               CAST(sum(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+               1000000 * CAST(sum(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) // count(*) AS precision_ppm
+        FROM prs
+        GROUP BY b, r
+        ORDER BY b DESC"""))
   )
 }

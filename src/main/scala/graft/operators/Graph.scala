@@ -513,6 +513,30 @@ object Graph {
     sb.toString
   }
 
+  /** Undirected k=3 cosine-kNN edge set over `embeddings` (a < b),
+    * shared by g09 link prediction / g10 assortativity / g11 two-hop
+    * reach. kNN is not transitive, so unlike the minhash/simhash dup
+    * cliques this graph has real open wedges. localCheckpoint'd: every
+    * consumer reads it from several join arms.
+    */
+  private def knnUndirectedEdges(s: SparkSession, d: String): DataFrame = {
+    Ns.registerFast(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+      .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scoredAll = q.join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nb"),
+        round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("nb"))
+    val knn = scoredAll.withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= 3).select(col("qid"), col("nb"))
+    knn.select(least(col("qid"), col("nb")).as("a"),
+        greatest(col("qid"), col("nb")).as("b")).distinct()
+      .localCheckpoint()
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("g01_pagerank", (s, d) => pagerank(s, d), Some(oracle)),
     QueryDef("g07_ppr", (s, d) => ppr(s, d), Some(pprOracle)),
@@ -611,22 +635,7 @@ object Graph {
     // wedge shortlist only.
     QueryDef("g09_link_prediction",
       (s, d) => {
-        Ns.registerFast(s)
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
-          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
-        val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-        val scoredAll = q.join(e, col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nb"),
-            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
-        val wK = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("cosine").desc, col("nb"))
-        val knn = scoredAll.withColumn("rn", row_number().over(wK))
-          .filter(col("rn") <= 3).select(col("qid"), col("nb"))
-        // symmetrize + dedupe into an undirected edge set (doc_a < doc_b)
-        val und = knn.select(least(col("qid"), col("nb")).as("a"),
-            greatest(col("qid"), col("nb")).as("b")).distinct()
-          .localCheckpoint() // feeds edges, deg, wedges and the anti-join
+        val und = knnUndirectedEdges(s, d)
         val edges = und.select(col("a").as("src"), col("b").as("dst"))
           .union(und.select(col("b").as("src"), col("a").as("dst")))
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -697,21 +706,7 @@ object Graph {
     // directed edge to the two degree rows (equi-joins on vertex id).
     QueryDef("g10_assortativity",
       (s, d) => {
-        Ns.registerFast(s)
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
-          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
-        val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-        val scoredAll = q.join(e, col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nb"),
-            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
-        val wK = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("cosine").desc, col("nb"))
-        val knn = scoredAll.withColumn("rn", row_number().over(wK))
-          .filter(col("rn") <= 3).select(col("qid"), col("nb"))
-        val und = knn.select(least(col("qid"), col("nb")).as("a"),
-            greatest(col("qid"), col("nb")).as("b")).distinct()
-          .localCheckpoint() // feeds both edge directions and the degrees
+        val und = knnUndirectedEdges(s, d)
         val edges = und.select(col("a").as("src"), col("b").as("dst"))
           .union(und.select(col("b").as("src"), col("a").as("dst")))
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -765,6 +760,66 @@ object Graph {
                round(CAST(m * sxy - sx * sy AS DOUBLE)
                      / sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
                      / sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 6) AS assortativity
-        FROM agg"""))
+        FROM agg""")),
+
+    // -----------------------------------------------------------------
+    // Two-hop reach over the kNN graph: per vector, the degree and the
+    // count of DISTINCT nodes exactly two hops away (reachable through
+    // a neighbor, not a neighbor itself, not self) — the "candidates a
+    // graph-expanded ANN probe would add" measure, and the local view
+    // of how fast the graph expands (small two-hop sets = clustered
+    // neighborhoods, cf. g08's clustering coefficient). One self-join
+    // on the shared middle vertex, distinct, one anti-join semantics
+    // via a left-anti on the direct-edge set.
+    QueryDef("g11_two_hop_reach",
+      (s, d) => {
+        val und = knnUndirectedEdges(s, d)
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val hop2 = edges.select(col("src").as("u"), col("dst").as("w"))
+          .join(edges.select(col("src").as("w2"), col("dst").as("x")), col("w") === col("w2"))
+          .filter(col("u") =!= col("x"))
+          .select(col("u"), col("x")).distinct()
+          .join(edges.select(col("src").as("u"), col("dst").as("x")), Seq("u", "x"), "left_anti")
+          .groupBy("u").agg(count(lit(1)).as("n_two_hop"))
+        deg.join(hop2, col("src") === col("u"), "left")
+          .select(col("src").as("vec_id"), col("deg"),
+            coalesce(col("n_two_hop"), lit(0L)).as("n_two_hop"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, (x, i) -> x * v[i])), (acc, x) -> acc + x)) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n),
+        scored AS (
+          SELECT qid, vec_id AS nb,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(qv, (x, i) -> x * v[i])), (acc, x) -> acc + x) / (qn * nrm), 6) AS cosine
+          FROM q JOIN n ON vec_id <> qid),
+        knn AS (
+          SELECT qid, nb FROM (
+            SELECT qid, nb,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nb) AS rn
+            FROM scored) WHERE rn <= 3),
+        und AS (
+          SELECT DISTINCT least(qid, nb) AS a, greatest(qid, nb) AS b FROM knn),
+        edges AS (
+          SELECT a AS src, b AS dst FROM und
+          UNION ALL
+          SELECT b AS src, a AS dst FROM und),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        hop2 AS (
+          SELECT u, count(*) AS n_two_hop FROM (
+            SELECT DISTINCT e1.src AS u, e2.dst AS x
+            FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+            WHERE e1.src <> e2.dst
+              AND NOT EXISTS (SELECT 1 FROM edges d2
+                              WHERE d2.src = e1.src AND d2.dst = e2.dst))
+          GROUP BY u)
+        SELECT g.src AS vec_id, g.deg,
+               coalesce(h.n_two_hop, 0) AS n_two_hop
+        FROM deg g LEFT JOIN hop2 h ON g.src = h.u
+        ORDER BY vec_id"""))
   )
 }

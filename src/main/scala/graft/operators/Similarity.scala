@@ -1465,6 +1465,67 @@ object Similarity {
                round(CAST(sum(h) AS DOUBLE) / (count(*) * CAST($TOPK AS DOUBLE)), 6) AS mean_recall
         FROM perq
         GROUP BY nprobe
-        ORDER BY nprobe"""))
+        ORDER BY nprobe""")),
+
+    // -------------------------------------------------------------------
+    // Quantization bit-depth error curve: the s03 symmetric per-vector
+    // quantizer swept over 8/4/1-bit levels (L = 127, 7, 1), reporting
+    // corpus-mean reconstruction error per depth — the storage-vs-
+    // fidelity table behind an embedding-compression decision (s11's
+    // sign-bit ANN lives at the 1-bit point). Per-vector errors are
+    // element-wise ops + a sequential fold, micro-quantized to BIGINT
+    // (the t01 recipe) so the corpus sum is exact-integer and
+    // partitioning-invariant; the mean is one round-half-up integer
+    // division (the q107 recipe).
+    QueryDef("s18_quant_error_curve",
+      (s, d) => {
+        Ns.registerFast(s)
+        val lv = s.sql("SELECT explode(array(named_struct('bits', 8, 'lv', 127.0D), named_struct('bits', 4, 'lv', 7.0D), named_struct('bits', 1, 'lv', 1.0D))) AS c")
+          .select(col("c.bits").as("bits"), col("c.lv").as("lv"))
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("maxabs", expr(
+            "aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+          .crossJoin(broadcast(lv))
+          .withColumn("err", expr(
+            """aggregate(transform(v, x ->
+                 (x - CAST(round(x * lv / maxabs) AS DOUBLE) * maxabs / lv)
+                 * (x - CAST(round(x * lv / maxabs) AS DOUBLE) * maxabs / lv)),
+               CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
+          .withColumn("e6", expr("CAST(round(err * 1e6, 0) AS BIGINT)"))
+          .groupBy("bits")
+          .agg(count(lit(1)).as("n_vectors"), sum(col("e6")).as("total_err6"))
+          .select(col("bits"), col("n_vectors"), col("total_err6"),
+            (expr("CAST((2 * total_err6 + n_vectors) div (2 * n_vectors) AS BIGINT)")
+              .cast("double") / lit(1e6)).as("mean_err"))
+          .orderBy(col("bits").desc)
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        mx AS (
+          SELECT vec_id, v,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x -> abs(x))), (acc, x) -> greatest(acc, x)) AS maxabs
+          FROM v),
+        lv AS (SELECT c.bits AS bits, c.lv AS lv FROM (
+          SELECT unnest([struct_pack(bits := 8, lv := CAST(127 AS DOUBLE)),
+                         struct_pack(bits := 4, lv := CAST(7 AS DOUBLE)),
+                         struct_pack(bits := 1, lv := CAST(1 AS DOUBLE))]) AS c)),
+        errs AS (
+          SELECT bits, vec_id,
+                 CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, x ->
+                     (x - CAST(round(x * lv / maxabs) AS DOUBLE) * maxabs / lv)
+                     * (x - CAST(round(x * lv / maxabs) AS DOUBLE) * maxabs / lv))),
+                   (acc, x) -> acc + x) * 1e6, 0) AS BIGINT) AS e6
+          FROM mx CROSS JOIN lv)
+        SELECT bits, count(*) AS n_vectors,
+               CAST(sum(e6) AS BIGINT) AS total_err6,
+               CAST(CAST((2 * CAST(sum(e6) AS BIGINT) + count(*)) // (2 * count(*)) AS BIGINT) AS DOUBLE)
+                 / 1e6 AS mean_err
+        FROM errs
+        GROUP BY bits
+        ORDER BY bits DESC"""))
   )
 }
