@@ -4307,7 +4307,157 @@ object Relational {
                min(CASE WHEN bad THEN event_id END) AS first_bad_event
         FROM flat
         GROUP BY rule
-        ORDER BY rule"""))
+        ORDER BY rule""")),
+
+    // -------------------------------------------------------------------
+    // Poisson bootstrap confidence intervals for the per-segment mean
+    // order value — the bootstrap that actually scales: instead of
+    // drawing n-with-replacement resamples (a global operation), each
+    // row independently receives a Poisson(1) multiplicity per replica
+    // (Chamandy et al. 2012), so 16 replicas are one narrow projection
+    // + one partial agg. Multiplicities are md5-derived: the 52-bit
+    // uniform hash (exact in a double, the q84 contract) is pushed
+    // through the Poisson(1) CDF as EXACT INTEGER thresholds
+    // (floor(CDF(k) * 2^52) literals — no float comparison), so every
+    // replica is deterministic cross-engine. Replica means are
+    // round-half-up micro-cents (the q107 recipe); the CI is the
+    // 2nd/15th ranked replica mean (~90%). The spec checks conservation
+    // and that the interval brackets the point estimate.
+    QueryDef("q110_poisson_bootstrap",
+      (s, d) => {
+        val reps = s.sql("SELECT explode(sequence(0, 15)) AS rep")
+        val base = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+        val weighted = base.crossJoin(broadcast(reps))
+          .withColumn("h", expr(
+            "CAST(conv(substr(md5(concat('boot:', CAST(rep AS STRING), ':', CAST(o_orderkey AS STRING))), 1, 13), 16, 10) AS BIGINT)"))
+          .withColumn("w", expr("CASE WHEN h < 1656781714176974 THEN 0 WHEN h < 3313563428353948 THEN 1 WHEN h < 4141954285442435 THEN 2 WHEN h < 4418084571138597 THEN 3 WHEN h < 4487117142562638 THEN 4 WHEN h < 4500923656847446 THEN 5 ELSE 6 END"))
+        val repMeans = weighted.groupBy("c_mktsegment", "rep")
+          .agg(sum(col("w") * col("cents")).as("wsum"), sum(col("w")).as("wn"))
+          .filter(col("wn") > 0)
+          .withColumn("mean6", expr(
+            "CAST((2 * wsum * 10000 + wn) div (2 * wn) AS BIGINT)"))
+        val wRank = Window.partitionBy("c_mktsegment").orderBy(col("mean6"), col("rep"))
+        val ci = repMeans.withColumn("rk", row_number().over(wRank))
+          .groupBy("c_mktsegment")
+          .agg(count(ONE).as("n_reps"),
+            max(when(col("rk") === 2, col("mean6"))).as("lo6"),
+            max(when(col("rk") === 15, col("mean6"))).as("hi6"))
+        val point = base.groupBy("c_mktsegment")
+          .agg(count(ONE).as("n_orders"),
+            expr("CAST((2 * sum(cents) * 10000 + count(1)) div (2 * count(1)) AS BIGINT)").as("point6"))
+        point.join(ci, "c_mktsegment")
+          .select(col("c_mktsegment"), col("n_orders"), col("n_reps"),
+            (col("point6").cast("double") / lit(1e6)).as("mean_cents"),
+            (col("lo6").cast("double") / lit(1e6)).as("ci_lo_cents"),
+            (col("hi6").cast("double") / lit(1e6)).as("ci_hi_cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_mktsegment, o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        reps AS (SELECT unnest(generate_series(0, 15)) AS rep),
+        weighted AS (
+          SELECT c_mktsegment, o_orderkey, cents, rep,
+                 CASE WHEN CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) < 1656781714176974 THEN 0 WHEN CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) < 3313563428353948 THEN 1 WHEN CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) < 4141954285442435 THEN 2 WHEN CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) < 4418084571138597 THEN 3 WHEN CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) < 4487117142562638 THEN 4 WHEN CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) < 4500923656847446 THEN 5 ELSE 6 END AS w
+          FROM base CROSS JOIN reps),
+        repmeans AS (
+          SELECT c_mktsegment, rep,
+                 CAST((2 * sum(w * cents) * 10000 + sum(w)) // (2 * sum(w)) AS BIGINT) AS mean6
+          FROM weighted GROUP BY c_mktsegment, rep
+          HAVING sum(w) > 0),
+        ranked AS (
+          SELECT c_mktsegment, rep, mean6,
+                 row_number() OVER (PARTITION BY c_mktsegment ORDER BY mean6, rep) AS rk
+          FROM repmeans),
+        ci AS (
+          SELECT c_mktsegment, count(*) AS n_reps,
+                 max(CASE WHEN rk = 2 THEN mean6 END) AS lo6,
+                 max(CASE WHEN rk = 15 THEN mean6 END) AS hi6
+          FROM ranked GROUP BY c_mktsegment),
+        pt AS (
+          SELECT c_mktsegment, count(*) AS n_orders,
+                 CAST((2 * sum(cents) * 10000 + count(*)) // (2 * count(*)) AS BIGINT) AS point6
+          FROM base GROUP BY c_mktsegment)
+        SELECT p.c_mktsegment, p.n_orders, c.n_reps,
+               CAST(p.point6 AS DOUBLE) / 1e6 AS mean_cents,
+               CAST(c.lo6 AS DOUBLE) / 1e6 AS ci_lo_cents,
+               CAST(c.hi6 AS DOUBLE) / 1e6 AS ci_hi_cents
+        FROM pt p JOIN ci c USING (c_mktsegment)
+        ORDER BY p.c_mktsegment""")),
+
+    // -------------------------------------------------------------------
+    // Neyman sampling allocation: split a 1000-row sample budget across
+    // market segments proportionally to N_h * S_h (stratum size times
+    // standard deviation — the variance-minimizing allocation for
+    // stratified estimation). S_h comes from exact integer moment sums
+    // (one sqrt — the identical IEEE expression both engines); the
+    // weights are micro-quantized (t01 recipe) and the integer budget
+    // is split by largest-remainder (the q89 cent-conservation recipe),
+    // so allocations are exact integers that provably sum to 1000.
+    QueryDef("q111_neyman_allocation",
+      (s, d) => {
+        val BUDGET = 1000L
+        val stats = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+          .groupBy("c_mktsegment")
+          .agg(count(ONE).as("nh"),
+            sum(col("cents").cast("decimal(38,0)")).as("sx"),
+            sum((col("cents").cast("decimal(38,0)") * col("cents")).cast("decimal(38,0)")).as("sx2"))
+          .withColumn("sd", expr(
+            "sqrt(CAST(nh * sx2 - sx * sx AS DOUBLE)) / nh"))
+          .withColumn("w6", expr("CAST(round(nh * sd * 1e6, 0) AS BIGINT)"))
+        val tot = stats.agg(sum(col("w6")).as("wtot"))
+        val based = stats.crossJoin(tot)
+          .withColumn("base", expr(s"(CAST($BUDGET AS DECIMAL(38,0)) * w6) div wtot"))
+          .withColumn("rem", expr(s"CAST((CAST($BUDGET AS DECIMAL(38,0)) * w6) % wtot AS BIGINT)"))
+        val wR = Window.orderBy(col("rem").desc, col("c_mktsegment"))
+        based
+          .withColumn("leftover", lit(BUDGET) - sum(col("base")).over(Window.partitionBy()))
+          .withColumn("rk", row_number().over(wR))
+          .withColumn("n_alloc",
+            (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).cast("long"))
+          .select(col("c_mktsegment"), col("nh").as("n_orders"),
+            round(col("sd"), 6).as("sd_cents"), col("n_alloc"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH j AS (
+          SELECT c_mktsegment,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        stats AS (
+          SELECT c_mktsegment, count(*) AS nh,
+                 CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sx2
+          FROM j GROUP BY c_mktsegment),
+        wtd AS (
+          SELECT c_mktsegment, nh,
+                 sqrt(CAST(nh * sx2 - sx * sx AS DOUBLE)) / nh AS sd,
+                 CAST(round(nh * (sqrt(CAST(nh * sx2 - sx * sx AS DOUBLE)) / nh) * 1e6, 0) AS BIGINT) AS w6
+          FROM stats),
+        tot AS (SELECT CAST(sum(w6) AS BIGINT) AS wtot FROM wtd),
+        based AS (
+          SELECT c_mktsegment, nh, sd, w6,
+                 CAST((1000 * CAST(w6 AS HUGEINT)) // wtot AS BIGINT) AS base,
+                 CAST((1000 * CAST(w6 AS HUGEINT)) % wtot AS BIGINT) AS rem
+          FROM wtd CROSS JOIN tot),
+        fin AS (
+          SELECT c_mktsegment, nh, sd, base, rem,
+                 1000 - sum(base) OVER () AS leftover,
+                 row_number() OVER (ORDER BY rem DESC, c_mktsegment) AS rk
+          FROM based)
+        SELECT c_mktsegment, nh AS n_orders,
+               round(sd, 6) AS sd_cents,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+        FROM fin
+        ORDER BY c_mktsegment"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

@@ -1265,7 +1265,48 @@ object TextAnalysis {
                1000000 * n_docs // row_n AS recall_ppm,
                1000000 * n_docs // col_n AS precision_ppm
         FROM cm JOIN rws ON true_lang = tl JOIN cls ON pred_lang = pl
-        ORDER BY true_lang, pred_lang"""))
+        ORDER BY true_lang, pred_lang""")),
+
+    // -------------------------------------------------------------------
+    // N-gram novelty curve: per document (in doc_id ingestion order),
+    // what fraction of its distinct 3-gram shingles has never appeared
+    // in any earlier document — the diminishing-novelty signal a
+    // crawl/curation loop watches to decide when more data from a
+    // source stops adding information (the corpus-level view of d10's
+    // chunk sharing). First-seer is min(doc_id) per shingle (one
+    // groupBy on the shingle — the d04 shuffle key); ratios exact ppm.
+    QueryDef("t28_ngram_novelty",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(expr(
+              "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+        val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+        sh.join(first, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_ppm", expr("1000000 * n_novel div n_shingles"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t0 AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS sh
+          FROM t0 WHERE len(toks) >= 3),
+        first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+        SELECT s.doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               1000000 * CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                 // count(*) AS novelty_ppm
+        FROM sh s JOIN first f USING (sh)
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id"""))
   )
 
   /** Shared lang-id model + per-doc prediction (the t01 pipeline minus
