@@ -301,6 +301,76 @@ object Clustering {
         FROM p
         LEFT JOIN comp ON p.vec_id = comp.vec_id
         LEFT JOIN border ON p.vec_id = border.vec_id
-        ORDER BY p.vec_id"""))
+        ORDER BY p.vec_id""")),
+
+    // -------------------------------------------------------------------
+    // Silhouette score of the label partition over `embeddings` —
+    // THE clustering-quality metric (Rousseeuw 1987): per vector,
+    // a = mean distance to its own cluster, b = the smallest mean
+    // distance to any other cluster, s = (b - a)/max(a, b). Distances
+    // are round-6 L2 (the s01 float contract) micro-quantized to
+    // BIGINT, per-(vector, cluster) means are round-half-up integer
+    // divisions, and s lands as an exact ppm integer — no float ever
+    // crosses an aggregation. Per-cluster mean silhouette is the
+    // rollup a model-selection loop compares across k. Scale: the
+    // pair sweep is the all-pairs oracle baseline over the FIXED
+    // 500-vector table (the d05 contract); at corpus scale the same
+    // query runs over s02's bucketed candidates instead.
+    QueryDef("c04_silhouette",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
+        val a = e.select(col("vec_id"), col("label"), col("v"))
+        val b = e.select(col("vec_id").as("ob"), col("label").as("cl"), col("v").as("vb"))
+        val pair = a.join(b, col("vec_id") =!= col("ob"))
+          .select(col("vec_id"), col("label"), col("cl"),
+            expr("CAST(round(sqrt(vec_l2sq(v, vb)) * 1e6, 0) AS BIGINT)").as("d6"))
+        val perCluster = pair.groupBy("vec_id", "label", "cl")
+          .agg(expr("CAST((2 * sum(d6) + count(1)) div (2 * count(1)) AS BIGINT)").as("mean6"))
+        val ab = perCluster.groupBy("vec_id", "label")
+          .agg(max(when(col("cl") === col("label"), col("mean6"))).as("a6"),
+            min(when(col("cl") =!= col("label"), col("mean6"))).as("b6"))
+          // positivity shift: b6 - a6 can be negative and Spark `div`
+          // truncates where DuckDB `//` floors — shift by +g (|b6-a6| <= g)
+          // so the quotient is computed on a nonnegative numerator (the
+          // q105 translation-equivariance trick)
+          .withColumn("s_ppm", expr(
+            "(1000000 * (b6 - a6 + greatest(a6, b6))) div greatest(a6, b6) - 1000000"))
+        ab.groupBy("label")
+          .agg(count(lit(1)).as("n_vectors"),
+            expr("CAST((sum(s_ppm) + 1000000 * count(1)) div count(1) - 1000000 AS BIGINT)")
+              .as("mean_silhouette_ppm"),
+            sum(when(col("s_ppm") < 0, 1L).otherwise(0L)).as("n_misfit"))
+          .orderBy("label")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        pair AS (
+          SELECT a.vec_id, a.label, b.label AS cl,
+                 CAST(round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(a.v, (x, i) -> (x - b.v[i]) * (x - b.v[i]))),
+                   (acc, x) -> acc + x)) * 1e6, 0) AS BIGINT) AS d6
+          FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        percluster AS (
+          SELECT vec_id, label, cl,
+                 CAST((2 * sum(d6) + count(*)) // (2 * count(*)) AS BIGINT) AS mean6
+          FROM pair GROUP BY vec_id, label, cl),
+        ab AS (
+          SELECT vec_id, label,
+                 max(CASE WHEN cl = label THEN mean6 END) AS a6,
+                 min(CASE WHEN cl <> label THEN mean6 END) AS b6
+          FROM percluster GROUP BY vec_id, label),
+        sil AS (
+          SELECT vec_id, label,
+                 (1000000 * (b6 - a6 + greatest(a6, b6))) // greatest(a6, b6) - 1000000 AS s_ppm
+          FROM ab)
+        SELECT label, count(*) AS n_vectors,
+               CAST((sum(s_ppm) + 1000000 * count(*)) // count(*) - 1000000 AS BIGINT) AS mean_silhouette_ppm,
+               CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
+        FROM sil
+        GROUP BY label
+        ORDER BY label"""))
   )
 }
