@@ -44,7 +44,17 @@ object DumpPlans {
       "q95_gini", "s14_knn_label_audit", "p14_bin_packing", "st17_stream_cusum",
       "q96_mann_kendall", "t24_ks_distance", "s15_ndcg_eval",
       "g07_ppr", "q97_holt_smoothing", "q98_burstiness", "m09_avg_pool",
-      "q99_benford", "g08_clustering_coef")
+      "q99_benford", "g08_clustering_coef",
+      "q100_drawdown", "q101_acf", "q102_chi_square", "q103_mad_outliers",
+      "s16_auc_eval", "g09_link_prediction", "t25_rake_keywords",
+      "st18_sequence_detect", "q104_kaplan_meier", "q105_theil_sen",
+      "q106_winsorized_mean", "p15_token_budget", "q107_changepoint",
+      "t26_vocab_coverage", "s17_ivf_probe_curve", "t27_langid_confusion",
+      "g10_assortativity", "q108_holt_winters", "d11_dup_rate_curve",
+      "q109_dq_rules", "p16_dedup_aware_mixture", "m10_sobel_energy",
+      "d12_lsh_band_curve", "s18_quant_error_curve", "g11_two_hop_reach",
+      "q110_poisson_bootstrap", "q111_neyman_allocation", "t28_ngram_novelty",
+      "c04_silhouette")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

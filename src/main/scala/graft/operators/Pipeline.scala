@@ -220,7 +220,7 @@ object Pipeline {
     QueryDef("p06_incremental_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .select(col("doc_id"), sha2(substring(col("text"), 1, 64), 256).as("h"))
+          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
         val existing = docs.filter(col("doc_id") < 400)
           .groupBy("h").agg(min(col("doc_id")).as("existing_id"))
         val batch = docs.filter(col("doc_id") >= 400)
@@ -237,7 +237,7 @@ object Pipeline {
           .orderBy("doc_id")
       },
       Some("""
-        WITH h AS (SELECT doc_id, sha256(substr(text, 1, 64)) AS h FROM documents),
+        WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
         existing AS (
           SELECT h, min(doc_id) AS existing_id FROM h WHERE doc_id < 400 GROUP BY h),
         batch AS (
