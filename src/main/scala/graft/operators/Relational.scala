@@ -4457,7 +4457,149 @@ object Relational {
                round(sd, 6) AS sd_cents,
                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
         FROM fin
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+
+    // -------------------------------------------------------------------
+    // Wald-Wolfowitz runs test per user: is the above/below-median
+    // sequence of event values random, or does it streak? (The
+    // randomness audit that catches both autocorrelated drifts AND
+    // value alternation — complements q96's monotone-trend test.)
+    // Values equal to the per-user lower median are dropped (the
+    // textbook treatment); n1/n2/R are exact integers from one ordered
+    // window pass, and z = (R - mu)/sigma is built from them by the
+    // IDENTICAL double expression in both engines, rounded to 6.
+    QueryDef("q112_runs_test",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+        val wMed = Window.partitionBy("user_id").orderBy(col("cents"), col("event_id"))
+        val med = ev
+          .withColumn("i", row_number().over(wMed))
+          .withColumn("n", count(ONE).over(Window.partitionBy("user_id")))
+          .filter(expr("i = (n + 1) div 2"))
+          .select(col("user_id").as("mu_id"), col("cents").as("med"))
+        val signed = ev.join(med, col("user_id") === col("mu_id"))
+          .filter(col("cents") =!= col("med"))
+          .withColumn("above", (col("cents") > col("med")).cast("int"))
+        val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val runs = signed
+          .withColumn("prev", lag(col("above"), 1).over(wOrd))
+          .groupBy("user_id")
+          .agg(sum(col("above")).as("n1"),
+            sum(lit(1) - col("above")).as("n2"),
+            (sum(when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+              .otherwise(0L))).as("r"))
+          .filter(col("n1") > 0 && col("n2") > 0)
+        runs
+          // CAST(2 AS DOUBLE), not the literal 2.0: both engines parse a
+          // bare 2.0 as DECIMAL and their decimal-division rounding rules
+          // differ — the whole z diverged at 1e-6 until every constant was
+          // forced to double (the repo-wide CAST(0 AS DOUBLE) convention)
+          .withColumn("mu", expr("CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + CAST(1 AS DOUBLE)"))
+          .withColumn("sigma", expr("sqrt(CAST(2 AS DOUBLE) * n1 * n2 * (CAST(2 AS DOUBLE) * n1 * n2 - n1 - n2) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))"))
+          // floor-quantized z: round(double, 6) diverged cross-engine on a
+          // decimal-midpoint z at sf0.001 (Spark rounds the shortest decimal
+          // repr, DuckDB the exact binary value); floor is the same exact
+          // operation on the same double in both engines
+          .select(col("user_id"), col("n1"), col("n2"), col("r").as("n_runs"),
+            (floor(expr("((CAST(r AS DOUBLE) - mu) / sigma) * 1e6")).cast("double") / lit(1e6)).as("z"),
+            (abs(expr("(CAST(r AS DOUBLE) - mu) / sigma")) > 1.96).as("nonrandom_05"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        ranked AS (
+          SELECT user_id, cents,
+                 row_number() OVER (PARTITION BY user_id ORDER BY cents, event_id) AS i,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM ev),
+        med AS (SELECT user_id AS mu_id, cents AS med FROM ranked WHERE i = (n + 1) // 2),
+        signed AS (
+          SELECT user_id, us, event_id,
+                 CAST(cents > med AS INT) AS above
+          FROM ev JOIN med ON user_id = mu_id
+          WHERE cents <> med),
+        lagged AS (
+          SELECT user_id, above,
+                 lag(above, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+          FROM signed),
+        runs AS (
+          SELECT user_id,
+                 CAST(sum(above) AS BIGINT) AS n1,
+                 CAST(sum(1 - above) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN prev IS NULL OR prev <> above THEN 1 ELSE 0 END) AS BIGINT) AS r
+          FROM lagged GROUP BY user_id
+          HAVING sum(above) > 0 AND sum(1 - above) > 0),
+        z AS (
+          SELECT user_id, n1, n2, r,
+                 CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + CAST(1 AS DOUBLE) AS mu,
+                 sqrt(CAST(2 AS DOUBLE) * n1 * n2 * (CAST(2 AS DOUBLE) * n1 * n2 - n1 - n2) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))) AS sigma
+          FROM runs)
+        SELECT user_id, n1, n2, r AS n_runs,
+               CAST(CAST(floor(((CAST(r AS DOUBLE) - mu) / sigma) * 1e6) AS BIGINT) AS DOUBLE)
+                 / 1e6 AS z,
+               abs((CAST(r AS DOUBLE) - mu) / sigma) > 1.96 AS nonrandom_05
+        FROM z
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------------
+    // ABC (Pareto) inventory classification: parts ranked by exact
+    // revenue cents, class A = the head covering <= 80% of cumulative
+    // revenue, B to 95%, C the tail — the warehouse prioritization
+    // rollup (q95's Gini says HOW concentrated; this says WHICH items
+    // make up the head). Cumulative shares are exact ppm on integer
+    // cents with a total (revenue, partkey) order, so class boundaries
+    // are engine-free. One agg + one window + one rollup.
+    QueryDef("q113_abc_analysis",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy("l_partkey")
+          .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .as("rev_cents"))
+        val wOrd = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = rev.agg(sum(col("rev_cents")).as("total"))
+        rev.crossJoin(tot)
+          .withColumn("cum", sum(col("rev_cents")).over(wOrd))
+          .withColumn("cum_ppm", expr("1000000 * cum div total"))
+          .withColumn("abc_class",
+            when(col("cum_ppm") <= 800000, "A")
+              .when(col("cum_ppm") <= 950000, "B").otherwise("C"))
+          .groupBy("abc_class")
+          .agg(count(ONE).as("n_parts"),
+            sum(col("rev_cents")).as("revenue_cents"))
+          .crossJoin(tot)
+          .withColumn("share_ppm", expr("1000000 * revenue_cents div total"))
+          .select(col("abc_class"), col("n_parts"), col("revenue_cents"), col("share_ppm"))
+          .orderBy("abc_class")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+          FROM lineitem GROUP BY l_partkey),
+        tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total FROM rev),
+        cum AS (
+          SELECT l_partkey, rev_cents,
+                 CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM rev),
+        classed AS (
+          SELECT l_partkey, rev_cents,
+                 CASE WHEN 1000000 * cum // total <= 800000 THEN 'A'
+                      WHEN 1000000 * cum // total <= 950000 THEN 'B'
+                      ELSE 'C' END AS abc_class
+          FROM cum CROSS JOIN tot)
+        SELECT abc_class, count(*) AS n_parts,
+               CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+               1000000 * CAST(sum(rev_cents) AS BIGINT) // max(total) AS share_ppm
+        FROM classed CROSS JOIN tot
+        GROUP BY abc_class
+        ORDER BY abc_class"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
