@@ -820,6 +820,85 @@ object Graph {
         SELECT g.src AS vec_id, g.deg,
                coalesce(h.n_two_hop, 0) AS n_two_hop
         FROM deg g LEFT JOIN hop2 h ON g.src = h.u
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // -----------------------------------------------------------------
+    // Modularity of the label partition over the kNN graph (Newman-
+    // Girvan): Q = sum_c [ e_c/m - (d_c/2m)^2 ], e_c = within-label
+    // undirected edges, d_c = summed member degrees, m = |edges|.
+    // Does the embedding's kNN structure align with the labels at all?
+    // Cleared of rationals: per-label contribution * 4m^2 =
+    // 4*m*e_c - d_c^2 — exact integers end to end; the ppm form
+    // divides once by 4m^2 with the positivity shift (contributions
+    // can be negative; Spark div truncates, DuckDB // floors). The
+    // graph-side companion to c04's geometric silhouette.
+    QueryDef("g12_label_modularity",
+      (s, d) => {
+        val und = knnUndirectedEdges(s, d)
+        val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val m = und.agg(count(lit(1)).as("m"))
+        val eWithin = und
+          .join(lbl.select(col("vec_id").as("a"), col("label").as("la")), "a")
+          .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), "b")
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la").as("cl")).agg(count(lit(1)).as("ec"))
+        val dSum = deg.join(lbl, col("src") === col("vec_id"))
+          .groupBy(col("label").as("cl2")).agg(sum(col("deg")).as("dc"))
+        dSum.join(eWithin, col("cl2") === col("cl"), "left")
+          .crossJoin(m)
+          .withColumn("num", expr("4 * m * coalesce(ec, CAST(0 AS BIGINT)) - dc * dc"))
+          .withColumn("den", expr("4 * m * m"))
+          .select(col("cl2").as("label"),
+            coalesce(col("ec"), lit(0L)).as("within_edges"),
+            col("dc").as("degree_sum"),
+            expr("(1000000 * (num + den)) div den - 1000000").as("contrib_ppm"))
+          .orderBy("label")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, (x, i) -> x * v[i])), (acc, x) -> acc + x)) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n),
+        scored AS (
+          SELECT qid, vec_id AS nb,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(qv, (x, i) -> x * v[i])), (acc, x) -> acc + x) / (qn * nrm), 6) AS cosine
+          FROM q JOIN n ON vec_id <> qid),
+        knn AS (
+          SELECT qid, nb FROM (
+            SELECT qid, nb,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nb) AS rn
+            FROM scored) WHERE rn <= 3),
+        und AS (
+          SELECT DISTINCT least(qid, nb) AS a, greatest(qid, nb) AS b FROM knn),
+        lbl AS (SELECT vec_id, label FROM embeddings),
+        edges AS (
+          SELECT a AS src, b AS dst FROM und
+          UNION ALL
+          SELECT b AS src, a AS dst FROM und),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        m AS (SELECT count(*) AS m FROM und),
+        ew AS (
+          SELECT la.label AS cl, count(*) AS ec
+          FROM und u
+          JOIN lbl la ON u.a = la.vec_id
+          JOIN lbl lb ON u.b = lb.vec_id
+          WHERE la.label = lb.label
+          GROUP BY la.label),
+        ds AS (
+          SELECT l.label AS cl2, CAST(sum(g.deg) AS BIGINT) AS dc
+          FROM deg g JOIN lbl l ON g.src = l.vec_id
+          GROUP BY l.label),
+        t AS (
+          SELECT cl2, coalesce(ec, 0) AS within_edges, dc,
+                 4 * m.m * coalesce(ec, 0) - dc * dc AS num,
+                 4 * m.m * m.m AS den
+          FROM ds LEFT JOIN ew ON cl2 = cl CROSS JOIN m)
+        SELECT cl2 AS label, within_edges, dc AS degree_sum,
+               (1000000 * (num + den)) // den - 1000000 AS contrib_ppm
+        FROM t
+        ORDER BY label"""))
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators (north star §2.3): image/audio/video
@@ -660,6 +661,68 @@ object Multimodal {
         FROM g
         GROUP BY doc_id
         ORDER BY doc_id"""
-      })
+      }),
+
+    // -------------------------------------------------------------------
+    // Histogram equalization over the m09 8x8 byte image: the classic
+    // CDF remap v' = (cdf(v) - cdf_min) * 255 div (n - cdf_min), all
+    // exact integers (counts, prefix sums, one integer division), with
+    // the per-doc dynamic-range expansion it buys — the contrast-
+    // normalization step of a visual preprocessing pipeline, and the
+    // remap table itself is derivable from the output counts. One
+    // explode + two window passes per doc; nothing global.
+    QueryDef("m11_hist_equalize",
+      (s, d) => {
+        val px = Tables.documents(s, d).filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("text"), explode(expr("sequence(0, 63)")).as("i"))
+          .select(col("doc_id"),
+            expr("""CASE WHEN i < length(text)
+                    THEN ascii(substring(text, i + 1, 1)) ELSE 0 END""").as("v"))
+        val hist = px.groupBy("doc_id", "v").agg(count(lit(1)).as("c"))
+        val wCdf = Window.partitionBy("doc_id").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wDoc = Window.partitionBy("doc_id")
+        val mapped = hist
+          .withColumn("cdf", sum(col("c")).over(wCdf))
+          .withColumn("cdfmin", min(when(col("cdf") === col("c"), col("c"))).over(wDoc))
+          .withColumn("n", sum(col("c")).over(wDoc))
+          .withColumn("v2", expr("((cdf - cdfmin) * 255) div greatest(n - cdfmin, CAST(1 AS BIGINT))"))
+        mapped.groupBy("doc_id")
+          .agg(max(col("n")).as("n_pixels"),
+            count(lit(1)).as("n_levels"),
+            (max(col("v")) - min(col("v"))).cast("long").as("range_before"),
+            (max(col("v2")) - min(col("v2"))).cast("long").as("range_after"))
+          .withColumn("range_gain", col("range_after") - col("range_before"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH px AS (
+          SELECT doc_id,
+                 CASE WHEN u.i < length(text)
+                      THEN ascii(substr(text, CAST(u.i AS INT) + 1, 1)) ELSE 0 END AS v
+          FROM documents, unnest(generate_series(0, 63)) AS u(i)
+          WHERE n_chars > 0),
+        hist AS (SELECT doc_id, v, count(*) AS c FROM px GROUP BY doc_id, v),
+        cdf AS (
+          SELECT doc_id, v, c,
+                 CAST(sum(c) OVER (PARTITION BY doc_id ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cdf
+          FROM hist),
+        stats AS (
+          SELECT doc_id, v, c, cdf,
+                 min(CASE WHEN cdf = c THEN c END) OVER (PARTITION BY doc_id) AS cdfmin,
+                 CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+          FROM cdf),
+        mapped AS (
+          SELECT doc_id, v, c, n,
+                 ((cdf - cdfmin) * 255) // greatest(n - cdfmin, 1) AS v2
+          FROM stats)
+        SELECT doc_id, max(n) AS n_pixels, count(*) AS n_levels,
+               CAST(max(v) - min(v) AS BIGINT) AS range_before,
+               CAST(max(v2) - min(v2) AS BIGINT) AS range_after,
+               CAST(max(v2) - min(v2) AS BIGINT) - CAST(max(v) - min(v) AS BIGINT) AS range_gain
+        FROM mapped
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

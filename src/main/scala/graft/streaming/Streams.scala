@@ -830,7 +830,38 @@ object Streams {
                event_id AS purchase_id, us - cv_us AS span_us
         FROM p2
         WHERE event_type = 'purchase' AND c_us IS NOT NULL AND us - cv_us <= $SEQ_WIN
-        ORDER BY user_id, purchase_id"""))
+        ORDER BY user_id, purchase_id""")),
+
+    // -------------------------------------------------------------------
+    // Streaming drawdown monitor (q100's online form): the running
+    // equity / peak / drawdown row per flow event. All three prefix
+    // quantities are incrementally maintainable, so the streaming state
+    // is ONE (equity, peak) pair per user ([[DrawdownProcessor]]);
+    // StreamingSpec proves stream == batch row-for-row with peaks
+    // carried across micro-batch boundaries.
+    QueryDef("st19_stream_drawdown",
+      (s, d) => drawdownRows(Tables.events(s, d)).orderBy("user_id", "event_id"),
+      Some("""
+        WITH flows AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      ELSE -CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END AS flow
+          FROM events WHERE event_type IN ('purchase', 'error')),
+        curve AS (
+          SELECT user_id, event_id, us,
+                 CAST(sum(flow) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS eq
+          FROM flows),
+        peaked AS (
+          SELECT user_id, event_id, eq,
+                 greatest(CAST(0 AS BIGINT), CAST(max(eq) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS peak
+          FROM curve)
+        SELECT user_id, event_id, eq, peak, peak - eq AS drawdown
+        FROM peaked
+        ORDER BY user_id, event_id"""))
   )
 
   /** Pattern window for [[sequenceDetect]]: the view->click->purchase
@@ -876,6 +907,42 @@ object Streams {
       .transformWithState(new SeqDetectProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
+
+  /** Batch twin of the streaming drawdown monitor: q100's running
+    * equity/peak/drawdown columns per flow event (purchases credit,
+    * errors debit), exact integer cents through two window passes. The
+    * streaming form ([[DrawdownProcessor]]) carries (equity, peak,
+    * max-drawdown) as ONE ValueState per user — the prefix quantities
+    * are all incrementally maintainable, unlike a full-history mean.
+    */
+  def drawdownRows(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("""CASE WHEN event_type = 'purchase'
+                     THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     ELSE -CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END""").as("flow"))
+      .withColumn("eq", sum(col("flow")).over(w))
+      .withColumn("peak", greatest(lit(0L), max(col("eq")).over(w)))
+      .withColumn("drawdown", col("peak") - col("eq"))
+      .select(col("user_id"), col("event_id"), col("eq"), col("peak"), col("drawdown"))
+  }
+
+  final case class DdOut(user_id: Long, event_id: Long, eq: Long, peak: Long, drawdown: Long)
+  final case class DdState(eq: Long, peak: Long)
+
+  def drawdownStream(spark: SparkSession, events: Dataset[EvT]): Dataset[DdOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new DrawdownProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class EvT(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
 
   /** One CUSUM step on the exact micro-unit statistic: clip at zero,
     * alarm + reset above the threshold. Target 50 units + slack 20
@@ -1232,6 +1299,42 @@ class SeqDetectProcessor
       }
     }
     st.update(s)
+    out.iterator
+  }
+}
+
+
+/** Streaming drawdown on v2 state: one (equity, peak) ValueState per
+  * user, the exact-integer online form of [[Streams.drawdownRows]].
+  * Each batch walks its flow rows in (event-time, event_id) order on
+  * top of the carried pair, so equity and peak continue seamlessly
+  * across micro-batches and stream == batch exactly.
+  */
+class DrawdownProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Streams.EvT, Streams.DdOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[Streams.DdState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Streams.DdState]("dd",
+      org.apache.spark.sql.Encoders.product[Streams.DdState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Streams.EvT],
+      tv: TimerValues): Iterator[Streams.DdOut] = {
+    val flows = rows.filter(e => e.event_type == "purchase" || e.event_type == "error")
+      .toSeq.sortBy(e => (Streams.usOf(e.ts), e.event_id))
+    var s = if (st.exists()) st.get() else Streams.DdState(0L, 0L)
+    val out = flows.map { e =>
+      val cents = BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(100)).toLongExact
+      val flow = if (e.event_type == "purchase") cents else -cents
+      val eq = s.eq + flow
+      val peak = math.max(s.peak, math.max(0L, eq))
+      s = Streams.DdState(eq, peak)
+      Streams.DdOut(user, e.event_id, eq, peak, peak - eq)
+    }
+    if (flows.nonEmpty) st.update(s)
     out.iterator
   }
 }

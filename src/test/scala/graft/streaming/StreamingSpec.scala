@@ -485,6 +485,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state API v2 drawdown monitor == the st19 window plan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-dd")
+    writeOrderedFiles(dir, 3)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Streams.EvT]
+      val q = Streams.drawdownStream(spark, stream)
+        .writeStream.format("memory").queryName("dd_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("dd_stream").collect()
+          .map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))))
+          .toMap
+        val want = Streams.drawdownRows(eventsBatch).collect()
+          .map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))))
+          .toMap
+        assert(got.size == want.size, s"${got.size} != ${want.size}")
+        // exact: both sides walk the identical integer recursion
+        assert(got == want)
+        // a peak established in an early micro-batch constrains a later one
+        assert(got.values.exists(_._4 > 0), "no drawdown ever observed")
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("state API v2 MapState type stats == the st11 window plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-types-v2")
