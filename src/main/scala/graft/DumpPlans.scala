@@ -54,7 +54,9 @@ object DumpPlans {
       "q109_dq_rules", "p16_dedup_aware_mixture", "m10_sobel_energy",
       "d12_lsh_band_curve", "s18_quant_error_curve", "g11_two_hop_reach",
       "q110_poisson_bootstrap", "q111_neyman_allocation", "t28_ngram_novelty",
-      "c04_silhouette", "q112_runs_test", "q113_abc_analysis")
+      "c04_silhouette", "q112_runs_test", "q113_abc_analysis",
+      "st19_stream_drawdown", "g12_label_modularity", "m11_hist_equalize",
+      "t29_burst_ngrams", "q114_markov_transitions", "s19_embedding_drift")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

@@ -4599,7 +4599,46 @@ object Relational {
                1000000 * CAST(sum(rev_cents) AS BIGINT) // max(total) AS share_ppm
         FROM classed CROSS JOIN tot
         GROUP BY abc_class
-        ORDER BY abc_class"""))
+        ORDER BY abc_class""")),
+
+    // -------------------------------------------------------------------
+    // First-order Markov transition matrix over event types per user
+    // session stream: P(next = to | current = from) as exact ppm from
+    // lead() pairs — the behavioral model every journey/funnel analysis
+    // starts from (q65 mines specific paths; this is the full
+    // transition operator). One window pass for the pairs, one groupBy
+    // for the matrix, one broadcast row-marginal join.
+    QueryDef("q114_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(ONE).as("n"))
+        val rowm = pairs.groupBy(col("from_type").as("ft")).agg(sum(col("n")).as("row_n"))
+        pairs.join(broadcast(rowm), col("from_type") === col("ft"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("1000000 * n div row_n").as("p_ppm"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS next_type
+          FROM events),
+        pairs AS (
+          SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type),
+        rowm AS (SELECT from_type AS ft, CAST(sum(n) AS BIGINT) AS row_n
+                 FROM pairs GROUP BY from_type)
+        SELECT from_type, to_type, n, 1000000 * n // row_n AS p_ppm
+        FROM pairs JOIN rowm ON from_type = ft
+        ORDER BY from_type, to_type"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

@@ -1526,6 +1526,64 @@ object Similarity {
                  / 1e6 AS mean_err
         FROM errs
         GROUP BY bits
-        ORDER BY bits DESC"""))
+        ORDER BY bits DESC""")),
+
+    // -------------------------------------------------------------------
+    // Embedding drift between corpus halves: per label, the exact-
+    // decimal centroid of the first half (vec_id < 250) vs the second,
+    // reporting the L2 shift and the cosine between the two half-
+    // centroids — the embedding-space drift monitor that pairs with
+    // t24's KS distance on scalar features (retrain triggers watch
+    // exactly this). Centroids are the s02 exact-decimal means, so both
+    // halves are bit-identical cross-engine; the distance/cosine are
+    // sequential folds + one sqrt each, rounded to 6.
+    QueryDef("s19_embedding_drift",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("half", (col("vec_id") >= 250).cast("int"))
+        val cd = e.select(col("label"), col("half"), posexplode(col("v")))
+          .groupBy(col("label").as("cl"), col("half"), col("pos"))
+          .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"),
+            count(lit(1)).as("nv"))
+        val cent = cd.groupBy("cl", "half")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"),
+            max(col("nv")).as("n_vecs"))
+        val a = cent.filter(col("half") === 0)
+          .select(col("cl"), col("cv").as("ca"), col("n_vecs").as("n_a"))
+        val b = cent.filter(col("half") === 1)
+          .select(col("cl").as("cl2"), col("cv").as("cb"), col("n_vecs").as("n_b"))
+        a.join(b, col("cl") === col("cl2"))
+          .select(col("cl").as("label"), col("n_a"), col("n_b"),
+            round(sqrt(expr(Ns.l2sq("ca", "cb"))), 6).as("centroid_l2"),
+            round(expr(Ns.dot("ca", "cb")) /
+              (sqrt(expr(Ns.dot("ca", "ca"))) * sqrt(expr(Ns.dot("cb", "cb")))), 6)
+              .as("centroid_cosine"))
+          .orderBy("label")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, CAST(vec_id >= 250 AS INT) AS half,
+                 ${Ns.oToDouble("embedding")} AS v
+          FROM embeddings),
+        cd AS (
+          SELECT label AS cl, half, i AS pos,
+                 CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c,
+                 count(*) AS nv
+          FROM v CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY label, half, i),
+        cent AS (
+          SELECT cl, half, list(c ORDER BY pos) AS cv, max(nv) AS n_vecs
+          FROM cd GROUP BY cl, half),
+        a AS (SELECT cl, cv AS ca, n_vecs AS n_a FROM cent WHERE half = 0),
+        b AS (SELECT cl AS cl2, cv AS cb, n_vecs AS n_b FROM cent WHERE half = 1)
+        SELECT cl AS label, n_a, n_b,
+               round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(ca, (x, i) -> (x - cb[i]) * (x - cb[i]))), (acc, x) -> acc + x)), 6) AS centroid_l2,
+               round(${Ns.oDot("ca", "cb")} /
+                 (sqrt(${Ns.oDot("ca", "ca")}) * sqrt(${Ns.oDot("cb", "cb")})), 6) AS centroid_cosine
+        FROM a JOIN b ON cl = cl2
+        ORDER BY label"""))
   )
 }

@@ -1306,7 +1306,76 @@ object TextAnalysis {
                  // count(*) AS novelty_ppm
         FROM sh s JOIN first f USING (sh)
         GROUP BY s.doc_id
-        ORDER BY s.doc_id"""))
+        ORDER BY s.doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Bursty n-grams: which 3-gram shingles RISE most from the early
+    // corpus half to the late half (doc_id order = ingestion order) —
+    // the trending-topics detector over the same shingle stream t28
+    // measures novelty on. Per-doc-distinct counts, exact per-half
+    // document-frequency ppm, and the top-10 risers by exact delta
+    // (shingle tie-break). The halves join is two partial aggs; the
+    // top-k is a bounded sort on the shingle-level table.
+    QueryDef("t29_burst_ngrams",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val sh = docs
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(expr(
+              "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+          .crossJoin(broadcast(n))
+          .withColumn("late", (col("doc_id") * 2 >= col("n_docs")).cast("int"))
+        val counts = sh.groupBy("sh")
+          .agg(sum(lit(1) - col("late")).as("early_docs"),
+            sum(col("late")).as("late_docs"))
+        val halves = sh.select(col("late"), col("doc_id")).distinct()
+          .groupBy("late").agg(count(lit(1)).as("nh"))
+        val eN = halves.filter(col("late") === 0).select(col("nh").as("n_early"))
+        val lN = halves.filter(col("late") === 1).select(col("nh").as("n_late"))
+        val scoredT = counts.crossJoin(eN).crossJoin(lN)
+          .withColumn("early_ppm", expr("1000000 * early_docs div n_early"))
+          .withColumn("late_ppm", expr("1000000 * late_docs div n_late"))
+          .withColumn("delta_ppm", col("late_ppm") - col("early_ppm"))
+        val wR = Window.orderBy(col("delta_ppm").desc, col("sh"))
+        scoredT.withColumn("rank", row_number().over(wR)).filter(col("rank") <= 10)
+          .select(col("rank").cast("int").as("rank"), col("sh").as("ngram"),
+            col("early_docs"), col("late_docs"), col("early_ppm"),
+            col("late_ppm"), col("delta_ppm"))
+          .orderBy("rank")
+      },
+      Some("""
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS sh,
+                 CAST(doc_id * 2 >= (SELECT n_docs FROM nd) AS INT) AS late
+          FROM t0 WHERE len(toks) >= 3),
+        counts AS (
+          SELECT sh, CAST(sum(1 - late) AS BIGINT) AS early_docs,
+                 CAST(sum(late) AS BIGINT) AS late_docs
+          FROM sh GROUP BY sh),
+        halves AS (
+          SELECT late, count(*) AS nh FROM (SELECT DISTINCT late, doc_id FROM sh)
+          GROUP BY late),
+        en AS (SELECT nh AS n_early FROM halves WHERE late = 0),
+        ln AS (SELECT nh AS n_late FROM halves WHERE late = 1),
+        scored AS (
+          SELECT sh, early_docs, late_docs,
+                 1000000 * early_docs // n_early AS early_ppm,
+                 1000000 * late_docs // n_late AS late_ppm,
+                 1000000 * late_docs // n_late - 1000000 * early_docs // n_early AS delta_ppm
+          FROM counts CROSS JOIN en CROSS JOIN ln),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY delta_ppm DESC, sh) AS INT) AS rank
+          FROM scored)
+        SELECT rank, sh AS ngram, early_docs, late_docs, early_ppm, late_ppm, delta_ppm
+        FROM ranked WHERE rank <= 10
+        ORDER BY rank"""))
   )
 
   /** Shared lang-id model + per-doc prediction (the t01 pipeline minus
