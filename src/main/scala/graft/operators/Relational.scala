@@ -4639,6 +4639,218 @@ object Relational {
         SELECT from_type, to_type, n, 1000000 * n // row_n AS p_ppm
         FROM pairs JOIN rowm ON from_type = ft
         ORDER BY from_type, to_type"""))
+  ) ++ Seq(
+
+    // -------------------------------------------------------------------
+    // Population Stability Index: the model-monitoring drift score over
+    // the event-value distribution, early time half vs late (split at
+    // the exact [min,max] timestamp midpoint). 10 equi-width bins over
+    // the global cents range (integer edges — both engines bin
+    // identically), Laplace +1 smoothing so empty bins are defined, and
+    // PSI = sum (p-q)*ln(p/q) per bin emitted as floor-quantized micro
+    // units (ln is irrational → the q112 floor recipe, not round).
+    // Pairs with t24's KS distance (continuous CDF) and s19's embedding
+    // drift: this is the binned-fraction monitor ops teams actually
+    // alarm on (PSI > 0.2 rule). Scale: two narrow passes (extrema,
+    // bin counts) + a 10-row broadcast — no shuffle wider than 10 rows
+    // after the first aggregate.
+    QueryDef("q115_psi",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        val ext = ev.agg(min(col("us")).as("us_min"), max(col("us")).as("us_max"),
+          min(col("cents")).as("c_min"), max(col("cents")).as("c_max"))
+        val counts = ev.crossJoin(broadcast(ext))
+          .select(expr("CAST(us * 2 >= us_min + us_max AS INT)").as("half"),
+            expr("CAST(least(9, (cents - c_min) * 10 div (c_max - c_min + 1)) AS INT)").as("bin"))
+          .groupBy("bin")
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("en"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("ln_"))
+        val bins = s.range(10).select(col("id").cast("int").as("bin"))
+        val filled = bins.join(counts, Seq("bin"), "left")
+          .select(col("bin"), coalesce(col("en"), lit(0L)).as("e_n"),
+            coalesce(col("ln_"), lit(0L)).as("l_n"))
+        val tot = filled.agg(sum(col("e_n")).as("e_all"), sum(col("l_n")).as("l_all"))
+        filled.crossJoin(broadcast(tot))
+          .select(col("bin"), col("e_n"), col("l_n"),
+            expr("""CAST(floor(1e6 * (CAST(e_n + 1 AS DOUBLE) / (e_all + 10)
+                                      - CAST(l_n + 1 AS DOUBLE) / (l_all + 10))
+                                 * ln((CAST(e_n + 1 AS DOUBLE) * (l_all + 10))
+                                      / (CAST(l_n + 1 AS DOUBLE) * (e_all + 10))))
+                    AS BIGINT)""").as("psi_term_micro"))
+          .orderBy("bin")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        ext AS (SELECT min(us) AS us_min, max(us) AS us_max,
+                       min(cents) AS c_min, max(cents) AS c_max FROM ev),
+        halves AS (
+          SELECT CAST(us * 2 >= us_min + us_max AS INT) AS half,
+                 CAST(least(9, (cents - c_min) * 10 // (c_max - c_min + 1)) AS INT) AS bin
+          FROM ev CROSS JOIN ext),
+        counts AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS en,
+                 CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ln_
+          FROM halves GROUP BY bin),
+        filled AS (
+          SELECT i AS bin, coalesce(en, 0) AS e_n, coalesce(ln_, 0) AS l_n
+          FROM generate_series(0, 9) t(i) LEFT JOIN counts ON i = bin),
+        tot AS (SELECT CAST(sum(e_n) AS BIGINT) AS e_all,
+                       CAST(sum(l_n) AS BIGINT) AS l_all FROM filled)
+        SELECT bin, e_n, l_n,
+               CAST(floor(1e6 * (CAST(e_n + 1 AS DOUBLE) / (e_all + 10)
+                                 - CAST(l_n + 1 AS DOUBLE) / (l_all + 10))
+                            * ln((CAST(e_n + 1 AS DOUBLE) * (l_all + 10))
+                                 / (CAST(l_n + 1 AS DOUBLE) * (e_all + 10))))
+               AS BIGINT) AS psi_term_micro
+        FROM filled CROSS JOIN tot
+        ORDER BY bin""")),
+
+    // -------------------------------------------------------------------
+    // Kendall tau-b rank association per nation between a customer's
+    // account balance and their lifetime order spend — the
+    // cross-sectional sibling of q96's within-series Mann-Kendall
+    // trend. Concordant/discordant/tie counts are exact integers from
+    // an i<j pair join WITHIN each nation (pairs bounded by group size
+    // squared, the same documented bound as q96's per-user pairs; the
+    // O(n log n) merge-sort tau doesn't decompose into partial
+    // aggregates). One sqrt at the end, floor-quantized micro tau.
+    QueryDef("q116_kendall_tau",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")).as("sp"))
+        val base = Tables.customer(s, d)
+          .join(spend, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_nationkey"),
+            expr("CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT)").as("bal"),
+            coalesce(col("sp"), lit(0L)).as("spend"))
+        val a = base.select(col("c_nationkey").as("nk"), col("c_custkey").as("ka"),
+          col("bal").as("xa"), col("spend").as("ya"))
+        val b = base.select(col("c_nationkey").as("nkb"), col("c_custkey").as("kb"),
+          col("bal").as("xb"), col("spend").as("yb"))
+        val stats = a.join(b, col("nk") === col("nkb") && col("ka") < col("kb"))
+          .select(col("nk"),
+            expr("CASE WHEN xb > xa THEN 1 WHEN xb < xa THEN -1 ELSE 0 END").as("cx"),
+            expr("CASE WHEN yb > ya THEN 1 WHEN yb < ya THEN -1 ELSE 0 END").as("cy"))
+          .groupBy("nk")
+          .agg(sum(when(expr("cx * cy = 1"), 1L).otherwise(0L)).as("c"),
+            sum(when(expr("cx * cy = -1"), 1L).otherwise(0L)).as("disc"),
+            sum(when(col("cx") === 0, 1L).otherwise(0L)).as("tx"),
+            sum(when(col("cy") === 0, 1L).otherwise(0L)).as("ty"),
+            count(ONE).as("n0"))
+        stats.join(broadcast(Tables.nation(s, d)), col("nk") === col("n_nationkey"))
+          .filter(expr("(n0 - tx) * (n0 - ty) > 0"))
+          .select(col("n_name"), col("n0").as("n_pairs"),
+            col("c").as("concordant"), col("disc").as("discordant"),
+            expr("""CAST(floor(1e6 * CAST(c - disc AS DOUBLE)
+                               / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))) AS BIGINT)""")
+              .as("tau_micro"))
+          .orderBy("n_name")
+      },
+      Some("""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS sp
+          FROM orders GROUP BY o_custkey),
+        base AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) AS bal,
+                 coalesce(sp, 0) AS spend
+          FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        pairs AS (
+          SELECT a.c_nationkey AS nk,
+                 CASE WHEN b.bal > a.bal THEN 1 WHEN b.bal < a.bal THEN -1 ELSE 0 END AS cx,
+                 CASE WHEN b.spend > a.spend THEN 1 WHEN b.spend < a.spend THEN -1 ELSE 0 END AS cy
+          FROM base a JOIN base b
+            ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+        stats AS (
+          SELECT nk,
+                 CAST(sum(CASE WHEN cx * cy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN cx * cy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+                 CAST(sum(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                 CAST(sum(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+                 count(*) AS n0
+          FROM pairs GROUP BY nk)
+        SELECT n_name, n0 AS n_pairs, c AS concordant, disc AS discordant,
+               CAST(floor(1e6 * CAST(c - disc AS DOUBLE)
+                          / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))) AS BIGINT) AS tau_micro
+        FROM stats JOIN nation ON nk = n_nationkey
+        WHERE (n0 - tx) * (n0 - ty) > 0
+        ORDER BY n_name""")),
+
+    // -------------------------------------------------------------------
+    // Spearman rank correlation per market segment between account
+    // balance and lifetime spend — q116's large-group partner. Average
+    // tie ranks are kept EXACT by doubling: 2*avg_rank = 2*min_rank +
+    // ties - 1 (integer), so the Pearson-on-ranks formula runs on exact
+    // integer sufficient statistics (the q79 recipe) with one sqrt per
+    // factor at the end. Two rank windows per segment — scale-clean
+    // (no pair join; this is the O(n log n) rank path q116 can't take
+    // because tau needs pair orientation, rho only needs ranks).
+    QueryDef("q117_spearman",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")).as("sp"))
+        val base = Tables.customer(s, d)
+          .join(spend, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_mktsegment"),
+            expr("CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT)").as("bal"),
+            coalesce(col("sp"), lit(0L)).as("spend"))
+        val ranked = base
+          .withColumn("rx", expr("2 * (rank() OVER (PARTITION BY c_mktsegment ORDER BY bal)) + (count(*) OVER (PARTITION BY c_mktsegment, bal)) - 1"))
+          .withColumn("ry", expr("2 * (rank() OVER (PARTITION BY c_mktsegment ORDER BY spend)) + (count(*) OVER (PARTITION BY c_mktsegment, spend)) - 1"))
+        ranked.groupBy("c_mktsegment")
+          .agg(count(ONE).as("n"),
+            sum(expr("CAST(rx AS DECIMAL(38,0))")).as("sx"),
+            sum(expr("CAST(ry AS DECIMAL(38,0))")).as("sy"),
+            sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).as("sxx"),
+            sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).as("syy"),
+            sum(expr("CAST(rx AS DECIMAL(38,0)) * ry")).as("sxy"))
+          .select(col("c_mktsegment"), col("n").as("n_cust"),
+            expr("""CAST(floor(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+                               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)""")
+              .as("rho_micro"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS sp
+          FROM orders GROUP BY o_custkey),
+        base AS (
+          SELECT c_mktsegment,
+                 CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) AS bal,
+                 coalesce(sp, 0) AS spend
+          FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        ranked AS (
+          SELECT c_mktsegment,
+                 2 * (rank() OVER (PARTITION BY c_mktsegment ORDER BY bal))
+                   + (count(*) OVER (PARTITION BY c_mktsegment, bal)) - 1 AS rx,
+                 2 * (rank() OVER (PARTITION BY c_mktsegment ORDER BY spend))
+                   + (count(*) OVER (PARTITION BY c_mktsegment, spend)) - 1 AS ry
+          FROM base),
+        stats AS (
+          SELECT c_mktsegment, count(*) AS n,
+                 CAST(sum(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy,
+                 CAST(sum(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy
+          FROM ranked GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n AS n_cust,
+               CAST(floor(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+                          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS rho_micro
+        FROM stats
+        ORDER BY c_mktsegment"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
