@@ -723,6 +723,66 @@ object Multimodal {
                CAST(max(v2) - min(v2) AS BIGINT) - CAST(max(v) - min(v) AS BIGINT) AS range_gain
         FROM mapped
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Blur detection via Laplacian variance — the classic sharpness
+    // screen (variance of the 4-neighbor Laplacian response; low
+    // variance = few edges = blurry/low-information frame) that a
+    // visual-data curation pipeline runs before spending decode/embed
+    // compute. Same deterministic 8x8 byte "decode" as m10's Sobel;
+    // the inner 6x6 responses and their population variance are all
+    // exact integers (n is the fixed 36, so var_micro = (n*sumsq -
+    // sum^2) * 1e6 div n^2 never leaves BIGINT). Fully narrow — no
+    // shuffle until the per-doc rollup.
+    QueryDef("m12_blur_score",
+      (s, d) => {
+        val px = (r: String, c: String) =>
+          s"""CASE WHEN ($r) * 8 + ($c) < length(text)
+              THEN ascii(substring(text, ($r) * 8 + ($c) + 1, 1)) ELSE 0 END"""
+        val lap = s"""(4 * (${px("y", "x")}) - (${px("y - 1", "x")}) - (${px("y + 1", "x")})
+                    - (${px("y", "x - 1")}) - (${px("y", "x + 1")}))"""
+        Tables.documents(s, d).filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(0, 35)")).as("cell"))
+          .select(col("doc_id"),
+            expr("CAST(cell div 6 + 1 AS INT)").as("y"),
+            expr("CAST(cell % 6 + 1 AS INT)").as("x"),
+            col("text"))
+          .select(col("doc_id"), expr(s"CAST($lap AS BIGINT)").as("l"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_px"), sum(col("l")).as("sum_l"),
+            sum(expr("l * l")).as("sum_l2"))
+          .select(col("doc_id"), col("sum_l"), col("sum_l2"),
+            expr("(n_px * sum_l2 - sum_l * sum_l) * 1000000 div (n_px * n_px)")
+              .as("lap_var_micro"))
+          .withColumn("is_blurry", col("lap_var_micro") < 5000000000L)
+          .orderBy("doc_id")
+      },
+      Some {
+        val px = (r: String, c: String) =>
+          s"""CASE WHEN ($r) * 8 + ($c) < length(text)
+              THEN ascii(substring(text, ($r) * 8 + ($c) + 1, 1)) ELSE 0 END"""
+        val lap = s"""(4 * (${px("y", "x")}) - (${px("y - 1", "x")}) - (${px("y + 1", "x")})
+                    - (${px("y", "x - 1")}) - (${px("y", "x + 1")}))"""
+        s"""
+        WITH cells AS (
+          SELECT doc_id, text,
+                 CAST(u.cell // 6 + 1 AS INT) AS y,
+                 CAST(u.cell % 6 + 1 AS INT) AS x
+          FROM documents, unnest(generate_series(0, 35)) AS u(cell)
+          WHERE n_chars > 0),
+        resp AS (SELECT doc_id, CAST($lap AS BIGINT) AS l FROM cells),
+        agg AS (
+          SELECT doc_id, count(*) AS n_px,
+                 CAST(sum(l) AS BIGINT) AS sum_l,
+                 CAST(sum(l * l) AS BIGINT) AS sum_l2
+          FROM resp GROUP BY doc_id)
+        SELECT doc_id, sum_l, sum_l2,
+               CAST((n_px * sum_l2 - sum_l * sum_l) * 1000000 // (n_px * n_px) AS BIGINT) AS lap_var_micro,
+               (n_px * sum_l2 - sum_l * sum_l) * 1000000 // (n_px * n_px) < 5000000000 AS is_blurry
+        FROM agg
+        ORDER BY doc_id"""
+      })
   )
 }

@@ -4850,7 +4850,88 @@ object Relational {
                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS rho_micro
         FROM stats
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+
+    // -------------------------------------------------------------------
+    // Herfindahl-Hirschman supplier-concentration index per nation:
+    // HHI = sum of squared revenue shares, the antitrust/marketplace
+    // concentration metric that q95's Gini ranks by inequality but
+    // cannot express as "effective number of players". Every term is
+    // exact: supplier cents, sum of squared cents in DECIMAL(38)/
+    // HUGEINT, and ONE integer division 1e6*sumsq div total^2 at the
+    // end — partitioning-invariant by construction. Two shuffles
+    // (supplier rollup, nation rollup) + a broadcast nation join.
+    QueryDef("q118_hhi",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"), col("s_suppkey"))
+          .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .as("cents"))
+        rev.groupBy("s_nationkey")
+          .agg(count(ONE).as("n_suppliers"),
+            sum(col("cents")).as("total_cents"),
+            max(col("cents")).as("max_cents"),
+            sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("sumsq"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("n_suppliers"), col("total_cents"),
+            expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * sumsq
+                    div (CAST(total_cents AS DECIMAL(38,0)) * total_cents) AS BIGINT)""")
+              .as("hhi_ppm"),
+            expr("CAST(1000000 * CAST(max_cents AS DECIMAL(38,0)) div total_cents AS BIGINT)")
+              .as("top_share_ppm"))
+          .orderBy("n_name")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT s_nationkey, s_suppkey,
+                 CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY s_nationkey, s_suppkey),
+        agg AS (
+          SELECT s_nationkey, count(*) AS n_suppliers,
+                 CAST(sum(cents) AS BIGINT) AS total_cents,
+                 CAST(max(cents) AS BIGINT) AS max_cents,
+                 sum(CAST(cents AS HUGEINT) * cents) AS sumsq
+          FROM rev GROUP BY s_nationkey)
+        SELECT n_name, n_suppliers, total_cents,
+               CAST(CAST(1000000 AS HUGEINT) * sumsq
+                    // (CAST(total_cents AS HUGEINT) * total_cents) AS BIGINT) AS hhi_ppm,
+               CAST(1000000 * CAST(max_cents AS HUGEINT) // total_cents AS BIGINT) AS top_share_ppm
+        FROM agg JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY n_name""")),
+
+    // -------------------------------------------------------------------
+    // Volume-weighted average price per part — q88's TWAP weighted by
+    // traded quantity instead of holding time (the execution-quality
+    // benchmark). Quantity in exact hundredth-units, price in exact
+    // cents, and the VWAP itself via the exact round-half-up integer
+    // division (2N + D) div (2D) on micro-scaled cents — the q62/q88
+    // recipe, so no double ever appears. One partial-aggregable
+    // shuffle on l_partkey.
+    QueryDef("q119_vwap",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy("l_partkey")
+          .agg(count(ONE).as("n_lines"),
+            sum(expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)")).as("qty_units"),
+            sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)")).as("price_cents"))
+          .select(col("l_partkey"), col("n_lines"), col("qty_units"), col("price_cents"),
+            expr("""(2 * (CAST(100000000 AS BIGINT) * price_cents) + qty_units)
+                    div (2 * qty_units)""").as("vwap_micro"))
+          .orderBy("l_partkey")
+      },
+      Some("""
+        WITH agg AS (
+          SELECT l_partkey, count(*) AS n_lines,
+                 CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_units,
+                 CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents
+          FROM lineitem GROUP BY l_partkey)
+        SELECT l_partkey, n_lines, qty_units, price_cents,
+               CAST((2 * (CAST(100000000 AS BIGINT) * price_cents) + qty_units)
+                    // (2 * qty_units) AS BIGINT) AS vwap_micro
+        FROM agg
+        ORDER BY l_partkey"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
