@@ -899,6 +899,69 @@ object Graph {
         SELECT cl2 AS label, within_edges, dc AS degree_sum,
                (1000000 * (num + den)) // den - 1000000 AS contrib_ppm
         FROM t
-        ORDER BY label"""))
+        ORDER BY label""")),
+
+    // -------------------------------------------------------------------
+    // HITS hubs & authorities (Kleinberg) over the DIRECTED near-dup
+    // graph: orient each SimHash pair from the later doc_id (the "hub"
+    // that re-uses content) to the earlier (the "authority" it draws
+    // on) — g01's PageRank scores undirected centrality; HITS separates
+    // who AGGREGATES from who ORIGINATES, which is the provenance
+    // question a dedup audit asks. Two full unnormalized iterations
+    // from h0 = 1; every iterate is then an exact INTEGER path count
+    // (a1 = indegree, h1 = sum of target indegrees = 2-step counts,
+    // a2/h2 = 3/4-step counts), so there is no float anywhere and no
+    // normalization-order trap. Each sweep is one frontier-sized
+    // equi-join + groupBy — the Pregel shape, k unrolled.
+    QueryDef("g13_hits",
+      (s, d) => {
+        val edges = Dedup.simhashPairs(s, d)
+          .select(col("doc_a").as("auth"), col("doc_b").as("hub"))
+          .localCheckpoint()
+        val outd = edges.groupBy("hub").agg(count(lit(1)).as("out_deg"))
+        val a1 = edges.groupBy("auth").agg(count(lit(1)).as("a1"))
+        val h1 = edges.join(a1, "auth").groupBy("hub").agg(sum(col("a1")).as("h1"))
+        val a2 = edges.join(h1, "hub").groupBy("auth").agg(sum(col("h1")).as("a2"))
+        val h2 = edges.join(a2, "auth").groupBy("hub").agg(sum(col("a2")).as("h2"))
+        val nodes = edges.select(col("hub").as("doc_id"))
+          .union(edges.select(col("auth").as("doc_id"))).distinct()
+        nodes
+          .join(outd.withColumnRenamed("hub", "doc_id"), Seq("doc_id"), "left")
+          .join(a1.withColumnRenamed("auth", "doc_id"), Seq("doc_id"), "left")
+          .join(h2.withColumnRenamed("hub", "doc_id"), Seq("doc_id"), "left")
+          .join(a2.withColumnRenamed("auth", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+            coalesce(col("a1"), lit(0L)).as("in_deg"),
+            coalesce(col("h2"), lit(0L)).as("hub_score"),
+            coalesce(col("a2"), lit(0L)).as("auth_score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${Dedup.simhashFpOracleCtes},
+        e AS (
+          SELECT a.doc_id AS auth, b.doc_id AS hub
+          FROM fp a JOIN fp b
+            ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+        outd AS (SELECT hub, count(*) AS out_deg FROM e GROUP BY hub),
+        a1 AS (SELECT auth, count(*) AS a1 FROM e GROUP BY auth),
+        h1 AS (SELECT e.hub, CAST(sum(a1.a1) AS BIGINT) AS h1
+               FROM e JOIN a1 ON e.auth = a1.auth GROUP BY e.hub),
+        a2 AS (SELECT e.auth, CAST(sum(h1.h1) AS BIGINT) AS a2
+               FROM e JOIN h1 ON e.hub = h1.hub GROUP BY e.auth),
+        h2 AS (SELECT e.hub, CAST(sum(a2.a2) AS BIGINT) AS h2
+               FROM e JOIN a2 ON e.auth = a2.auth GROUP BY e.hub),
+        nodes AS (SELECT hub AS doc_id FROM e UNION SELECT auth FROM e)
+        SELECT n.doc_id,
+               coalesce(outd.out_deg, 0) AS out_deg,
+               coalesce(a1.a1, 0) AS in_deg,
+               coalesce(h2.h2, 0) AS hub_score,
+               coalesce(a2.a2, 0) AS auth_score
+        FROM nodes n
+        LEFT JOIN outd ON n.doc_id = outd.hub
+        LEFT JOIN a1 ON n.doc_id = a1.auth
+        LEFT JOIN h2 ON n.doc_id = h2.hub
+        LEFT JOIN a2 ON n.doc_id = a2.auth
+        ORDER BY n.doc_id"""))
   )
 }

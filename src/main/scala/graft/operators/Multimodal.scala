@@ -783,6 +783,74 @@ object Multimodal {
                (n_px * sum_l2 - sum_l * sum_l) * 1000000 // (n_px * n_px) < 5000000000 AS is_blurry
         FROM agg
         ORDER BY doc_id"""
-      })
+      }),
+
+    // -------------------------------------------------------------------
+    // PCM zero-crossing rate per 64-sample window — m07's VAD partner:
+    // energy says HOW LOUD, ZCR says roughly WHAT KIND (voiced speech
+    // is low-ZCR, fricatives/noise high-ZCR; the two together are the
+    // classic two-feature voice-activity detector). Same PCM16-LE
+    // decode of the payload bytes in the typed kernel; a crossing is a
+    // strict sign flip (product < 0) between CONSECUTIVE samples within
+    // the window, so every count is an exact integer and the rate is
+    // one integer division. Narrow until the final sort.
+    QueryDef("m13_zero_crossing",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        mediaFromDocuments(s, d)
+          .flatMap { r =>
+            val bytes = r.payload
+            val nSamples = bytes.length / 2
+            (0 until (nSamples + 63) / 64).map { w =>
+              val lo = w * 64
+              val hi = math.min(lo + 64, nSamples)
+              var crossings = 0L
+              var prev = 0
+              var k = lo
+              while (k < hi) {
+                val raw = (bytes(2 * k) & 0xff) | ((bytes(2 * k + 1) & 0xff) << 8)
+                val sgn = if (raw >= 32768) raw - 65536 else raw
+                if (k > lo && prev * sgn < 0) crossings += 1
+                prev = sgn
+                k += 1
+              }
+              val n = (hi - lo).toLong
+              val rate = if (n > 1) 1000000L * crossings / (n - 1) else 0L
+              (r.doc_id, w, n, crossings, rate)
+            }
+          }
+          .toDF("doc_id", "window_id", "n_samples", "n_crossings", "zcr_micro")
+          .select(col("doc_id"), col("window_id").cast("int").as("window_id"),
+            col("n_samples"), col("n_crossings"), col("zcr_micro"))
+          .orderBy("doc_id", "window_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, length(text) // 2 AS ns
+          FROM documents WHERE length(text) >= 2),
+        samples AS (
+          SELECT doc_id, CAST(u.k AS BIGINT) AS k,
+                 ascii(substring(text, CAST(2 * u.k + 1 AS INT), 1))
+                 + 256 * ascii(substring(text, CAST(2 * u.k + 2 AS INT), 1)) AS raw
+          FROM t, unnest(generate_series(0, ns - 1)) AS u(k)),
+        signed AS (
+          SELECT doc_id, k, CAST(k // 64 AS INT) AS window_id,
+                 CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS sv
+          FROM samples),
+        flagged AS (
+          SELECT doc_id, window_id, sv,
+                 lag(sv) OVER (PARTITION BY doc_id, window_id ORDER BY k) AS prev
+          FROM signed),
+        win AS (
+          SELECT doc_id, window_id,
+                 CAST(count(*) AS BIGINT) AS n_samples,
+                 CAST(sum(CASE WHEN prev IS NOT NULL AND prev * sv < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+          FROM flagged GROUP BY doc_id, window_id)
+        SELECT doc_id, window_id, n_samples, n_crossings,
+               CASE WHEN n_samples > 1 THEN 1000000 * n_crossings // (n_samples - 1)
+                    ELSE 0 END AS zcr_micro
+        FROM win
+        ORDER BY doc_id, window_id"""))
   )
 }

@@ -754,6 +754,63 @@ object Pipeline {
                  // CAST(sum(n_tokens) AS BIGINT) AS dup_token_ppm
         FROM canon
         GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // -------------------------------------------------------------------
+    // Length-bucketed batching efficiency: split the corpus into 4
+    // equi-depth token-length buckets (deterministic ntile over
+    // (n_tokens, doc_id)) and report each bucket's padding waste if
+    // batches pad to the bucket max — vs the single global bucket,
+    // where every doc pads to the corpus max. This is THE reason
+    // training pipelines length-bucket before batching; the output
+    // quantifies the win (waste_ppm per bucket vs the global row
+    // bucket=-1). All exact integers: counts, token sums, one ppm
+    // division. Scale: ntile needs a total order — at 100 TB the
+    // edges come from approx quantiles instead, same downstream shape;
+    // the exact spelling is the oracle-able contract.
+    QueryDef("p17_length_buckets",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), expr(NTOK).as("n_tokens"))
+        val bucketed = docs.withColumn("bucket",
+          ntile(4).over(Window.orderBy(col("n_tokens"), col("doc_id"))) - 1)
+        val per = bucketed.groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
+            sum(col("n_tokens")).as("sum_tokens"))
+        val global = docs
+          .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
+            sum(col("n_tokens")).as("sum_tokens"))
+          .select(lit(-1).as("bucket"), col("n_docs"), col("max_tokens"), col("sum_tokens"))
+        per.unionByName(global)
+          .select(col("bucket"), col("n_docs"), col("max_tokens"), col("sum_tokens"),
+            expr("n_docs * max_tokens - sum_tokens").as("pad_waste_tokens"),
+            expr("1000000 * (n_docs * max_tokens - sum_tokens) div (n_docs * max_tokens)")
+              .as("waste_ppm"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH docs AS (SELECT doc_id, $ONTOK AS n_tokens FROM documents),
+        bucketed AS (
+          SELECT n_tokens,
+                 ntile(4) OVER (ORDER BY n_tokens, doc_id) - 1 AS bucket
+          FROM docs),
+        per AS (
+          SELECT bucket, count(*) AS n_docs,
+                 CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+                 CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+          FROM bucketed GROUP BY bucket),
+        uni AS (
+          SELECT * FROM per
+          UNION ALL
+          SELECT -1 AS bucket, count(*) AS n_docs,
+                 CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+                 CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+          FROM docs)
+        SELECT bucket, n_docs, max_tokens, sum_tokens,
+               n_docs * max_tokens - sum_tokens AS pad_waste_tokens,
+               1000000 * (n_docs * max_tokens - sum_tokens)
+                 // (n_docs * max_tokens) AS waste_ppm
+        FROM uni
+        ORDER BY bucket"""))
   )
 }
