@@ -4931,7 +4931,143 @@ object Relational {
                CAST((2 * (CAST(100000000 AS BIGINT) * price_cents) + qty_units)
                     // (2 * qty_units) AS BIGINT) AS vwap_micro
         FROM agg
-        ORDER BY l_partkey"""))
+        ORDER BY l_partkey""")),
+
+    // -------------------------------------------------------------------
+    // SAX symbolization (Lin/Keogh): each user's event-value series →
+    // an 8-segment PAA (integer-floor segment split (pos-1)*8 div n —
+    // the oracle-able simplification of fractional PAA weighting) →
+    // z-normalized per user from exact integer moments → a 4-letter
+    // alphabet at the N(0,1) quartile breakpoints (±0.6745, 0). The
+    // output word is the indexable shape signature time-series motif /
+    // anomaly search runs on. Doubles appear only in the final z
+    // (identical expression text both engines); one window pass + two
+    // shuffles, all group-bounded.
+    QueryDef("q120_sax",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+          .withColumn("pos", row_number().over(w))
+          .withColumn("n", count(ONE).over(Window.partitionBy("user_id")))
+          .withColumn("seg", expr("CAST((pos - 1) * 8 div n AS INT)"))
+        val mom = ev.groupBy(col("user_id").as("mu"))
+          .agg(max(col("n")).as("n"), sum(col("cents")).as("tot"),
+            sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("sumsq"))
+          .filter(expr("n >= 8 AND n * sumsq > CAST(tot AS DECIMAL(38,0)) * tot"))
+        val segs = ev.groupBy("user_id", "seg")
+          .agg(count(ONE).as("n_s"), sum(col("cents")).as("sum_s"))
+        segs.join(mom, col("user_id") === col("mu"))
+          .withColumn("z", expr(
+            """(CAST(sum_s AS DOUBLE) / n_s - CAST(tot AS DOUBLE) / n)
+               / (sqrt(CAST(n * sumsq - CAST(tot AS DECIMAL(38,0)) * tot AS DOUBLE)) / n)"""))
+          .withColumn("sym", expr(
+            """CASE WHEN z < -CAST(0.6745 AS DOUBLE) THEN 'a'
+                    WHEN z < CAST(0 AS DOUBLE) THEN 'b'
+                    WHEN z < CAST(0.6745 AS DOUBLE) THEN 'c' ELSE 'd' END"""))
+          .groupBy("user_id")
+          .agg(max(col("n")).as("n_events"),
+            expr("array_join(transform(sort_array(collect_list(struct(seg, sym))), x -> x.sym), '')")
+              .as("sax_word"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        seq AS (
+          SELECT user_id, cents,
+                 row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS pos,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM ev),
+        segd AS (
+          SELECT user_id, cents, n, CAST((pos - 1) * 8 // n AS INT) AS seg
+          FROM seq),
+        mom AS (
+          SELECT user_id AS mu, CAST(max(n) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS tot,
+                 sum(CAST(cents AS HUGEINT) * cents) AS sumsq
+          FROM segd GROUP BY user_id
+          HAVING max(n) >= 8 AND max(n) * sum(CAST(cents AS HUGEINT) * cents)
+                 > CAST(sum(cents) AS HUGEINT) * sum(cents)),
+        segs AS (
+          SELECT user_id, seg, count(*) AS n_s, CAST(sum(cents) AS BIGINT) AS sum_s
+          FROM segd GROUP BY user_id, seg),
+        z AS (
+          SELECT user_id, seg, n,
+                 (CAST(sum_s AS DOUBLE) / n_s - CAST(tot AS DOUBLE) / n)
+                 / (sqrt(CAST(n * sumsq - CAST(tot AS HUGEINT) * tot AS DOUBLE)) / n) AS z
+          FROM segs JOIN mom ON user_id = mu),
+        sym AS (
+          SELECT user_id, seg, n,
+                 CASE WHEN z < -CAST(0.6745 AS DOUBLE) THEN 'a'
+                      WHEN z < CAST(0 AS DOUBLE) THEN 'b'
+                      WHEN z < CAST(0.6745 AS DOUBLE) THEN 'c' ELSE 'd' END AS sym
+          FROM z)
+        SELECT user_id, max(n) AS n_events,
+               string_agg(sym, '' ORDER BY seg) AS sax_word
+        FROM sym
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------------
+    // Cohen's kappa inter-rater agreement between two deterministic
+    // document classifiers (token-count terciles vs char-count
+    // terciles): observed vs chance-expected agreement from the exact
+    // integer confusion matrix — the label-quality metric every
+    // annotation/weak-supervision pipeline reports before training on
+    // labels. kappa = (n*diag - sum(row*col)) / (n^2 - sum(row*col))
+    // in micro units via the positivity-shift floor division (kappa
+    // can be negative; q105's translation-equivariance recipe). Three
+    // narrow aggregates over a 9-cell matrix.
+    QueryDef("q121_cohens_kappa",
+      (s, d) => {
+        val r = Tables.documents(s, d).select(
+          expr("""CASE WHEN CAST(size(split(text, ' ')) AS BIGINT) < 40 THEN 'short'
+                       WHEN CAST(size(split(text, ' ')) AS BIGINT) < 70 THEN 'medium'
+                       ELSE 'long' END""").as("r1"),
+          expr("""CASE WHEN n_chars < 220 THEN 'short'
+                       WHEN n_chars < 390 THEN 'medium'
+                       ELSE 'long' END""").as("r2"))
+        val cm = r.groupBy("r1", "r2").agg(count(ONE).as("nc"))
+        val rowm = cm.groupBy(col("r1").as("cr")).agg(sum(col("nc")).as("rn"))
+        val colm = cm.groupBy(col("r2").as("cc")).agg(sum(col("nc")).as("cn"))
+        val pe = rowm.join(colm, col("cr") === col("cc"))
+          .agg(coalesce(sum(expr("rn * cn")), lit(0L)).as("pe_num"))
+        val agg = cm.agg(sum(col("nc")).as("n"),
+          sum(when(col("r1") === col("r2"), col("nc")).otherwise(0L)).as("diag"))
+        agg.crossJoin(pe)
+          .select(col("n").as("n_docs"),
+            expr("1000000 * diag div n").as("po_ppm"),
+            expr("1000000 * pe_num div (n * n)").as("pe_ppm"),
+            expr("""(1000000 * (n * diag - pe_num) + 1000000 * (n * n - pe_num))
+                    div (n * n - pe_num) - 1000000""").as("kappa_micro"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT CASE WHEN CAST(len(string_split(text, ' ')) AS BIGINT) < 40 THEN 'short'
+                      WHEN CAST(len(string_split(text, ' ')) AS BIGINT) < 70 THEN 'medium'
+                      ELSE 'long' END AS r1,
+                 CASE WHEN n_chars < 220 THEN 'short'
+                      WHEN n_chars < 390 THEN 'medium'
+                      ELSE 'long' END AS r2
+          FROM documents),
+        cm AS (SELECT r1, r2, count(*) AS nc FROM r GROUP BY r1, r2),
+        rowm AS (SELECT r1 AS cr, CAST(sum(nc) AS BIGINT) AS rn FROM cm GROUP BY r1),
+        colm AS (SELECT r2 AS cc, CAST(sum(nc) AS BIGINT) AS cn FROM cm GROUP BY r2),
+        pe AS (SELECT coalesce(CAST(sum(rn * cn) AS BIGINT), 0) AS pe_num
+               FROM rowm JOIN colm ON cr = cc),
+        agg AS (SELECT CAST(sum(nc) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN r1 = r2 THEN nc ELSE 0 END) AS BIGINT) AS diag
+                FROM cm)
+        SELECT n AS n_docs,
+               1000000 * diag // n AS po_ppm,
+               1000000 * pe_num // (n * n) AS pe_ppm,
+               (1000000 * (n * diag - pe_num) + 1000000 * (n * n - pe_num))
+                 // (n * n - pe_num) - 1000000 AS kappa_micro
+        FROM agg CROSS JOIN pe"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

@@ -1584,6 +1584,86 @@ object Similarity {
                round(${Ns.oDot("ca", "cb")} /
                  (sqrt(${Ns.oDot("ca", "ca")}) * sqrt(${Ns.oDot("cb", "cb")})), 6) AS centroid_cosine
         FROM a JOIN b ON cl = cl2
-        ORDER BY label"""))
+        ORDER BY label""")),
+
+    // -------------------------------------------------------------------
+    // Farthest-first (Gonzalez) k-center seeding — the deterministic
+    // sibling of k-means++ (which draws the same "far from chosen"
+    // signal randomly): start from vec_id 0, repeatedly add the point
+    // whose distance to its NEAREST chosen seed is LARGEST (vec_id
+    // tie-break), 8 seeds, then report the 2-approximation coverage
+    // radius the chosen centers achieve. Per sweep: one broadcast of
+    // the <=8 chosen seeds, one narrow min-distance pass, one
+    // partial-aggregable argmax (min on (-d2, id)) — the c01
+    // driver-collect discipline, K-bounded state only. Distances are
+    // the rounded sequential-fold L2^2, so ranks agree cross-engine.
+    QueryDef("s20_kcenter_seed",
+      (s, d) => {
+        Ns.registerFast(s)
+        val sess = s
+        import sess.implicits._
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .localCheckpoint()
+        def vecOf(id: Long): Array[Double] =
+          e.filter(col("vec_id") === id).select(col("v"))
+            .as[Array[Double]].head()
+        var picked = Vector((0L, 0.0, vecOf(0L)))
+        for (_ <- 1 to 7) {
+          val seedDf = picked.map { case (id, _, v) => (id, v) }.toDF("sid", "cv")
+          val md = e.filter(!col("vec_id").isin(picked.map(_._1): _*))
+            .crossJoin(broadcast(seedDf))
+            .select(col("vec_id"), expr(s"round(${Ns.l2sq("v", "cv")}, 6)").as("d2"))
+            .groupBy("vec_id").agg(min(col("d2")).as("md"))
+          val (nid, nd) = md
+            .agg(min(struct((col("md") * -1).as("nd"), col("vec_id"))).as("p"))
+            .select(col("p.vec_id"), (col("p.nd") * -1).as("md"))
+            .as[(Long, Double)].head()
+          picked = picked :+ ((nid, nd, vecOf(nid)))
+        }
+        val seedDf = picked.map { case (id, _, v) => (id, v) }.toDF("sid", "cv")
+        val coverage = e.filter(!col("vec_id").isin(picked.map(_._1): _*))
+          .crossJoin(broadcast(seedDf))
+          .select(col("vec_id"), expr(s"round(${Ns.l2sq("v", "cv")}, 6)").as("d2"))
+          .groupBy("vec_id").agg(min(col("d2")).as("md"))
+          .agg(max(col("md"))).as[Double].head()
+        (picked.zipWithIndex.map { case ((id, d2, _), r) => (r, id, d2) }
+          :+ ((8, -1L, coverage)))
+          .toDF("seed_rank", "vec_id", "sel_d2")
+          .orderBy("seed_rank")
+      },
+      Some {
+        val l2 = (v: String, cv: String) =>
+          s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform($v, (x, i) -> (x - $cv[i]) * (x - $cv[i]))), (acc, x) -> acc + x), 6)""".stripMargin
+        val sb = new StringBuilder
+        sb ++= s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        s0 AS (SELECT vec_id, v AS cv FROM v WHERE vec_id = 0)"""
+        for (t <- 1 to 8) {
+          sb ++= s""",
+        md$t AS MATERIALIZED (
+          SELECT e.vec_id, min(${l2("e.v", "s.cv")}) AS md
+          FROM v e CROSS JOIN s${t - 1} s
+          WHERE e.vec_id NOT IN (SELECT vec_id FROM s${t - 1})
+          GROUP BY e.vec_id)"""
+          if (t <= 7) sb ++= s""",
+        pick$t AS (SELECT vec_id, md FROM md$t ORDER BY md DESC, vec_id LIMIT 1),
+        s$t AS MATERIALIZED (SELECT vec_id, cv FROM s${t - 1}
+                UNION ALL
+                SELECT p.vec_id, e.v FROM pick$t p JOIN v e ON e.vec_id = p.vec_id)"""
+        }
+        sb ++= s"""
+        SELECT CAST(0 AS INT) AS seed_rank, CAST(0 AS BIGINT) AS vec_id,
+               CAST(0 AS DOUBLE) AS sel_d2
+        """
+        for (t <- 1 to 7) sb ++= s"""
+        UNION ALL SELECT $t, vec_id, md FROM pick$t"""
+        sb ++= """
+        UNION ALL SELECT 8, -1, max(md) FROM md8
+        ORDER BY seed_rank"""
+        sb.toString
+      })
   )
 }
