@@ -60,7 +60,8 @@ object DumpPlans {
       "q115_psi", "q116_kendall_tau", "q117_spearman",
       "q118_hhi", "q119_vwap", "m12_blur_score",
       "g13_hits", "m13_zero_crossing", "p17_length_buckets",
-      "s20_kcenter_seed", "q120_sax", "q121_cohens_kappa")
+      "s20_kcenter_seed", "q120_sax", "q121_cohens_kappa",
+      "q122_bollinger", "q123_rsi", "q124_peak_concurrency")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

@@ -5067,7 +5067,182 @@ object Relational {
                1000000 * pe_num // (n * n) AS pe_ppm,
                (1000000 * (n * diag - pe_num) + 1000000 * (n * n - pe_num))
                  // (n * n - pe_num) - 1000000 AS kappa_micro
-        FROM agg CROSS JOIN pe"""))
+        FROM agg CROSS JOIN pe""")),
+
+    // -------------------------------------------------------------------
+    // Bollinger bands per user: 8-event rolling mean +/- 2 sigma with
+    // breach flags. The whole test is EXACT-INTEGER by
+    // cross-multiplication: breach iff (n*x - sum)^2 > 4*(n*sumsq -
+    // sum^2) — no sqrt ever enters the decision, so the flag can never
+    // sit on a float knife-edge (the q112 lesson applied at the
+    // operator's core instead of patched at the output). The displayed
+    // band half-width does take the one sqrt, floor-quantized. One
+    // rolling window pass per user, the q81 shuffle shape.
+    QueryDef("q122_bollinger",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+          .rowsBetween(-7, Window.currentRow)
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+        ev.withColumn("n", count(ONE).over(w))
+          .withColumn("sum8", sum(col("cents")).over(w))
+          .withColumn("sumsq8", sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).over(w))
+          .filter(col("n") === 8)
+          .select(col("user_id"), col("event_id"), col("cents"),
+            expr("CAST((2 * (1000000 * sum8) + 8) div 16 AS BIGINT)").as("mid_micro"),
+            expr("""CAST(floor(1000000 * sqrt(CAST(8 * sumsq8 - CAST(sum8 AS DECIMAL(38,0)) * sum8 AS DOUBLE)) / 4)
+                    AS BIGINT)""").as("half_width_micro"),
+            expr("""CAST(CAST(8 * cents - sum8 AS DECIMAL(38,0)) * (8 * cents - sum8)
+                    > 4 * (8 * sumsq8 - CAST(sum8 AS DECIMAL(38,0)) * sum8) AS BOOLEAN)""")
+              .as("breach"),
+            expr("CAST(8 * cents - sum8 > 0 AS BOOLEAN)").as("above_mid"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        roll AS (
+          SELECT user_id, event_id, cents,
+                 count(*) OVER w AS n,
+                 CAST(sum(cents) OVER w AS BIGINT) AS sum8,
+                 sum(CAST(cents AS HUGEINT) * cents) OVER w AS sumsq8
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id, cents,
+               CAST((2 * (1000000 * sum8) + 8) // 16 AS BIGINT) AS mid_micro,
+               CAST(floor(1000000 * sqrt(CAST(8 * sumsq8 - CAST(sum8 AS HUGEINT) * sum8 AS DOUBLE)) / 4)
+                    AS BIGINT) AS half_width_micro,
+               CAST(8 * cents - sum8 AS HUGEINT) * (8 * cents - sum8)
+                 > 4 * (8 * sumsq8 - CAST(sum8 AS HUGEINT) * sum8) AS breach,
+               8 * cents - sum8 > 0 AS above_mid
+        FROM roll WHERE n = 8
+        ORDER BY user_id, event_id""")),
+
+    // -------------------------------------------------------------------
+    // Cutler's RSI (simple-average relative strength index) per user
+    // over a 14-move window: up/down move magnitudes are exact cents
+    // deltas from one lag, the window sums are exact, and RSI_ppm =
+    // 1e6*up div (up+down) is one integer division — no Wilder EWMA
+    // recursion needed (that variant is st14's O(1)-state shape; this
+    // is the windowed spelling an analyst expects to match a charting
+    // library). Flags at the classic 70/30 thresholds.
+    QueryDef("q123_rsi",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val w14 = wOrd.rowsBetween(-13, Window.currentRow)
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+          .withColumn("delta", col("cents") - lag(col("cents"), 1).over(wOrd))
+          .filter(col("delta").isNotNull)
+        ev.withColumn("nmv", count(ONE).over(w14))
+          .withColumn("up", sum(greatest(col("delta"), lit(0L))).over(w14))
+          .withColumn("down", sum(greatest(-col("delta"), lit(0L))).over(w14))
+          .filter(col("nmv") === 14 && (col("up") + col("down")) > 0)
+          .select(col("user_id"), col("event_id"),
+            col("up").as("up_cents"), col("down").as("down_cents"),
+            expr("1000000 * up div (up + down)").as("rsi_ppm"))
+          .withColumn("overbought", col("rsi_ppm") > 700000L)
+          .withColumn("oversold", col("rsi_ppm") < 300000L)
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        moves AS (
+          SELECT user_id, us, event_id,
+                 cents - lag(cents, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS delta
+          FROM ev),
+        nn AS (SELECT * FROM moves WHERE delta IS NOT NULL),
+        roll AS (
+          SELECT user_id, event_id,
+                 count(*) OVER w AS nmv,
+                 CAST(sum(greatest(delta, 0)) OVER w AS BIGINT) AS up,
+                 CAST(sum(greatest(-delta, 0)) OVER w AS BIGINT) AS down
+          FROM nn
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id, up AS up_cents, down AS down_cents,
+               1000000 * up // (up + down) AS rsi_ppm,
+               1000000 * up // (up + down) > 700000 AS overbought,
+               1000000 * up // (up + down) < 300000 AS oversold
+        FROM roll
+        WHERE nmv = 14 AND up + down > 0
+        ORDER BY user_id, event_id""")),
+
+    // -------------------------------------------------------------------
+    // Peak concurrency via the classic sweep line: build 30-min-gap
+    // user sessions (gaps-and-islands, q82's shape), emit +1/-1
+    // boundary deltas with ends-before-starts tie order (half-open
+    // intervals), and take the running sum's maximum — "how many
+    // sessions were EVER simultaneously open, and when first" is the
+    // capacity-planning question the hourly rollup (q50) blurs. The
+    // prefix sum is one global ordered window over 2*n_sessions
+    // boundary rows (at 100 TB: range-partitioned two-phase scan —
+    // per-partition totals broadcast back as offsets).
+    QueryDef("q124_peak_concurrency",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(wOrd))
+          .withColumn("new_s",
+            when(col("gap").isNull || col("gap") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(wOrd))
+        val sessions = ev.groupBy("user_id", "sid")
+          .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+        val bounds = sessions.select(col("s_us").as("us"), lit(1L).as("delta"))
+          .unionByName(sessions.select((col("e_us") + 1L).as("us"), lit(-1L).as("delta")))
+        val curve = bounds.groupBy("us", "delta").agg(sum(col("delta")).as("dsum"))
+          .withColumn("conc",
+            sum(col("dsum")).over(Window.orderBy(col("us"), col("delta"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val nSess = sessions.agg(count(ONE).as("n_sessions"))
+        curve.agg(min(struct((col("conc") * -1).as("nc"), col("us"))).as("p"))
+          .select((col("p.nc") * -1).as("peak_concurrency"), col("p.us").as("first_peak_us"))
+          .crossJoin(nSess)
+          .select(col("n_sessions"), col("peak_concurrency"), col("first_peak_us"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        gapped AS (
+          SELECT user_id, us,
+                 CASE WHEN us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                        > 1800000000 OR lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_s,
+                 event_id
+          FROM ev),
+        sess AS (
+          SELECT user_id, us,
+                 CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS sid
+          FROM gapped),
+        sessions AS (
+          SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+          FROM sess GROUP BY user_id, sid),
+        bounds AS (
+          SELECT s_us AS us, CAST(1 AS BIGINT) AS delta FROM sessions
+          UNION ALL
+          SELECT e_us + 1, CAST(-1 AS BIGINT) FROM sessions),
+        dl AS (
+          SELECT us, delta, CAST(sum(delta) AS BIGINT) AS dsum
+          FROM bounds GROUP BY us, delta),
+        curve AS (
+          SELECT us, CAST(sum(dsum) OVER (ORDER BY us, delta
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+          FROM dl),
+        peak AS (
+          SELECT conc AS peak_concurrency, us AS first_peak_us
+          FROM curve ORDER BY conc DESC, us LIMIT 1)
+        SELECT (SELECT count(*) FROM sessions) AS n_sessions,
+               peak_concurrency, first_peak_us
+        FROM peak"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
