@@ -61,7 +61,9 @@ object DumpPlans {
       "q118_hhi", "q119_vwap", "m12_blur_score",
       "g13_hits", "m13_zero_crossing", "p17_length_buckets",
       "s20_kcenter_seed", "q120_sax", "q121_cohens_kappa",
-      "q122_bollinger", "q123_rsi", "q124_peak_concurrency")
+      "q122_bollinger", "q123_rsi", "q124_peak_concurrency",
+      "t30_burrows_delta", "m14_entropy_segments", "q125_forecast_backtest",
+      "q126_anova_f", "q127_seasonal_decompose", "t31_heaps_law")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

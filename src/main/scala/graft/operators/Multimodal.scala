@@ -851,6 +851,54 @@ object Multimodal {
                CASE WHEN n_samples > 1 THEN 1000000 * n_crossings // (n_samples - 1)
                     ELSE 0 END AS zcr_micro
         FROM win
+        ORDER BY doc_id, window_id""")),
+
+    // -------------------------------------------------------------------
+    // Sliding byte-entropy segmentation: 16-bin Shannon entropy per
+    // COMPLETE 64-byte payload window — the already-compressed /
+    // encrypted-segment detector a media-ingest pipeline runs before
+    // wasting transcode or dedup compute (high-entropy windows are
+    // incompressible). Histogram counts are exact integers; H =
+    // sum c*(ln 64 - ln c)/64 evaluates ln only on those exact ints
+    // (identical doubles both engines), floor-quantized micro-nats.
+    // One explode + two groupBys, fully narrow per doc.
+    QueryDef("m14_entropy_segments",
+      (s, d) => {
+        val binned = Tables.documents(s, d)
+          .filter(length(col("text")) >= 64)
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(0, CAST(length(text) div 64 AS INT) * 64 - 1)")).as("k"))
+          .select(col("doc_id"), expr("CAST(k div 64 AS INT)").as("window_id"),
+            expr("ascii(substring(text, CAST(k + 1 AS INT), 1)) div 16").as("bin"))
+          .groupBy("doc_id", "window_id", "bin").agg(count(lit(1)).as("c"))
+        binned.groupBy("doc_id", "window_id")
+          .agg(count(lit(1)).as("n_bins"),
+            expr("""CAST(floor(1000000 * aggregate(
+                      transform(sort_array(collect_list(struct(bin, c))),
+                        x -> x.c * (ln(CAST(64 AS DOUBLE)) - ln(CAST(x.c AS DOUBLE)))),
+                      CAST(0 AS DOUBLE), (acc, x) -> acc + x) / 64) AS BIGINT)""")
+              .as("h_micro"))
+          .withColumn("compressed_like", col("h_micro") > 2000000L)
+          .orderBy("doc_id", "window_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+        bytes AS (
+          SELECT doc_id, CAST(u.k // 64 AS INT) AS window_id,
+                 ascii(substring(text, CAST(u.k + 1 AS INT), 1)) // 16 AS bin
+          FROM t, unnest(generate_series(0, (length(text) // 64) * 64 - 1)) AS u(k)),
+        binned AS (
+          SELECT doc_id, window_id, bin, count(*) AS c
+          FROM bytes GROUP BY doc_id, window_id, bin),
+        win AS (
+          SELECT doc_id, window_id, count(*) AS n_bins,
+                 CAST(floor(1000000 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(c * (ln(CAST(64 AS DOUBLE)) - ln(CAST(c AS DOUBLE))) ORDER BY bin)),
+                   (acc, x) -> acc + x) / 64) AS BIGINT) AS h_micro
+          FROM binned GROUP BY doc_id, window_id)
+        SELECT doc_id, window_id, n_bins, h_micro, h_micro > 2000000 AS compressed_like
+        FROM win
         ORDER BY doc_id, window_id"""))
   )
 }

@@ -5242,7 +5242,192 @@ object Relational {
           FROM curve ORDER BY conc DESC, us LIMIT 1)
         SELECT (SELECT count(*) FROM sessions) AS n_sessions,
                peak_concurrency, first_peak_us
-        FROM peak"""))
+        FROM peak""")),
+
+    // -------------------------------------------------------------------
+    // Rolling-origin forecast backtest of the q97 Holt smoother: at
+    // every step the PRIOR state's one-step forecast l+b is scored
+    // against the arriving value before the state updates — the
+    // walk-forward evaluation that turns a smoother into a measured
+    // forecaster (MAE + signed bias per user). The error accumulators
+    // ride in the SAME sequential fold as the state (alpha = gamma =
+    // 1/2, identical expression text both engines → bit-identical
+    // doubles, q97's contract), so no second pass and no rounding
+    // anywhere. Recursive-CTE oracle replays the walk.
+    QueryDef("q125_forecast_backtest",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            col("value"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            expr("transform(sort_array(collect_list(struct(us, event_id, value))), e -> e.value)")
+              .as("vals"))
+          .filter(col("n_events") >= 2)
+          .withColumn("fin", expr(
+            """aggregate(slice(vals, 2, size(vals) - 1),
+                named_struct('l', element_at(vals, 1), 'b', CAST(0 AS DOUBLE),
+                             'sae', CAST(0 AS DOUBLE), 'sb', CAST(0 AS DOUBLE)),
+                (acc, x) -> named_struct(
+                  'l', 0.5 * x + 0.5 * (acc.l + acc.b),
+                  'b', 0.5 * ((0.5 * x + 0.5 * (acc.l + acc.b)) - acc.l) + 0.5 * acc.b,
+                  'sae', acc.sae + abs(x - (acc.l + acc.b)),
+                  'sb', acc.sb + (x - (acc.l + acc.b))))"""))
+          .select(col("user_id"), col("n_events"),
+            (col("n_events") - 1).as("n_forecasts"),
+            (col("fin.sae") / (col("n_events") - 1)).as("mae"),
+            (col("fin.sb") / (col("n_events") - 1)).as("bias"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        seq AS (
+          SELECT user_id, value,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS INT) AS pos
+          FROM ev),
+        stats AS (SELECT user_id, count(*) AS n_events FROM seq GROUP BY user_id),
+        walk(user_id, pos, l, b, sae, sb) AS (
+          SELECT user_id, 1, value, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+          FROM seq WHERE pos = 1
+          UNION ALL
+          SELECT w.user_id, e.pos,
+                 0.5 * e.value + 0.5 * (w.l + w.b),
+                 0.5 * ((0.5 * e.value + 0.5 * (w.l + w.b)) - w.l) + 0.5 * w.b,
+                 w.sae + abs(e.value - (w.l + w.b)),
+                 w.sb + (e.value - (w.l + w.b))
+          FROM walk w JOIN seq e ON e.user_id = w.user_id AND e.pos = w.pos + 1),
+        fin AS (SELECT user_id, max(pos) AS last_pos FROM walk GROUP BY user_id)
+        SELECT w.user_id, t.n_events, t.n_events - 1 AS n_forecasts,
+               w.sae / (t.n_events - 1) AS mae,
+               w.sb / (t.n_events - 1) AS bias
+        FROM walk w
+        JOIN fin f ON w.user_id = f.user_id AND w.pos = f.last_pos
+        JOIN stats t ON t.user_id = w.user_id
+        WHERE t.n_events >= 2
+        ORDER BY w.user_id""")),
+
+    // -------------------------------------------------------------------
+    // One-way ANOVA F-test of order value across the five order
+    // priorities — the "does this segmentation explain any variance"
+    // gate an experimentation platform runs before shipping a split.
+    // Per-group n / sum(cents) / sum(cents^2) are exact integers
+    // (DECIMAL(38,0) / HUGEINT for the squares); the only double layer
+    // is the final one-row F computation, folded over the group list in
+    // sorted-group order so both engines add in the same sequence.
+    // F and eta^2 are floor-quantized micro/ppm. Scale: a partial
+    // aggregate to 5 group rows, then a single-row reduce — no shuffle
+    // beyond the groupBy.
+    QueryDef("q126_anova_f",
+      (s, d) => {
+        Tables.orders(s, d)
+          .select(col("o_orderpriority").as("grp"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+          .groupBy("grp")
+          .agg(count(ONE).as("n"), sum(col("cents")).as("s"),
+            sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("ss"))
+          .agg(count(ONE).as("k"), sum(col("n")).as("n_total"),
+            sum(col("s")).as("stot"), sum(col("ss")).as("sstot"),
+            expr("""aggregate(
+                      transform(sort_array(collect_list(struct(grp, n, s))),
+                        x -> CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE) / CAST(x.n AS DOUBLE)),
+                      CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("t"))
+          .select(col("k"), col("n_total"),
+            expr("""CAST(floor(1000000 * (
+                      ((t - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n_total AS DOUBLE)) / (k - 1))
+                      / (((CAST(sstot AS DOUBLE) - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n_total AS DOUBLE))
+                          - (t - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n_total AS DOUBLE))) / (n_total - k))))
+                    AS BIGINT)""").as("f_micro"),
+            expr("""CAST(floor(1000000 * (
+                      (t - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n_total AS DOUBLE))
+                      / (CAST(sstot AS DOUBLE) - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n_total AS DOUBLE))))
+                    AS BIGINT)""").as("eta2_ppm"),
+            (col("k") - 1).as("df1"), (col("n_total") - col("k")).as("df2"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT o_orderpriority AS grp, count(*) AS n,
+                 CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS s,
+                 sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS HUGEINT)
+                     * CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS ss
+          FROM orders GROUP BY o_orderpriority),
+        tot AS (
+          SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+                 CAST(sum(s) AS BIGINT) AS stot, sum(ss) AS sstot,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY grp)),
+                   (acc, x) -> acc + x) AS t
+          FROM g)
+        SELECT k, n_total,
+               CAST(floor(1000000 * (
+                 ((t - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n_total AS DOUBLE)) / (k - 1))
+                 / (((CAST(sstot AS DOUBLE) - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n_total AS DOUBLE))
+                     - (t - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n_total AS DOUBLE))) / (n_total - k))))
+               AS BIGINT) AS f_micro,
+               CAST(floor(1000000 * (
+                 (t - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n_total AS DOUBLE))
+                 / (CAST(sstot AS DOUBLE) - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n_total AS DOUBLE))))
+               AS BIGINT) AS eta2_ppm,
+               k - 1 AS df1, n_total - k AS df2
+        FROM tot""")),
+
+    // -------------------------------------------------------------------
+    // STL-lite seasonal decomposition of daily revenue: 7-observation
+    // centered moving-average trend, day-of-week seasonal means over the
+    // detrended series, and the residual — entirely in EXACT integers by
+    // working in a x7 fixed-point scale (cents/7 units): trend7 is just
+    // the 7-day window sum, detrended7 = 7*rev - trend7, and the
+    // seasonal mean uses the positivity-shift floor division (s_num can
+    // be negative; |s_num| <= days_per_dow * 7 * max_daily_cents, far
+    // under the 1e13 shift x count headroom). dow is days-since-epoch
+    // mod 7 (engine-neutral, unlike dayofweek()). Scale: one daily
+    // partial aggregate, a 7-row window, a 7-row broadcast join back.
+    QueryDef("q127_seasonal_decompose",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .cast("long").as("rev_cents"))
+          .withColumn("dow", expr("CAST(datediff(day, DATE'1970-01-01') % 7 AS INT)"))
+        val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+        val trended = daily
+          .withColumn("cnt7", count(ONE).over(w7))
+          .withColumn("trend_c7", sum(col("rev_cents")).over(w7))
+          .filter(col("cnt7") === 7)
+          .withColumn("detr_c7", expr("7 * rev_cents - trend_c7"))
+        val seasonal = trended.groupBy(col("dow").as("sd"))
+          .agg(expr("CAST((sum(detr_c7) + 10000000000000 * count(1)) div count(1) - 10000000000000 AS BIGINT)")
+            .as("seasonal_c7"))
+        trended.join(broadcast(seasonal), col("dow") === col("sd"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dow"), col("rev_cents"), col("trend_c7"),
+            col("seasonal_c7"),
+            (col("detr_c7") - col("seasonal_c7")).as("rem_c7"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+          FROM orders GROUP BY 1),
+        win AS (
+          SELECT day, CAST(datediff('day', DATE '1970-01-01', day) % 7 AS INT) AS dow, rev_cents,
+                 count(*) OVER w AS cnt7,
+                 CAST(sum(rev_cents) OVER w AS BIGINT) AS trend_c7
+          FROM daily
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        trended AS (
+          SELECT day, dow, rev_cents, trend_c7, 7 * rev_cents - trend_c7 AS detr_c7
+          FROM win WHERE cnt7 = 7),
+        seasonal AS (
+          SELECT dow AS sd,
+                 CAST((sum(detr_c7) + 10000000000000 * count(*)) // count(*)
+                      - 10000000000000 AS BIGINT) AS seasonal_c7
+          FROM trended GROUP BY dow)
+        SELECT strftime(day, '%Y-%m-%d') AS day, dow, rev_cents, trend_c7, seasonal_c7,
+               detr_c7 - seasonal_c7 AS rem_c7
+        FROM trended JOIN seasonal ON dow = sd
+        ORDER BY day"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

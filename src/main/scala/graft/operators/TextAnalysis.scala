@@ -1375,7 +1375,190 @@ object TextAnalysis {
           FROM scored)
         SELECT rank, sh AS ngram, early_docs, late_docs, early_ppm, late_ppm, delta_ppm
         FROM ranked WHERE rank <= 10
-        ORDER BY rank"""))
+        ORDER BY rank""")),
+
+    // -------------------------------------------------------------------
+    // Burrows' Delta stylometry between language sub-corpora: for the
+    // 20 most frequent corpus tokens (count desc, token tie-break),
+    // z-score each language's exact relative frequency (ppm integers)
+    // against the across-language mean/sd, and report delta(a,b) =
+    // mean |z_a - z_b| per language pair — the classic authorship /
+    // register distance (Burrows 2002). Everything is exact integers
+    // until the z layer (one identical double expression per engine);
+    // delta is floor-quantized micro. Zero-variance tokens are dropped
+    // by the exact integer test n*sumsq > sum^2. Scale: the marker
+    // table is 20 x |langs| — broadcast-sized by construction.
+    QueryDef("t30_burrows_delta",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ", -1)).as("tok"))
+          .filter(col("tok") =!= "")
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("ct"))
+          .orderBy(col("ct").desc, col("tok")).limit(20)
+          .select(col("tok").as("mt"))
+        val ltot = toks.groupBy(col("lang").as("lt")).agg(count(lit(1)).as("nl"))
+        val freq = toks.join(broadcast(top), col("tok") === col("mt"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+          .join(ltot, col("lang") === col("lt"))
+          .select(col("lang"), col("tok"), expr("1000000 * c div nl").as("ppm"))
+        // every (lang, marker) cell must exist: a lang that never uses a
+        // marker has ppm 0, not a missing row
+        val langs = ltot.select(col("lt").as("lang"))
+        val cells = langs.crossJoin(broadcast(top.select(col("mt").as("tok"))))
+          .join(freq, Seq("lang", "tok"), "left")
+          .select(col("lang"), col("tok"), coalesce(col("ppm"), lit(0L)).as("ppm"))
+        val stats = cells.groupBy(col("tok").as("st"))
+          .agg(count(lit(1)).as("nlang"), sum(col("ppm")).as("sp"),
+            sum(expr("CAST(ppm AS DECIMAL(38,0)) * ppm")).as("spp"))
+          .filter(expr("nlang * spp > CAST(sp AS DECIMAL(38,0)) * sp"))
+        val z = cells.join(broadcast(stats), col("tok") === col("st"))
+          .select(col("lang"), col("tok"),
+            expr("""(CAST(ppm AS DOUBLE) - CAST(sp AS DOUBLE) / nlang)
+                    / (sqrt(CAST(nlang * spp - CAST(sp AS DECIMAL(38,0)) * sp AS DOUBLE)) / nlang)""")
+              .as("z"))
+        val a = z.select(col("lang").as("lang_a"), col("tok"), col("z").as("za"))
+        val b = z.select(col("lang").as("lang_b"), col("tok").as("tb"), col("z").as("zb"))
+        a.join(b, col("tok") === col("tb") && col("lang_a") < col("lang_b"))
+          .groupBy("lang_a", "lang_b")
+          .agg(count(lit(1)).as("n_markers"),
+            expr("""CAST(floor(1000000 * aggregate(
+                      transform(sort_array(collect_list(struct(tok, za, zb))), x -> abs(x.za - x.zb)),
+                      CAST(0 AS DOUBLE), (acc, x) -> acc + x) / count(1)) AS BIGINT)""")
+              .as("delta_micro"))
+          .orderBy("lang_a", "lang_b")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT lang, u.tok
+          FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+          WHERE u.tok <> ''),
+        top AS (
+          SELECT tok AS mt FROM (
+            SELECT tok, count(*) AS ct FROM toks GROUP BY tok
+            ORDER BY ct DESC, tok LIMIT 20)),
+        ltot AS (SELECT lang AS lt, count(*) AS nl FROM toks GROUP BY lang),
+        freq AS (
+          SELECT lang, tok, 1000000 * count(*) // max(nl) AS ppm
+          FROM toks JOIN top ON tok = mt JOIN ltot ON lang = lt
+          GROUP BY lang, tok),
+        cells AS (
+          SELECT l.lt AS lang, t.mt AS tok, coalesce(f.ppm, 0) AS ppm
+          FROM ltot l CROSS JOIN top t
+          LEFT JOIN freq f ON f.lang = l.lt AND f.tok = t.mt),
+        stats AS (
+          SELECT tok AS st, count(*) AS nlang, CAST(sum(ppm) AS BIGINT) AS sp,
+                 sum(CAST(ppm AS HUGEINT) * ppm) AS spp
+          FROM cells GROUP BY tok
+          HAVING count(*) * sum(CAST(ppm AS HUGEINT) * ppm)
+                 > CAST(sum(ppm) AS HUGEINT) * sum(ppm)),
+        z AS (
+          SELECT lang, tok,
+                 (CAST(ppm AS DOUBLE) - CAST(sp AS DOUBLE) / nlang)
+                 / (sqrt(CAST(nlang * spp - CAST(sp AS HUGEINT) * sp AS DOUBLE)) / nlang) AS z
+          FROM cells JOIN stats ON tok = st),
+        pairs AS (
+          SELECT a.lang AS lang_a, b.lang AS lang_b, a.tok, a.z AS za, b.z AS zb
+          FROM z a JOIN z b ON a.tok = b.tok AND a.lang < b.lang)
+        SELECT lang_a, lang_b, count(*) AS n_markers,
+               CAST(floor(1000000 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(abs(za - zb) ORDER BY tok)),
+                 (acc, x) -> acc + x) / count(*)) AS BIGINT) AS delta_micro
+        FROM pairs
+        GROUP BY lang_a, lang_b
+        ORDER BY lang_a, lang_b""")),
+
+    // -------------------------------------------------------------------
+    // Heaps'-law fit of vocabulary growth: walk the corpus in doc_id
+    // order, track cumulative token count N(d) and cumulative distinct
+    // vocabulary V(d) (a token's first appearance is min(doc_id) — one
+    // groupBy, no per-prefix re-distinct), and least-squares fit
+    // ln V = ln k + beta ln N over the per-doc curve points. The ln
+    // values are floor-quantized to EXACT milli-nat integers per row
+    // (same double -> same int both engines), so the regression sums are
+    // order-free exact integer aggregates; the slope/intercept layer is
+    // one division of DECIMAL(38,0)/HUGEINT-widened exact products.
+    // beta ~ 0.5-0.9 for natural text (Heaps 1978). Scale: token flow is
+    // one groupBy(token) + one groupBy(doc); the curve window runs over
+    // per-doc rows only.
+    QueryDef("t31_heaps_law",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+          .filter(col("tok") =!= "")
+        val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+        val firsts = toks.groupBy("tok").agg(min(col("doc_id")).as("fd"))
+          .groupBy(col("fd").as("fdoc")).agg(count(lit(1)).as("new_types"))
+        val w = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val curve = perDoc
+          .join(firsts, col("doc_id") === col("fdoc"), "left")
+          .select(col("doc_id"), col("n_toks"),
+            coalesce(col("new_types"), lit(0L)).as("nt"))
+          .withColumn("cum_n", sum(col("n_toks")).over(w))
+          .withColumn("cum_v", sum(col("nt")).over(w))
+          .filter(col("cum_n") > 0 && col("cum_v") > 0)
+          .select(
+            expr("CAST(floor(1000 * ln(CAST(cum_n AS DOUBLE))) AS BIGINT)").as("x3"),
+            expr("CAST(floor(1000 * ln(CAST(cum_v AS DOUBLE))) AS BIGINT)").as("y3"),
+            col("cum_n"), col("cum_v"))
+        curve.agg(count(lit(1)).as("n_points"),
+            max(col("cum_n")).as("total_tokens"), max(col("cum_v")).as("vocab"),
+            sum(col("x3")).as("sx"), sum(col("y3")).as("sy"),
+            sum(expr("CAST(x3 AS DECIMAL(38,0)) * y3")).as("sxy"),
+            sum(expr("CAST(x3 AS DECIMAL(38,0)) * x3")).as("sxx"))
+          .select(col("n_points"), col("total_tokens"), col("vocab"),
+            expr("""CAST(floor(1000000 *
+                      (CAST(n_points * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                       / CAST(n_points * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)))
+                    AS BIGINT)""").as("beta_micro"),
+            expr("""CAST(floor(1000 *
+                      ((CAST(sy AS DOUBLE)
+                        - (CAST(n_points * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                           / CAST(n_points * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE)))
+                    AS BIGINT)""").as("lnk_milli"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, u.tok
+          FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+          WHERE u.tok <> ''),
+        per_doc AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id),
+        firsts AS (
+          SELECT fd AS fdoc, count(*) AS new_types FROM (
+            SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok)
+          GROUP BY fd),
+        curve AS (
+          SELECT CAST(floor(1000 * ln(CAST(cum_n AS DOUBLE))) AS BIGINT) AS x3,
+                 CAST(floor(1000 * ln(CAST(cum_v AS DOUBLE))) AS BIGINT) AS y3,
+                 cum_n, cum_v
+          FROM (
+            SELECT p.doc_id,
+                   CAST(sum(p.n_toks) OVER w AS BIGINT) AS cum_n,
+                   CAST(sum(coalesce(f.new_types, 0)) OVER w AS BIGINT) AS cum_v
+            FROM per_doc p LEFT JOIN firsts f ON p.doc_id = f.fdoc
+            WINDOW w AS (ORDER BY p.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          WHERE cum_n > 0 AND cum_v > 0),
+        sums AS (
+          SELECT count(*) AS n_points,
+                 CAST(max(cum_n) AS BIGINT) AS total_tokens,
+                 CAST(max(cum_v) AS BIGINT) AS vocab,
+                 CAST(sum(x3) AS BIGINT) AS sx, CAST(sum(y3) AS BIGINT) AS sy,
+                 sum(CAST(x3 AS HUGEINT) * y3) AS sxy,
+                 sum(CAST(x3 AS HUGEINT) * x3) AS sxx
+          FROM curve)
+        SELECT n_points, total_tokens, vocab,
+               CAST(floor(1000000 *
+                 (CAST(n_points * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / CAST(n_points * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)))
+               AS BIGINT) AS beta_micro,
+               CAST(floor(1000 *
+                 ((CAST(sy AS DOUBLE)
+                   - (CAST(n_points * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                      / CAST(n_points * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE)))
+               AS BIGINT) AS lnk_milli
+        FROM sums"""))
   )
 
   /** Shared lang-id model + per-doc prediction (the t01 pipeline minus
