@@ -63,7 +63,8 @@ object DumpPlans {
       "s20_kcenter_seed", "q120_sax", "q121_cohens_kappa",
       "q122_bollinger", "q123_rsi", "q124_peak_concurrency",
       "t30_burrows_delta", "m14_entropy_segments", "q125_forecast_backtest",
-      "q126_anova_f", "q127_seasonal_decompose", "t31_heaps_law")
+      "q126_anova_f", "q127_seasonal_decompose", "t31_heaps_law",
+      "st20_stream_forecast", "m15_loudness_gain", "p18_dataset_card")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

@@ -899,6 +899,87 @@ object Multimodal {
           FROM binned GROUP BY doc_id, window_id)
         SELECT doc_id, window_id, n_bins, h_micro, h_micro > 2000000 AS compressed_like
         FROM win
-        ORDER BY doc_id, window_id"""))
+        ORDER BY doc_id, window_id""")),
+
+    // -------------------------------------------------------------------
+    // ReplayGain-lite loudness normalization plan: per track (payload as
+    // 16-bit LE PCM, m07's convention) the exact integer sufficient
+    // statistics (n, sum of squares, peak |sample|) come from one narrow
+    // typed pass — no shuffle until the final per-doc rows. The double
+    // layer on top is dBFS loudness 10*log10(ms/32768^2), the gain to a
+    // -20 dBFS target, and the peak headroom — and the clip decision
+    // compares the two FLOOR-QUANTIZED micro-dB integers, so it is an
+    // exact integer comparison, not a float one. Silent tracks
+    // (sum_sq = 0) are excluded (log of zero).
+    QueryDef("m15_loudness_gain",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        mediaFromDocuments(s, d)
+          .flatMap { r =>
+            val bytes = r.payload
+            val nSamples = bytes.length / 2
+            if (nSamples == 0) None
+            else {
+              var sumSq = 0L
+              var peak = 0L
+              var k = 0
+              while (k < nSamples) {
+                val raw = (bytes(2 * k) & 0xff) | ((bytes(2 * k + 1) & 0xff) << 8)
+                val sgn = if (raw >= 32768) raw - 65536 else raw
+                sumSq += sgn.toLong * sgn
+                val a = math.abs(sgn.toLong)
+                if (a > peak) peak = a
+                k += 1
+              }
+              if (sumSq == 0L) None else Some((r.doc_id, nSamples, sumSq, peak))
+            }
+          }
+          .toDF("doc_id", "n_samples", "sum_sq", "peak")
+          .select(col("doc_id"), col("n_samples").cast("int").as("n_samples"),
+            col("sum_sq"), col("peak"),
+            expr("""CAST(floor(1000000 * 10 * log10(
+                      CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)
+                      / CAST(1073741824 AS DOUBLE))) AS BIGINT)""").as("loudness_udb"),
+            expr("""CAST(floor(1000000 * (CAST(-20 AS DOUBLE) - 10 * log10(
+                      CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)
+                      / CAST(1073741824 AS DOUBLE)))) AS BIGINT)""").as("gain_udb"),
+            expr("""CAST(floor(1000000 * 20 * log10(
+                      CAST(peak AS DOUBLE) / CAST(32767 AS DOUBLE))) AS BIGINT)""")
+              .as("headroom_udb"))
+          .withColumn("would_clip", col("gain_udb") > -col("headroom_udb"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, length(text) // 2 AS ns
+          FROM documents WHERE length(text) >= 2),
+        samples AS (
+          SELECT doc_id, ascii(substring(text, CAST(2 * u.k + 1 AS INT), 1))
+                 + 256 * ascii(substring(text, CAST(2 * u.k + 2 AS INT), 1)) AS raw
+          FROM t, unnest(generate_series(0, ns - 1)) AS u(k)),
+        signed AS (
+          SELECT doc_id, CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS sv
+          FROM samples),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_samples,
+                 CAST(sum(CAST(sv AS BIGINT) * sv) AS BIGINT) AS sum_sq,
+                 CAST(max(abs(sv)) AS BIGINT) AS peak
+          FROM signed GROUP BY doc_id),
+        scored AS (
+          SELECT doc_id, n_samples, sum_sq, peak,
+                 CAST(floor(1000000 * 10 * log10(
+                   CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)
+                   / CAST(1073741824 AS DOUBLE))) AS BIGINT) AS loudness_udb,
+                 CAST(floor(1000000 * (CAST(-20 AS DOUBLE) - 10 * log10(
+                   CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)
+                   / CAST(1073741824 AS DOUBLE)))) AS BIGINT) AS gain_udb,
+                 CAST(floor(1000000 * 20 * log10(
+                   CAST(peak AS DOUBLE) / CAST(32767 AS DOUBLE))) AS BIGINT) AS headroom_udb
+          FROM agg WHERE sum_sq > 0)
+        SELECT doc_id, n_samples, sum_sq, peak, loudness_udb, gain_udb, headroom_udb,
+               gain_udb > -headroom_udb AS would_clip
+        FROM scored
+        ORDER BY doc_id"""))
   )
 }

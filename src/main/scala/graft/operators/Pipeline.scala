@@ -811,6 +811,94 @@ object Pipeline {
                1000000 * (n_docs * max_tokens - sum_tokens)
                  // (n_docs * max_tokens) AS waste_ppm
         FROM uni
-        ORDER BY bucket"""))
+        ORDER BY bucket""")),
+
+    // -------------------------------------------------------------------
+    // Per-source dataset card — the datasheet a curation pipeline stamps
+    // on every corpus slice before release: volume (docs/chars/tokens),
+    // language mix (count + deterministic top language), exact-dup
+    // exposure (docs whose full-text hash repeats ANYWHERE in the
+    // corpus, d01's sha2 key), and the exact lower-median doc length.
+    // Everything is exact integers: the mode and median use
+    // deterministic row_number picks (count desc / lang asc; lower
+    // median at floor((n+1)/2)), dup exposure is a 32-byte-hash
+    // equi-join, ppm is integer division. Scale: two groupBys + one
+    // hash join; no per-doc state survives the aggregates.
+    QueryDef("p18_dataset_card",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            expr(NTOK).as("n_tokens"), sha2(col("text"), 256).as("h"))
+        val base = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+            sum(col("n_tokens")).as("total_tokens"),
+            countDistinct(col("lang")).as("n_langs"))
+        val topLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("lc"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy(col("lc").desc, col("lang"))))
+          .filter(col("rn") === 1)
+          .select(col("source").as("s1"), col("lang").as("top_lang"))
+        val dupHashes = docs.groupBy("h").agg(count(lit(1)).as("hc"))
+          .filter(col("hc") > 1).select(col("h").as("dh"))
+        val dups = docs.join(dupHashes, col("h") === col("dh"))
+          .groupBy(col("source").as("s2")).agg(count(lit(1)).as("dup_docs"))
+        val med = docs
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy("source")))
+          .filter(expr("rn = (nn + 1) div 2"))
+          .select(col("source").as("s3"), col("n_chars").as("median_chars"))
+        base
+          .join(topLang, col("source") === col("s1"))
+          .join(dups, col("source") === col("s2"), "left")
+          .join(med, col("source") === col("s3"))
+          .select(col("source"), col("n_docs"), col("total_chars"),
+            col("total_tokens"), col("n_langs"), col("top_lang"),
+            coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+            expr("1000000 * coalesce(dup_docs, 0) div n_docs").as("dup_ppm"),
+            col("median_chars"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, source, lang, n_chars, $ONTOK AS n_tokens,
+                 sha256(text) AS h
+          FROM documents),
+        base AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 count(DISTINCT lang) AS n_langs
+          FROM docs GROUP BY source),
+        top_lang AS (
+          SELECT source AS s1, lang AS top_lang FROM (
+            SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY count(*) DESC, lang) AS rn
+            FROM docs GROUP BY source, lang)
+          WHERE rn = 1),
+        dup_hashes AS (
+          SELECT h AS dh FROM docs GROUP BY h HAVING count(*) > 1),
+        dups AS (
+          SELECT source AS s2, count(*) AS dup_docs
+          FROM docs JOIN dup_hashes ON h = dh
+          GROUP BY source),
+        med AS (
+          SELECT source AS s3, n_chars AS median_chars FROM (
+            SELECT source, n_chars, doc_id,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS nn
+            FROM docs)
+          WHERE rn = (nn + 1) // 2)
+        SELECT b.source, n_docs, total_chars, total_tokens, n_langs, top_lang,
+               coalesce(dup_docs, 0) AS dup_docs,
+               1000000 * coalesce(dup_docs, 0) // n_docs AS dup_ppm,
+               median_chars
+        FROM base b
+        JOIN top_lang ON b.source = s1
+        LEFT JOIN dups ON b.source = s2
+        JOIN med ON b.source = s3
+        ORDER BY b.source"""))
   )
 }

@@ -861,7 +861,40 @@ object Streams {
           FROM curve)
         SELECT user_id, event_id, eq, peak, peak - eq AS drawdown
         FROM peaked
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // -------------------------------------------------------------------
+    // Streaming one-step-ahead forecaster (q125's online form): every
+    // arriving event is first scored against the PRIOR Holt state's
+    // forecast l+b, then folded into the state (alpha = gamma = 1/2,
+    // q97/q125's exact double contract). The streaming state is ONE
+    // (l, b, count) triple per user ([[ForecastProcessor]]);
+    // StreamingSpec proves stream == batch bit-for-bit on the doubles,
+    // with state carried across micro-batch boundaries. The batch twin
+    // replays the walk in a single sequential fold that APPENDS each
+    // step's (forecast, err) — same recursion, declarative plan.
+    QueryDef("st20_stream_forecast",
+      (s, d) => forecastRows(Tables.events(s, d)).orderBy("user_id", "pos"),
+      Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        seq AS (
+          SELECT user_id, event_id, value,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS INT) AS pos
+          FROM ev),
+        walk(user_id, pos, l, b, event_id, forecast, err) AS (
+          SELECT user_id, 1, value, CAST(0 AS DOUBLE),
+                 CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          FROM seq WHERE pos = 1
+          UNION ALL
+          SELECT w.user_id, e.pos,
+                 0.5 * e.value + 0.5 * (w.l + w.b),
+                 0.5 * ((0.5 * e.value + 0.5 * (w.l + w.b)) - w.l) + 0.5 * w.b,
+                 e.event_id, w.l + w.b, e.value - (w.l + w.b)
+          FROM walk w JOIN seq e ON e.user_id = w.user_id AND e.pos = w.pos + 1)
+        SELECT user_id, event_id, pos, forecast, err
+        FROM walk WHERE pos >= 2
+        ORDER BY user_id, pos"""))
   )
 
   /** Pattern window for [[sequenceDetect]]: the view->click->purchase
@@ -943,6 +976,49 @@ object Streams {
 
   final case class EvT(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
+
+  /** Batch twin of the streaming one-step forecaster: one sequential
+    * fold per user over the time-ordered values, appending each step's
+    * (event_id, pos, forecast = prior l+b, err) before the Holt state
+    * update — the SAME double recursion as q125 and
+    * [[ForecastProcessor]] (alpha = gamma = 1/2, identical op order).
+    * Scale: one shuffle to the user key; per-user series are
+    * fixture-bounded (the q88/q94 per-key contract).
+    */
+  def forecastRows(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("sort_array(collect_list(struct(us, event_id, value)))").as("evs"))
+      .filter(col("n_events") >= 2)
+      .withColumn("fin", expr(
+        """aggregate(slice(evs, 2, size(evs) - 1),
+            named_struct('l', element_at(evs, 1).value, 'b', CAST(0 AS DOUBLE),
+              'outs', CAST(array() AS
+                ARRAY<STRUCT<event_id: BIGINT, pos: INT, forecast: DOUBLE, err: DOUBLE>>)),
+            (acc, x) -> named_struct(
+              'l', 0.5 * x.value + 0.5 * (acc.l + acc.b),
+              'b', 0.5 * ((0.5 * x.value + 0.5 * (acc.l + acc.b)) - acc.l) + 0.5 * acc.b,
+              'outs', array_append(acc.outs, named_struct(
+                'event_id', x.event_id, 'pos', CAST(size(acc.outs) + 2 AS INT),
+                'forecast', acc.l + acc.b, 'err', x.value - (acc.l + acc.b)))))"""))
+      .select(col("user_id"), explode(col("fin.outs")).as("o"))
+      .select(col("user_id"), col("o.event_id").as("event_id"), col("o.pos").as("pos"),
+        col("o.forecast").as("forecast"), col("o.err").as("err"))
+
+  final case class FcOut(user_id: Long, event_id: Long, pos: Int,
+    forecast: Double, err: Double)
+  final case class FcState(l: Double, b: Double, cnt: Int)
+
+  def forecastStream(spark: SparkSession, events: Dataset[EvT]): Dataset[FcOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ForecastProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 
   /** One CUSUM step on the exact micro-unit statistic: clip at zero,
     * alarm + reset above the threshold. Target 50 units + slack 20
@@ -1336,5 +1412,43 @@ class DrawdownProcessor
     }
     if (flows.nonEmpty) st.update(s)
     out.iterator
+  }
+}
+
+/** State-API-v2 processor for [[Streams.forecastRows]]'s online form:
+  * one (l, b, cnt) ValueState per user. Each arriving event (sorted by
+  * event time within the micro-batch, like [[DrawdownProcessor]]) is
+  * scored against the prior state's one-step forecast l+b, THEN folded
+  * into the Holt recursion — the exact double op order of the batch
+  * fold, so stream == batch bit-for-bit.
+  */
+class ForecastProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Streams.EvT, Streams.FcOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[Streams.FcState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Streams.FcState]("fc",
+      org.apache.spark.sql.Encoders.product[Streams.FcState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Streams.EvT],
+      tv: TimerValues): Iterator[Streams.FcOut] = {
+    val evs = rows.toSeq.sortBy(e => (Streams.usOf(e.ts), e.event_id))
+    var s = if (st.exists()) st.get() else Streams.FcState(0.0, 0.0, 0)
+    val out = Seq.newBuilder[Streams.FcOut]
+    evs.foreach { e =>
+      if (s.cnt == 0) {
+        s = Streams.FcState(e.value, 0.0, 1)
+      } else {
+        val f = s.l + s.b
+        out += Streams.FcOut(user, e.event_id, s.cnt + 1, f, e.value - f)
+        val nl = 0.5 * e.value + 0.5 * (s.l + s.b)
+        val nb = 0.5 * (nl - s.l) + 0.5 * s.b
+        s = Streams.FcState(nl, nb, s.cnt + 1)
+      }
+    }
+    if (evs.nonEmpty) st.update(s)
+    out.result().iterator
   }
 }

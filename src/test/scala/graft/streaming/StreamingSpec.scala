@@ -751,4 +751,45 @@ class StreamingSpec extends SparkSpec {
       got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
     } finally q.stop()
   }
+
+  test("state API v2 one-step forecaster == the st20 batch fold") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-fc")
+    writeOrderedFiles(dir, 3)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Streams.EvT]
+      val q = Streams.forecastStream(spark, stream)
+        .writeStream.format("memory").queryName("fc_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("fc_stream").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            ((r.getInt(2), r.getDouble(3), r.getDouble(4))))
+          .toMap
+        val want = Streams.forecastRows(eventsBatch).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            ((r.getInt(2), r.getDouble(3), r.getDouble(4))))
+          .toMap
+        assert(got.size == want.size, s"${got.size} != ${want.size}")
+        // exact: both sides walk the identical double recursion
+        assert(got == want)
+        // a state carried across micro-batches produced a forecast: some
+        // pos >= 2 row exists whose err differs from the naive x - x1
+        assert(got.values.exists(_._1 > 2), "all series ended inside one batch")
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
