@@ -64,7 +64,8 @@ object DumpPlans {
       "q122_bollinger", "q123_rsi", "q124_peak_concurrency",
       "t30_burrows_delta", "m14_entropy_segments", "q125_forecast_backtest",
       "q126_anova_f", "q127_seasonal_decompose", "t31_heaps_law",
-      "st20_stream_forecast", "m15_loudness_gain", "p18_dataset_card")
+      "st20_stream_forecast", "m15_loudness_gain", "p18_dataset_card",
+      "q128_cohort_ltv", "p19_boilerplate_scrub", "s21_mrr_eval")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

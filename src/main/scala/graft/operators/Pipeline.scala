@@ -899,6 +899,63 @@ object Pipeline {
         JOIN top_lang ON b.source = s1
         LEFT JOIN dups ON b.source = s2
         JOIN med ON b.source = s3
-        ORDER BY b.source"""))
+        ORDER BY b.source""")),
+
+    // -------------------------------------------------------------------
+    // C4-style boilerplate scrub: any 8-token span occurring in >= 3
+    // DISTINCT documents is boilerplate (nav bars, license headers,
+    // templated sentences); a doc's contaminated token positions are the
+    // UNION of its flagged spans (overlaps counted once via a distinct
+    // position set), and the card reports the exact scrubbed token
+    // count. All integers. Scale: the gram table shuffles on the gram
+    // string (d04/p02's blocking shape — high cardinality, never
+    // all-pairs); position coverage explodes at most 8x the flagged
+    // spans, then collapses in one distinct + count.
+    QueryDef("p19_boilerplate_scrub",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 8)
+        val grams = t
+          .select(col("doc_id"), col("toks"),
+            explode(expr("sequence(0, size(toks) - 8)")).as("i"))
+          .select(col("doc_id"), col("i"),
+            expr("concat_ws(' ', slice(toks, i + 1, 8))").as("g"))
+        val boiler = grams.groupBy("g")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 3).select(col("g").as("bg"))
+        val covered = grams.join(boiler, col("g") === col("bg"))
+          .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("pos"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("boiler_tokens"))
+        t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+          .join(covered, Seq("doc_id"))
+          .select(col("doc_id"), col("n_tokens"), col("boiler_tokens"),
+            expr("1000000 * boiler_tokens div n_tokens").as("boiler_ppm"),
+            (col("n_tokens") - col("boiler_tokens")).as("clean_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        grams AS (
+          SELECT doc_id, u.i - 1 AS i,
+                 array_to_string(toks[u.i:u.i+7], ' ') AS g
+          FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+        boiler AS (
+          SELECT g AS bg FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+        covered AS (
+          SELECT doc_id, count(*) AS boiler_tokens FROM (
+            SELECT DISTINCT doc_id, i + p.k AS pos
+            FROM grams JOIN boiler ON g = bg,
+                 unnest(generate_series(0, 7)) AS p(k))
+          GROUP BY doc_id),
+        lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+        SELECT l.doc_id, n_tokens, boiler_tokens,
+               1000000 * boiler_tokens // n_tokens AS boiler_ppm,
+               n_tokens - boiler_tokens AS clean_tokens
+        FROM lens l JOIN covered c ON l.doc_id = c.doc_id
+        ORDER BY l.doc_id"""))
   )
 }

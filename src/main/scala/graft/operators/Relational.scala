@@ -5427,7 +5427,67 @@ object Relational {
         SELECT strftime(day, '%Y-%m-%d') AS day, dow, rev_cents, trend_c7, seasonal_c7,
                detr_c7 - seasonal_c7 AS rem_c7
         FROM trended JOIN seasonal ON dow = sd
-        ORDER BY day"""))
+        ORDER BY day""")),
+
+    // -------------------------------------------------------------------
+    // Cohort LTV matrix (q33 retention's revenue sibling): users are
+    // cohorted by the epoch-week (days-since-epoch div 7, engine-neutral;
+    // the fixture spans one month, so week grain gives a real triangle)
+    // of their first event; each purchase lands in (cohort, weeks_since)
+    // and the cumulative revenue per cohort user is the triangular LTV
+    // curve finance teams read. All money is exact cents; ltv-per-user
+    // is integer division of nonneg ints. Scale: one groupBy(user) for
+    // cohorts, a broadcast-sized matrix aggregate, a cumsum window over
+    // months_since within each cohort row (bounded by the date span).
+    QueryDef("q128_cohort_ltv",
+      (s, d) => {
+        val firsts = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(min(expr("datediff(ts, TIMESTAMP'1970-01-01 00:00:00') div 7")).as("cohort_w"))
+        val cohortSize = firsts.groupBy(col("cohort_w").as("cm"))
+          .agg(count(ONE).as("n_users"))
+        val buys = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("datediff(ts, TIMESTAMP'1970-01-01 00:00:00') div 7").as("ev_w"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+          .join(firsts, Seq("user_id"))
+          .groupBy(col("cohort_w"), (col("ev_w") - col("cohort_w")).as("weeks_since"))
+          .agg(countDistinct(col("user_id")).as("n_buyers"),
+            sum(col("cents")).as("rev_cents"))
+        val w = Window.partitionBy("cohort_w").orderBy("weeks_since")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        buys
+          .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+          .join(broadcast(cohortSize), col("cohort_w") === col("cm"))
+          .select(col("cohort_w"), col("weeks_since"), col("n_users"),
+            col("n_buyers"), col("rev_cents"), col("cum_rev_cents"),
+            expr("cum_rev_cents div n_users").as("ltv_cents_per_user"))
+          .orderBy("cohort_w", "weeks_since")
+      },
+      Some("""
+        WITH firsts AS (
+          SELECT user_id,
+                 min(datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) // 7) AS cohort_w
+          FROM events GROUP BY user_id),
+        cohort_size AS (
+          SELECT cohort_w AS cm, count(*) AS n_users FROM firsts GROUP BY cohort_w),
+        buys AS (
+          SELECT f.cohort_w,
+                 datediff('day', TIMESTAMP '1970-01-01 00:00:00', e.ts) // 7 - f.cohort_w AS weeks_since,
+                 count(DISTINCT e.user_id) AS n_buyers,
+                 CAST(sum(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+          FROM events e JOIN firsts f ON e.user_id = f.user_id
+          WHERE e.event_type = 'purchase'
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT cohort_w, weeks_since, n_buyers, rev_cents,
+                 CAST(sum(rev_cents) OVER (PARTITION BY cohort_w ORDER BY weeks_since
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+          FROM buys)
+        SELECT cohort_w, weeks_since, n_users, n_buyers, rev_cents, cum_rev_cents,
+               cum_rev_cents // n_users AS ltv_cents_per_user
+        FROM cum JOIN cohort_size ON cohort_w = cm
+        ORDER BY cohort_w, weeks_since"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

@@ -1664,6 +1664,61 @@ object Similarity {
         UNION ALL SELECT 8, -1, max(md) FROM md8
         ORDER BY seed_rank"""
         sb.toString
-      })
+      }),
+
+    // -------------------------------------------------------------------
+    // Mean-reciprocal-rank retrieval eval: for each of the s01 sample
+    // queries, rank ALL other vectors by cosine (the s01 round(,6) +
+    // neighbor tie-break contract) and find the first neighbor sharing
+    // the query's label — the "rank of first relevant hit" metric that
+    // complements s15's NDCG (graded) and s16's AUC (threshold-free).
+    // RR is the exact rational 1000000 div rank; queries with no
+    // same-label neighbor report rank 0 / rr 0. Scale: the all-pairs
+    // scan is bounded by the deliberate s01 query sample (the brute
+    // baseline contract); min(rank | match) partial-aggregates.
+    QueryDef("s21_mrr_eval",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val q = e.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val ranked = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qlabel"), col("label"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"),
+            col("vec_id").as("neighbor"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))))
+        ranked.groupBy("qid", "qlabel")
+          .agg(min(when(col("label") === col("qlabel"), col("rank"))).as("hit"))
+          .select(col("qid"), col("qlabel"),
+            coalesce(col("hit"), lit(0)).cast("int").as("first_hit_rank"),
+            expr("CASE WHEN hit IS NULL THEN CAST(0 AS BIGINT) ELSE 1000000 div hit END")
+              .as("rr_ppm"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn
+              FROM n WHERE $QFILTER),
+        ranked AS (
+          SELECT qid, qlabel, label,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) DESC, vec_id) AS rank
+          FROM q JOIN n ON vec_id <> qid),
+        agg AS (
+          SELECT qid, qlabel,
+                 min(CASE WHEN label = qlabel THEN rank END) AS hit
+          FROM ranked GROUP BY qid, qlabel)
+        SELECT qid, qlabel,
+               CAST(coalesce(hit, 0) AS INT) AS first_hit_rank,
+               CASE WHEN hit IS NULL THEN CAST(0 AS BIGINT)
+                    ELSE 1000000 // hit END AS rr_ppm
+        FROM agg
+        ORDER BY qid"""))
   )
 }
