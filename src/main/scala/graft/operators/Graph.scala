@@ -962,6 +962,76 @@ object Graph {
         LEFT JOIN a1 ON n.doc_id = a1.auth
         LEFT JOIN h2 ON n.doc_id = h2.hub
         LEFT JOIN a2 ON n.doc_id = a2.auth
-        ORDER BY n.doc_id"""))
+        ORDER BY n.doc_id""")),
+
+    // -----------------------------------------------------------------
+    // Local bridges and tie embeddedness (Granovetter weak ties / Ugander
+    // embeddedness): an edge's embeddedness is its endpoints' common
+    // neighbor count; zero-embeddedness edges are LOCAL BRIDGES — the
+    // only paths between their neighborhoods, the edges information must
+    // cross (and the ones near-dup clustering must not cut). Also emits
+    // the neighborhood-Jaccard tie strength 1e6*cn div (da+db-2-cn) as
+    // exact integers. kNN graphs are wedge-rich but triangle-poor, so
+    // real bridges exist (spec asserts both classes occur). Scale: one
+    // wedge join on the shared endpoint + two broadcastable degree
+    // joins; never all-pairs.
+    QueryDef("g14_local_bridges",
+      (s, d) => {
+        val und = knnUndirectedEdges(s, d)
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val e1 = edges.select(col("src").as("w"), col("dst").as("u"))
+        val e2 = edges.select(col("src").as("w2"), col("dst").as("v"))
+        val cn = e1.join(e2, col("w") === col("w2") && col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("wcn"))
+        und
+          .join(cn, col("a") === col("u") && col("b") === col("v"), "left")
+          .join(deg.select(col("src").as("s1"), col("deg").as("da")), col("a") === col("s1"))
+          .join(deg.select(col("src").as("s2"), col("deg").as("db")), col("b") === col("s2"))
+          .select(col("a"), col("b"), coalesce(col("wcn"), lit(0L)).as("common_neighbors"),
+            col("da"), col("db"))
+          .withColumn("local_bridge", col("common_neighbors") === 0L)
+          .withColumn("overlap_ppm", expr(
+            """CASE WHEN da + db - 2 - common_neighbors > 0
+                    THEN 1000000 * common_neighbors div (da + db - 2 - common_neighbors)
+                    ELSE CAST(0 AS BIGINT) END"""))
+          .orderBy("a", "b")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n),
+        scored AS (
+          SELECT qid, vec_id AS nb,
+                 round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) AS cosine
+          FROM q JOIN n ON vec_id <> qid),
+        knn AS (
+          SELECT qid, nb FROM (
+            SELECT qid, nb,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nb) AS rn
+            FROM scored) WHERE rn <= 3),
+        und AS (
+          SELECT DISTINCT least(qid, nb) AS a, greatest(qid, nb) AS b FROM knn),
+        edges AS (
+          SELECT a AS src, b AS dst FROM und
+          UNION ALL
+          SELECT b AS src, a AS dst FROM und),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        cn AS (
+          SELECT e1.dst AS u, e2.dst AS v, count(*) AS wcn
+          FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+          GROUP BY e1.dst, e2.dst)
+        SELECT a, b, coalesce(wcn, 0) AS common_neighbors, da.deg AS da, db.deg AS db,
+               coalesce(wcn, 0) = 0 AS local_bridge,
+               CASE WHEN da.deg + db.deg - 2 - coalesce(wcn, 0) > 0
+                    THEN 1000000 * coalesce(wcn, 0) // (da.deg + db.deg - 2 - coalesce(wcn, 0))
+                    ELSE CAST(0 AS BIGINT) END AS overlap_ppm
+        FROM und
+        LEFT JOIN cn ON a = u AND b = v
+        JOIN deg da ON a = da.src
+        JOIN deg db ON b = db.src
+        ORDER BY a, b"""))
   )
 }

@@ -956,6 +956,60 @@ object Pipeline {
                1000000 * boiler_tokens // n_tokens AS boiler_ppm,
                n_tokens - boiler_tokens AS clean_tokens
         FROM lens l JOIN covered c ON l.doc_id = c.doc_id
-        ORDER BY l.doc_id"""))
+        ORDER BY l.doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Temperature-scaled mixture sampling (the mT5/XLM-R recipe, tau=2):
+    // sampling probability p_s ∝ share_s^(1/2), which upweights small
+    // sources relative to p04's raw proportional mix. The per-source
+    // token sums and share_ppm are exact integers; sqrt(share) and the
+    // normalizing sum are the one double layer, folded over the sorted
+    // 20-source list so both engines add in the same order. epochs_micro
+    // reports how many passes over source s a p_s-weighted draw of
+    // budget B = total/5 tokens implies — the oversampling-risk number
+    // mixture designers actually read. Scale: one partial agg to 20
+    // rows, then single-row arithmetic.
+    QueryDef("p20_temperature_mixture",
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .select(col("source"), expr(NTOK).as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+        val z = g.agg(sum(col("toks")).as("total"),
+          expr("""aggregate(
+                    transform(sort_array(collect_list(struct(source, toks))),
+                      x -> sqrt(CAST(x.toks AS DOUBLE))),
+                    CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("zsum"))
+        g.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"), col("toks").as("n_tokens"),
+            expr("1000000 * toks div total").as("share_ppm"),
+            expr("CAST(floor(1000000 * sqrt(CAST(toks AS DOUBLE)) / zsum) AS BIGINT)")
+              .as("p_ppm"),
+            expr("""CAST(floor(1000000 *
+                      ((CAST(total AS DOUBLE) / CAST(5 AS DOUBLE))
+                       * (sqrt(CAST(toks AS DOUBLE)) / zsum) / CAST(toks AS DOUBLE)))
+                    AS BIGINT)""").as("epochs_micro"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum($ONTOK) AS BIGINT) AS toks
+          FROM documents GROUP BY source),
+        z AS (
+          SELECT CAST(sum(toks) AS BIGINT) AS total,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(sqrt(CAST(toks AS DOUBLE)) ORDER BY source)),
+                   (acc, x) -> acc + x) AS zsum
+          FROM g)
+        SELECT source, n_docs, toks AS n_tokens,
+               1000000 * toks // total AS share_ppm,
+               CAST(floor(1000000 * sqrt(CAST(toks AS DOUBLE)) / zsum) AS BIGINT) AS p_ppm,
+               CAST(floor(1000000 *
+                 ((CAST(total AS DOUBLE) / CAST(5 AS DOUBLE))
+                  * (sqrt(CAST(toks AS DOUBLE)) / zsum) / CAST(toks AS DOUBLE)))
+               AS BIGINT) AS epochs_micro
+        FROM g CROSS JOIN z
+        ORDER BY source"""))
   )
 }

@@ -5487,7 +5487,77 @@ object Relational {
         SELECT cohort_w, weeks_since, n_users, n_buyers, rev_cents, cum_rev_cents,
                cum_rev_cents // n_users AS ltv_cents_per_user
         FROM cum JOIN cohort_size ON cohort_w = cm
-        ORDER BY cohort_w, weeks_since"""))
+        ORDER BY cohort_w, weeks_since""")),
+
+    // -------------------------------------------------------------------
+    // Golden-record survivorship merge (the MDM consolidation step): one
+    // consolidated profile per user where each attribute keeps its own
+    // "latest non-null wins" lineage — the newest click's campaign k,
+    // the newest purchase's cents, the newest event's type — resolved in
+    // ONE ascending window pass of IGNORE-NULLS carries (q91's
+    // machinery), then the final carried row is picked by rn=1 on the
+    // descending twin. Ties on us break by event_id. Plain aggregates
+    // (first/last seen, counts, max purchase) ride the same shuffle.
+    QueryDef("q129_golden_record",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val wAsc = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val carried = ev
+          .withColumn("last_click_k",
+            last(when(col("event_type") === "click", col("k")), ignoreNulls = true).over(wAsc))
+          .withColumn("last_purchase_cents",
+            last(when(col("event_type") === "purchase", col("cents")), ignoreNulls = true).over(wAsc))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("last_event_type"),
+            col("last_click_k"), col("last_purchase_cents"))
+        val aggs = ev.groupBy("user_id")
+          .agg(count(ONE).as("n_events"), min(col("us")).as("first_seen_us"),
+            max(col("us")).as("last_seen_us"),
+            max(when(col("event_type") === "purchase", col("cents"))).as("max_purchase_cents"))
+        aggs.join(carried, Seq("user_id"))
+          .select(col("user_id"), col("n_events"), col("first_seen_us"),
+            col("last_seen_us"), col("last_event_type"), col("last_click_k"),
+            col("last_purchase_cents"), col("max_purchase_cents"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events),
+        carried AS (
+          SELECT user_id, event_type, us, event_id,
+                 last_value(CASE WHEN event_type = 'click' THEN k END IGNORE NULLS)
+                   OVER w AS last_click_k,
+                 last_value(CASE WHEN event_type = 'purchase' THEN cents END IGNORE NULLS)
+                   OVER w AS last_purchase_cents,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us DESC, event_id DESC) AS rn
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        fin AS (
+          SELECT user_id, event_type AS last_event_type, last_click_k,
+                 last_purchase_cents
+          FROM carried WHERE rn = 1),
+        aggs AS (
+          SELECT user_id, count(*) AS n_events,
+                 CAST(min(us) AS BIGINT) AS first_seen_us,
+                 CAST(max(us) AS BIGINT) AS last_seen_us,
+                 max(CASE WHEN event_type = 'purchase' THEN cents END) AS max_purchase_cents
+          FROM ev GROUP BY user_id)
+        SELECT a.user_id, n_events, first_seen_us, last_seen_us, last_event_type,
+               last_click_k, last_purchase_cents, max_purchase_cents
+        FROM aggs a JOIN fin f ON a.user_id = f.user_id
+        ORDER BY a.user_id"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
