@@ -66,7 +66,8 @@ object DumpPlans {
       "q126_anova_f", "q127_seasonal_decompose", "t31_heaps_law",
       "st20_stream_forecast", "m15_loudness_gain", "p18_dataset_card",
       "q128_cohort_ltv", "p19_boilerplate_scrub", "s21_mrr_eval",
-      "g14_local_bridges", "q129_golden_record", "p20_temperature_mixture")
+      "g14_local_bridges", "q129_golden_record", "p20_temperature_mixture",
+      "c05_gmm_estep", "s22_rocchio_feedback", "q130_time_to_convert")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

@@ -371,6 +371,78 @@ object Clustering {
                CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
         FROM sil
         GROUP BY label
-        ORDER BY label"""))
+        ORDER BY label""")),
+
+    // -----------------------------------------------------------------
+    // Spherical-GMM E-step (soft clustering, unit variance): component
+    // means are the s02 exact-decimal per-label centroids; per vector
+    // the responsibility of its nearest component is computed with the
+    // log-sum-exp stabilization r_top = 1 / SUM_j exp((d2_min - d2_j)/2)
+    // — every exp argument is <= 0, so no underflow-to-0/0 and the sum
+    // starts at exp(0) = 1. d2 goes through the rounded fold distance
+    // (s02's contract); the component sum folds in sorted-component
+    // order. Output: hard argmin assignment (partial-aggregable
+    // min(struct)) + the soft confidence, floor-quantized. Scale: a
+    // K-row broadcast cross join, one groupBy(vec) — Lloyd's shape.
+    QueryDef("c05_gmm_estep",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
+        val cd = e.select(col("label"), posexplode(col("v")))
+          .groupBy(col("label").as("cl"), col("pos"))
+          .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+        val cent = cd.groupBy("cl")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
+        e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("label"), col("cl"),
+            expr(s"round(${Ns.l2sq("v", "cv")}, 6)").as("d2"))
+          .groupBy("vec_id")
+          .agg(max(col("label")).as("label"), count(lit(1)).as("n_components"),
+            min(struct(col("d2"), col("cl"))).as("m"), min(col("d2")).as("mind2"),
+            expr("""aggregate(
+                      transform(sort_array(collect_list(struct(cl, d2))),
+                        x -> exp((mind2 - x.d2) / 2)),
+                      CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("zsum"))
+          .select(col("vec_id"), col("label"), col("n_components"),
+            col("m.cl").as("assigned_cl"),
+            expr("CAST(floor(1000000 / zsum) AS BIGINT)").as("top_resp_ppm"))
+          .withColumn("confident", col("top_resp_ppm") > 900000L)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        cd AS (
+          SELECT label AS cl, i AS pos,
+                 CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+          FROM v CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY label, i),
+        cent AS (SELECT cl, list(c ORDER BY pos) AS cv FROM cd GROUP BY cl),
+        asg AS (
+          SELECT vec_id, label, cl,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(v, (x, i) -> (x - cv[i]) * (x - cv[i]))), (acc, x) -> acc + x), 6) AS d2
+          FROM v CROSS JOIN cent),
+        agg AS (
+          SELECT vec_id, max(label) AS label, count(*) AS n_components,
+                 min(d2) AS mind2
+          FROM asg GROUP BY vec_id),
+        best AS (
+          SELECT vec_id, cl AS assigned_cl FROM (
+            SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+            FROM asg) WHERE rn = 1),
+        z AS (
+          SELECT a.vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(exp((g.mind2 - a.d2) / 2) ORDER BY a.cl)),
+                   (acc, x) -> acc + x) AS zsum
+          FROM asg a JOIN agg g ON a.vec_id = g.vec_id
+          GROUP BY a.vec_id)
+        SELECT g.vec_id, g.label, g.n_components, b.assigned_cl,
+               CAST(floor(1000000 / z.zsum) AS BIGINT) AS top_resp_ppm,
+               CAST(floor(1000000 / z.zsum) AS BIGINT) > 900000 AS confident
+        FROM agg g JOIN best b ON g.vec_id = b.vec_id JOIN z ON g.vec_id = z.vec_id
+        ORDER BY g.vec_id"""))
   )
 }

@@ -5557,7 +5557,73 @@ object Relational {
         SELECT a.user_id, n_events, first_seen_us, last_seen_us, last_event_type,
                last_click_k, last_purchase_cents, max_purchase_cents
         FROM aggs a JOIN fin f ON a.user_id = f.user_id
-        ORDER BY a.user_id"""))
+        ORDER BY a.user_id""")),
+
+    // -------------------------------------------------------------------
+    // Conversion-latency distribution: for every purchase, the time
+    // since the user's most recent preceding view (q91's IGNORE-NULLS
+    // carry), then the exact latency distribution — mean as one integer
+    // division, p50/p90 as deterministic nearest-rank row picks
+    // ((n+1) div 2 and ceil(0.9 n) = (9n+9) div 10 over the
+    // (latency, event_id)-sorted order). Everything is exact integer
+    // micros; one row out. Scale: one user-keyed window pass, then a
+    // global sort of only the conversion rows (bounded by purchases).
+    QueryDef("q130_time_to_convert",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val lat = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"))
+          .withColumn("v_us",
+            last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase" && col("v_us").isNotNull)
+          .select(col("event_id"), (col("us") - col("v_us")).as("lat_us"))
+        val ranked = lat.withColumn("rn", row_number().over(
+            Window.orderBy(col("lat_us"), col("event_id"))))
+          .withColumn("n", count(ONE).over(Window.partitionBy()))
+        val picks = ranked
+          .filter(expr("rn = (n + 1) div 2 OR rn = (9 * n + 9) div 10"))
+          .groupBy()
+          .agg(max(when(expr("rn = (n + 1) div 2"), col("lat_us"))).as("p50_us"),
+            max(when(expr("rn = (9 * n + 9) div 10"), col("lat_us"))).as("p90_us"))
+        val aggs = lat.groupBy()
+          .agg(count(ONE).as("n_conversions"), sum(col("lat_us")).as("sum_us"),
+            min(col("lat_us")).as("min_us"), max(col("lat_us")).as("max_us"))
+        aggs.crossJoin(picks)
+          .select(col("n_conversions"),
+            expr("sum_us div n_conversions").as("mean_us"),
+            col("p50_us"), col("p90_us"), col("min_us"), col("max_us"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        carried AS (
+          SELECT event_id, event_type,
+                 us - last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lat_us
+          FROM ev),
+        lat AS (
+          SELECT event_id, lat_us FROM carried
+          WHERE event_type = 'purchase' AND lat_us IS NOT NULL),
+        ranked AS (
+          SELECT lat_us,
+                 row_number() OVER (ORDER BY lat_us, event_id) AS rn,
+                 count(*) OVER () AS n
+          FROM lat),
+        picks AS (
+          SELECT max(CASE WHEN rn = (n + 1) // 2 THEN lat_us END) AS p50_us,
+                 max(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_us END) AS p90_us
+          FROM ranked WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10),
+        aggs AS (
+          SELECT count(*) AS n_conversions, CAST(sum(lat_us) AS BIGINT) AS sum_us,
+                 CAST(min(lat_us) AS BIGINT) AS min_us,
+                 CAST(max(lat_us) AS BIGINT) AS max_us
+          FROM lat)
+        SELECT n_conversions, sum_us // n_conversions AS mean_us,
+               p50_us, p90_us, min_us, max_us
+        FROM aggs CROSS JOIN picks"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

@@ -1719,6 +1719,90 @@ object Similarity {
                CASE WHEN hit IS NULL THEN CAST(0 AS BIGINT)
                     ELSE 1000000 // hit END AS rr_ppm
         FROM agg
-        ORDER BY qid"""))
+        ORDER BY qid""")),
+
+    // -------------------------------------------------------------------
+    // Rocchio pseudo-relevance feedback (one round): retrieve top-3
+    // under the s01 contract, form q' = 0.5 q + 0.5 mean(top3) with the
+    // element sums folded in rank order (identical IEEE sequence both
+    // engines), and re-rank the full candidate set against q'. Reports
+    // the new top-5 with each neighbor's pre-feedback rank — the
+    // query-drift diagnostic IR teams read before enabling PRF. Scale:
+    // bounded by the s01 query sample; the expanded-query vectors are a
+    // 10-row broadcast.
+    QueryDef("s22_rocchio_feedback",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val q = e.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val ranked0 = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qv"), col("vec_id").as("neighbor"), col("v"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+          .withColumn("rank_before", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))))
+        val expanded = ranked0.filter(col("rank_before") <= 3)
+          .groupBy("qid")
+          .agg(first(col("qv")).as("qv"),
+            expr("""aggregate(
+                      slice(transform(sort_array(collect_list(struct(rank_before, v))), s -> s.v), 2, 2),
+                      element_at(transform(sort_array(collect_list(struct(rank_before, v))), s -> s.v), 1),
+                      (acc, x) -> zip_with(acc, x, (a, b) -> a + b))""").as("sum3"))
+          .select(col("qid"),
+            expr("zip_with(qv, sum3, (a, b) -> 0.5 * a + 0.5 * (b / 3))").as("q2"))
+          .withColumn("q2n", sqrt(expr(Ns.dot("q2", "q2"))))
+        val reranked = expanded.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor"),
+            round(expr(Ns.dot("q2", "v")) / (col("q2n") * col("nrm")), 6).as("cosine2"))
+          .withColumn("rank_after", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cosine2").desc, col("neighbor"))))
+          .filter(col("rank_after") <= TOPK)
+        reranked
+          .join(ranked0.select(col("qid").as("q0"), col("neighbor").as("n0"),
+            col("rank_before")), col("qid") === col("q0") && col("neighbor") === col("n0"))
+          .select(col("qid"), col("rank_after").cast("int").as("rank_after"),
+            col("neighbor"), col("rank_before").cast("int").as("rank_before"),
+            col("cosine2"))
+          .orderBy("qid", "rank_after")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE $QFILTER),
+        ranked0 AS (
+          SELECT qid, qv, vec_id AS neighbor, v,
+                 round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) AS cosine,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) DESC, vec_id)
+                   AS rank_before
+          FROM q JOIN n ON vec_id <> qid),
+        expanded AS (
+          SELECT qid, any_value(qv) AS qv,
+                 list_reduce(list(v ORDER BY rank_before),
+                   (acc, x) -> list_transform(acc, (a, i) -> a + x[i])) AS sum3
+          FROM ranked0 WHERE rank_before <= 3
+          GROUP BY qid),
+        q2 AS (
+          SELECT qid,
+                 list_transform(qv, (a, i) -> 0.5 * a + 0.5 * (sum3[i] / 3)) AS q2
+          FROM expanded),
+        q2n AS (
+          SELECT qid, q2, sqrt(${Ns.oDot("q2", "q2")}) AS q2n FROM q2),
+        reranked AS (
+          SELECT qid, vec_id AS neighbor,
+                 round(${Ns.oDot("q2", "v")} / (q2n * nrm), 6) AS cosine2,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY round(${Ns.oDot("q2", "v")} / (q2n * nrm), 6) DESC, vec_id)
+                   AS rank_after
+          FROM q2n JOIN n ON vec_id <> qid)
+        SELECT r.qid, CAST(r.rank_after AS INT) AS rank_after, r.neighbor,
+               CAST(r0.rank_before AS INT) AS rank_before, r.cosine2
+        FROM reranked r
+        JOIN ranked0 r0 ON r.qid = r0.qid AND r.neighbor = r0.neighbor
+        WHERE r.rank_after <= $TOPK
+        ORDER BY r.qid, r.rank_after"""))
   )
 }
