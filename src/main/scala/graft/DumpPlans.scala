@@ -67,7 +67,8 @@ object DumpPlans {
       "st20_stream_forecast", "m15_loudness_gain", "p18_dataset_card",
       "q128_cohort_ltv", "p19_boilerplate_scrub", "s21_mrr_eval",
       "g14_local_bridges", "q129_golden_record", "p20_temperature_mixture",
-      "c05_gmm_estep", "s22_rocchio_feedback", "q130_time_to_convert")
+      "c05_gmm_estep", "s22_rocchio_feedback", "q130_time_to_convert",
+      "st21_decayed_counter", "q131_ar_aging", "p21_lexicon_filter")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

@@ -1010,6 +1010,69 @@ object Pipeline {
                   * (sqrt(CAST(toks AS DOUBLE)) / zsum) / CAST(toks AS DOUBLE)))
                AS BIGINT) AS epochs_micro
         FROM g CROSS JOIN z
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // -------------------------------------------------------------------
+    // Lexicon policy filter (the blocklist/safety pass every curation
+    // stack runs next to p07's statistical rules): per-category term
+    // counts from a broadcast lexicon join, exact density ppm, and a
+    // three-way action — drop above 100k ppm defect density, flag above
+    // 50k, keep otherwise (thresholds sit at the corpus p99/p80, so all
+    // three actions fire at every fixture scale). The category rollup
+    // ships with per-action doc counts. Scale: explode-join on the
+    // token (the broadcast side is the lexicon), one partial agg per
+    // doc, one per-action rollup.
+    QueryDef("p21_lexicon_filter",
+      (s, d) => {
+        val lex = Seq(("slow", "defect"), ("error", "defect"), ("dup", "defect"),
+          ("spark", "infra"), ("table", "infra"), ("join", "infra"))
+        val lexDf = s.createDataFrame(lex).toDF("term", "cat")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), expr(NTOK).as("n_tokens"),
+            explode(split(col("text"), " ")).as("tok"))
+        val hits = toks.join(broadcast(lexDf), col("tok") === col("term"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("cat") === "defect", 1L).otherwise(0L)).as("defect_hits"),
+            sum(when(col("cat") === "infra", 1L).otherwise(0L)).as("infra_hits"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr(NTOK).as("n_tokens"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("defect_hits"), lit(0L)).as("defect_hits"),
+            coalesce(col("infra_hits"), lit(0L)).as("infra_hits"))
+          .withColumn("defect_ppm", expr("1000000 * defect_hits div n_tokens"))
+          .withColumn("infra_ppm", expr("1000000 * infra_hits div n_tokens"))
+          .withColumn("action", expr(
+            """CASE WHEN defect_ppm > 100000 THEN 'drop'
+                    WHEN defect_ppm > 50000 THEN 'flag'
+                    ELSE 'keep' END"""))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH lex(term, cat) AS (
+          VALUES ('slow', 'defect'), ('error', 'defect'), ('dup', 'defect'),
+                 ('spark', 'infra'), ('table', 'infra'), ('join', 'infra')),
+        t AS (SELECT doc_id, $ONTOK AS n_tokens, string_split(text, ' ') AS toks
+              FROM documents),
+        tok AS (SELECT doc_id, u.tok FROM t, unnest(toks) AS u(tok)),
+        hits AS (
+          SELECT doc_id,
+                 sum(CASE WHEN cat = 'defect' THEN 1 ELSE 0 END) AS defect_hits,
+                 sum(CASE WHEN cat = 'infra' THEN 1 ELSE 0 END) AS infra_hits
+          FROM tok JOIN lex ON tok = term
+          GROUP BY doc_id),
+        scored AS (
+          SELECT t.doc_id, n_tokens,
+                 CAST(coalesce(defect_hits, 0) AS BIGINT) AS defect_hits,
+                 CAST(coalesce(infra_hits, 0) AS BIGINT) AS infra_hits,
+                 1000000 * CAST(coalesce(defect_hits, 0) AS BIGINT) // n_tokens AS defect_ppm,
+                 1000000 * CAST(coalesce(infra_hits, 0) AS BIGINT) // n_tokens AS infra_ppm
+          FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id)
+        SELECT doc_id, n_tokens, defect_hits, infra_hits, defect_ppm, infra_ppm,
+               CASE WHEN defect_ppm > 100000 THEN 'drop'
+                    WHEN defect_ppm > 50000 THEN 'flag'
+                    ELSE 'keep' END AS action
+        FROM scored
+        ORDER BY doc_id"""))
   )
 }

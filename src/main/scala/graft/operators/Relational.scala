@@ -5623,7 +5623,62 @@ object Relational {
           FROM lat)
         SELECT n_conversions, sum_us // n_conversions AS mean_us,
                p50_us, p90_us, min_us, max_us
-        FROM aggs CROSS JOIN picks"""))
+        FROM aggs CROSS JOIN picks""")),
+
+    // -------------------------------------------------------------------
+    // Receivables-style order aging report: every order's age in days as
+    // of the corpus max order date (the "as of" an AR report closes on),
+    // bucketed 0-30 / 31-60 / 61-90 / 90+ per order status, with exact
+    // cents totals and each bucket's within-status value share. One
+    // broadcast scalar (as-of date) + one partial aggregate; the bucket
+    // expression is pure integer CASE. ppm is exact integer division.
+    QueryDef("q131_ar_aging",
+      (s, d) => {
+        val asOf = Tables.orders(s, d)
+          .agg(max(expr("datediff(o_orderdate, DATE'1970-01-01')")).as("asof_day"))
+        val aged = Tables.orders(s, d)
+          .crossJoin(broadcast(asOf))
+          .select(col("o_orderstatus").as("status"),
+            expr("asof_day - datediff(o_orderdate, DATE'1970-01-01')").as("age_days"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+          .withColumn("bucket", expr(
+            """CASE WHEN age_days <= 30 THEN '0-30'
+                    WHEN age_days <= 60 THEN '31-60'
+                    WHEN age_days <= 90 THEN '61-90'
+                    ELSE '90+' END"""))
+        val wStatus = Window.partitionBy("status")
+        aged.groupBy("status", "bucket")
+          .agg(count(ONE).as("n_orders"), sum(col("cents")).cast("long").as("total_cents"),
+            min(col("age_days")).as("min_age"), max(col("age_days")).as("max_age"))
+          .withColumn("status_cents", sum(col("total_cents")).over(wStatus))
+          .select(col("status"), col("bucket"), col("n_orders"), col("total_cents"),
+            col("min_age"), col("max_age"),
+            expr("1000000 * total_cents div status_cents").as("share_ppm"))
+          .orderBy("status", "bucket")
+      },
+      Some("""
+        WITH aso AS (
+          SELECT max(datediff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)) AS asof_day
+          FROM orders),
+        aged AS (
+          SELECT o_orderstatus AS status,
+                 asof_day - datediff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS age_days,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+                 CASE WHEN asof_day - datediff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) <= 30 THEN '0-30'
+                      WHEN asof_day - datediff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) <= 60 THEN '31-60'
+                      WHEN asof_day - datediff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) <= 90 THEN '61-90'
+                      ELSE '90+' END AS bucket
+          FROM orders CROSS JOIN aso),
+        g AS (
+          SELECT status, bucket, count(*) AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS total_cents,
+                 min(age_days) AS min_age, max(age_days) AS max_age
+          FROM aged GROUP BY status, bucket)
+        SELECT status, bucket, n_orders, total_cents, min_age, max_age,
+               1000000 * total_cents
+                 // CAST(sum(total_cents) OVER (PARTITION BY status) AS BIGINT) AS share_ppm
+        FROM g
+        ORDER BY status, bucket"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

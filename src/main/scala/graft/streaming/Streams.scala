@@ -894,7 +894,43 @@ object Streams {
           FROM walk w JOIN seq e ON e.user_id = w.user_id AND e.pos = w.pos + 1)
         SELECT user_id, event_id, pos, forecast, err
         FROM walk WHERE pos >= 2
-        ORDER BY user_id, pos"""))
+        ORDER BY user_id, pos""")),
+
+    // -------------------------------------------------------------------
+    // Streaming decayed trending counter: per item (props.k) the classic
+    // integer half-life-per-day counter — on each event the running
+    // score is right-shifted by the day gap since the item's last event
+    // (exact integer truncation, the Morris-style decay every trending
+    // backend ships) then incremented. The truncation happens per STEP,
+    // so the value is defined by the sequential walk itself; batch
+    // replays the identical fold ([[decayedRows]]), the stream carries
+    // ONE (last_day, score) pair per item ([[DecayProcessor]]), and
+    // StreamingSpec proves stream == batch on every intermediate row.
+    // Day gaps > 62 collapse the score to 0 instead of overflowing the
+    // shift (robust to fixture regeneration).
+    QueryDef("st21_decayed_counter",
+      (s, d) => decayedRows(Tables.events(s, d)).orderBy("item_k", "pos"),
+      Some("""
+        WITH RECURSIVE ev AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_k,
+                 event_id, epoch_us(ts) AS us,
+                 datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS day
+          FROM events),
+        seq AS (
+          SELECT item_k, event_id, day,
+                 CAST(row_number() OVER (PARTITION BY item_k ORDER BY us, event_id) AS INT) AS pos
+          FROM ev),
+        walk(item_k, pos, event_id, day, score) AS (
+          SELECT item_k, 1, event_id, day, CAST(1 AS BIGINT)
+          FROM seq WHERE pos = 1
+          UNION ALL
+          SELECT w.item_k, e.pos, e.event_id, e.day,
+                 CASE WHEN e.day - w.day > 62 THEN CAST(0 AS BIGINT)
+                      ELSE w.score // (CAST(1 AS BIGINT) << CAST(e.day - w.day AS INT)) END + 1
+          FROM walk w JOIN seq e ON e.item_k = w.item_k AND e.pos = w.pos + 1)
+        SELECT item_k, pos, event_id, day, score
+        FROM walk
+        ORDER BY item_k, pos"""))
   )
 
   /** Pattern window for [[sequenceDetect]]: the view->click->purchase
@@ -1011,6 +1047,50 @@ object Streams {
   final case class FcOut(user_id: Long, event_id: Long, pos: Int,
     forecast: Double, err: Double)
   final case class FcState(l: Double, b: Double, cnt: Int)
+
+  /** Batch twin of the streaming decayed trending counter: one
+    * sequential fold per item over the time-ordered events — score is
+    * right-shifted by the day gap (per-step integer truncation, gaps
+    * > 62 collapse to 0), then incremented. Same walk as
+    * [[DecayProcessor]]. Scale: one shuffle to the item key; the fold
+    * is linear in the per-item series.
+    */
+  def decayedRows(events: DataFrame): DataFrame =
+    events
+      .select(expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("item_k"),
+        col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("datediff(ts, TIMESTAMP'1970-01-01 00:00:00')").as("day"))
+      .groupBy("item_k")
+      .agg(expr("sort_array(collect_list(struct(us, event_id, day)))").as("evs"))
+      .withColumn("fin", expr(
+        """aggregate(slice(evs, 2, size(evs) - 1),
+            named_struct('d', element_at(evs, 1).day, 'sc', CAST(1 AS BIGINT),
+              'outs', array(named_struct('event_id', element_at(evs, 1).event_id,
+                'pos', 1, 'day', element_at(evs, 1).day, 'score', CAST(1 AS BIGINT)))),
+            (acc, x) -> named_struct(
+              'd', x.day,
+              'sc', CASE WHEN x.day - acc.d > 62 THEN CAST(0 AS BIGINT)
+                         ELSE acc.sc div shiftleft(CAST(1 AS BIGINT), CAST(x.day - acc.d AS INT)) END + 1,
+              'outs', array_append(acc.outs, named_struct(
+                'event_id', x.event_id, 'pos', CAST(size(acc.outs) + 1 AS INT),
+                'day', x.day,
+                'score', CASE WHEN x.day - acc.d > 62 THEN CAST(0 AS BIGINT)
+                              ELSE acc.sc div shiftleft(CAST(1 AS BIGINT), CAST(x.day - acc.d AS INT)) END + 1))))"""))
+      .select(col("item_k"), explode(col("fin.outs")).as("o"))
+      .select(col("item_k"), col("o.pos").as("pos"), col("o.event_id").as("event_id"),
+        col("o.day").as("day"), col("o.score").as("score"))
+
+  final case class DcOut(item_k: Long, pos: Int, event_id: Long, day: Int, score: Long)
+  final case class DcState(lastDay: Int, score: Long, cnt: Int)
+  final case class EvK(event_id: Long, ts: java.sql.Timestamp, item_k: Long)
+
+  def decayedStream(spark: SparkSession, events: Dataset[EvK]): Dataset[DcOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.item_k)
+      .transformWithState(new DecayProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 
   def forecastStream(spark: SparkSession, events: Dataset[EvT]): Dataset[FcOut] = {
     import spark.implicits._
@@ -1447,6 +1527,43 @@ class ForecastProcessor
         val nb = 0.5 * (nl - s.l) + 0.5 * s.b
         s = Streams.FcState(nl, nb, s.cnt + 1)
       }
+    }
+    if (evs.nonEmpty) st.update(s)
+    out.result().iterator
+  }
+}
+
+/** State-API-v2 processor for [[Streams.decayedRows]]'s online form: one
+  * (last_day, score, count) ValueState per item. Each arriving event
+  * (sorted by event time within the micro-batch) right-shifts the score
+  * by the day gap — the SAME per-step integer truncation as the batch
+  * fold — then increments and emits the running row.
+  */
+class DecayProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Streams.EvK, Streams.DcOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[Streams.DcState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Streams.DcState]("dc",
+      org.apache.spark.sql.Encoders.product[Streams.DcState], TTLConfig.NONE)
+
+  override def handleInputRows(item: Long, rows: Iterator[Streams.EvK],
+      tv: TimerValues): Iterator[Streams.DcOut] = {
+    val evs = rows.toSeq.sortBy(e => (Streams.usOf(e.ts), e.event_id))
+    var s = if (st.exists()) st.get() else Streams.DcState(0, 0L, 0)
+    val out = Seq.newBuilder[Streams.DcOut]
+    evs.foreach { e =>
+      val day = (Streams.usOf(e.ts) / 86400000000L).toInt
+      val score =
+        if (s.cnt == 0) 1L
+        else {
+          val gap = day - s.lastDay
+          (if (gap > 62) 0L else s.score >> gap) + 1L
+        }
+      s = Streams.DcState(day, score, s.cnt + 1)
+      out += Streams.DcOut(item, s.cnt, e.event_id, day, score)
     }
     if (evs.nonEmpty) st.update(s)
     out.result().iterator

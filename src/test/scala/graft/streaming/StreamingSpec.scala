@@ -792,4 +792,50 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("state API v2 decayed trending counter == the st21 batch fold") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-dc")
+    writeOrderedFiles(dir, 3)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .selectExpr("event_id", "ts",
+          "CAST(get_json_object(props, '$.k') AS BIGINT) AS item_k")
+        .as[Streams.EvK]
+      val q = Streams.decayedStream(spark, stream)
+        .writeStream.format("memory").queryName("dc_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("dc_stream").collect()
+          .map(r => (r.getLong(0), r.getInt(1)) ->
+            ((r.getLong(2), r.getInt(3), r.getLong(4))))
+          .toMap
+        val want = Streams.decayedRows(eventsBatch).collect()
+          .map(r => (r.getLong(0), r.getInt(1)) ->
+            ((r.getLong(2), r.getInt(3), r.getLong(4))))
+          .toMap
+        assert(got.size == want.size, s"${got.size} != ${want.size}")
+        // exact: both sides walk the identical truncating integer decay
+        assert(got == want)
+        // decay state survived a micro-batch boundary: some item's score
+        // shrank between consecutive rows (a day gap truncated it)
+        val shrank = got.groupBy(_._1._1).values.exists { xs =>
+          val ord = xs.toSeq.sortBy(_._1._2).map(_._2._3)
+          ord.zip(ord.tail).exists { case (a, b) => b < a }
+        }
+        assert(shrank, "no decay step observed across the stream")
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
