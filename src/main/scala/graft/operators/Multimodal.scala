@@ -980,6 +980,97 @@ object Multimodal {
         SELECT doc_id, n_samples, sum_sq, peak, loudness_udb, gain_udb, headroom_udb,
                gain_udb > -headroom_udb AS would_clip
         FROM scored
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Keyframe selection: m08's shot segmentation composed with a
+    // per-frame Laplacian sharpness score (sum of |2nd differences| over
+    // the 32-byte frame, m12's focus measure) — each shot's
+    // representative frame is its sharpest (argmax, earliest-frame
+    // tie-break, as a partial-aggregable min(struct)). The thumbnail/
+    // poster-frame extractor of a video-training pipeline. All exact
+    // integers; the typed kernel is narrow (no shuffle before the
+    // per-shot aggregate).
+    QueryDef("m16_keyframe_select",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        mediaFromDocuments(s, d)
+          .flatMap { r =>
+            val bytes = r.payload
+            val nf = bytes.length / 32
+            if (nf < 2) Nil
+            else {
+              val hists = Array.tabulate(nf) { f =>
+                val h = new Array[Int](16)
+                var i = f * 32
+                while (i < f * 32 + 32) { h((bytes(i) & 0xff) / 16) += 1; i += 1 }
+                h
+              }
+              def energy(f: Int): Int = {
+                var e = 0
+                var i = f * 32 + 1
+                while (i < f * 32 + 31) {
+                  e += math.abs((bytes(i - 1) & 0xff) - 2 * (bytes(i) & 0xff) + (bytes(i + 1) & 0xff))
+                  i += 1
+                }
+                e
+              }
+              var shot = 0
+              (0 until nf).map { f =>
+                if (f > 0) {
+                  var l1 = 0
+                  var b = 0
+                  while (b < 16) { l1 += math.abs(hists(f)(b) - hists(f - 1)(b)); b += 1 }
+                  if (l1 >= 24) shot += 1
+                }
+                (r.doc_id, shot, f, energy(f))
+              }
+            }
+          }
+          .toDF("doc_id", "shot_id", "frame_idx", "energy")
+          .groupBy("doc_id", "shot_id")
+          .agg(count(lit(1)).cast("long").as("n_frames"),
+            min(struct((-col("energy")).as("ne"), col("frame_idx").as("fi"))).as("m"))
+          .select(col("doc_id"), col("shot_id").cast("int").as("shot_id"),
+            col("n_frames"),
+            col("m.fi").cast("int").as("keyframe_idx"),
+            (-col("m.ne")).cast("int").as("key_energy"))
+          .orderBy("doc_id", "shot_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, length(text) // 32 AS nf
+          FROM documents WHERE length(text) >= 64),
+        frames AS (
+          SELECT doc_id, CAST(u.f AS INT) AS f,
+                 list_transform(generate_series(0, 15), b ->
+                   len(list_filter(generate_series(CAST(u.f AS INT) * 32 + 1, CAST(u.f AS INT) * 32 + 32),
+                       i -> ord(text[i]) // 16 = b))) AS hist,
+                 CAST(list_sum(list_transform(
+                   generate_series(CAST(u.f AS INT) * 32 + 2, CAST(u.f AS INT) * 32 + 31),
+                   i -> abs(ord(text[i-1]) - 2 * ord(text[i]) + ord(text[i+1])))) AS INT) AS energy
+          FROM t, unnest(generate_series(0, nf - 1)) AS u(f)),
+        lagged AS (
+          SELECT doc_id, f, energy, hist,
+                 lag(hist) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+          FROM frames),
+        shots AS (
+          SELECT doc_id, f, energy,
+                 CAST(sum(CASE WHEN prev IS NOT NULL AND
+                   list_sum(list_transform(generate_series(1, 16),
+                     b -> abs(hist[b] - prev[b]))) >= 24 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY f) AS INT) AS shot_id
+          FROM lagged),
+        ranked AS (
+          SELECT doc_id, shot_id, f, energy,
+                 count(*) OVER (PARTITION BY doc_id, shot_id) AS n_frames,
+                 row_number() OVER (PARTITION BY doc_id, shot_id
+                                    ORDER BY energy DESC, f) AS rn
+          FROM shots)
+        SELECT doc_id, shot_id, CAST(n_frames AS BIGINT) AS n_frames,
+               f AS keyframe_idx, energy AS key_energy
+        FROM ranked WHERE rn = 1
+        ORDER BY doc_id, shot_id"""))
   )
 }

@@ -5678,7 +5678,80 @@ object Relational {
                1000000 * total_cents
                  // CAST(sum(total_cents) OVER (PARTITION BY status) AS BIGINT) AS share_ppm
         FROM g
-        ORDER BY status, bucket"""))
+        ORDER BY status, bucket""")),
+
+    // -------------------------------------------------------------------
+    // Exact five-number summary (boxplot) of order value per market
+    // segment: min / Q1 / median / Q3 / max as deterministic
+    // nearest-rank picks over the (cents, o_orderkey)-sorted order
+    // (Q1 at ceil(n/4) = (n+3) div 4, median at (n+1) div 2, Q3 at
+    // (3n+3) div 4 — the p18/q130 pick convention), plus Tukey-fence
+    // outlier counts kept ENTIRELY in integers: 2*x < 2*Q1 - 3*IQR
+    // instead of x < Q1 - 1.5*IQR. One rank window per segment + one
+    // conditional aggregate.
+    QueryDef("q132_boxplot_five_number",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+        val wSeg = Window.partitionBy("segment")
+        val ranked = base
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("segment").orderBy(col("cents"), col("o_orderkey"))))
+          .withColumn("n", count(ONE).over(wSeg))
+        val picks = ranked.groupBy("segment")
+          .agg(max(col("n")).as("n_orders"),
+            min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+            max(when(expr("rn = (n + 3) div 4"), col("cents"))).as("q1_cents"),
+            max(when(expr("rn = (n + 1) div 2"), col("cents"))).as("med_cents"),
+            max(when(expr("rn = (3 * n + 3) div 4"), col("cents"))).as("q3_cents"))
+        base.join(broadcast(picks), Seq("segment"))
+          .groupBy("segment")
+          .agg(max(col("n_orders")).as("n_orders"),
+            max(col("min_cents")).as("min_cents"), max(col("q1_cents")).as("q1_cents"),
+            max(col("med_cents")).as("med_cents"), max(col("q3_cents")).as("q3_cents"),
+            max(col("max_cents")).as("max_cents"),
+            sum(when(expr("2 * cents < 2 * q1_cents - 3 * (q3_cents - q1_cents)"), 1L)
+              .otherwise(0L)).as("n_low_outliers"),
+            sum(when(expr("2 * cents > 2 * q3_cents + 3 * (q3_cents - q1_cents)"), 1L)
+              .otherwise(0L)).as("n_high_outliers"))
+          .withColumn("iqr_cents", col("q3_cents") - col("q1_cents"))
+          .select(col("segment"), col("n_orders"), col("min_cents"), col("q1_cents"),
+            col("med_cents"), col("q3_cents"), col("max_cents"), col("iqr_cents"),
+            col("n_low_outliers"), col("n_high_outliers"))
+          .orderBy("segment")
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_mktsegment AS segment, o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        ranked AS (
+          SELECT segment, cents,
+                 row_number() OVER (PARTITION BY segment ORDER BY cents, o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY segment) AS n
+          FROM base),
+        picks AS (
+          SELECT segment, max(n) AS n_orders,
+                 CAST(min(cents) AS BIGINT) AS min_cents,
+                 CAST(max(cents) AS BIGINT) AS max_cents,
+                 max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1_cents,
+                 max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med_cents,
+                 max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3_cents
+          FROM ranked GROUP BY segment)
+        SELECT b.segment, CAST(max(n_orders) AS BIGINT) AS n_orders,
+               max(min_cents) AS min_cents, max(q1_cents) AS q1_cents,
+               max(med_cents) AS med_cents, max(q3_cents) AS q3_cents,
+               max(max_cents) AS max_cents,
+               max(q3_cents) - max(q1_cents) AS iqr_cents,
+               CAST(sum(CASE WHEN 2 * cents < 2 * q1_cents - 3 * (q3_cents - q1_cents)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+               CAST(sum(CASE WHEN 2 * cents > 2 * q3_cents + 3 * (q3_cents - q1_cents)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+        FROM base b JOIN picks p ON b.segment = p.segment
+        GROUP BY b.segment
+        ORDER BY b.segment"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

@@ -1803,6 +1803,71 @@ object Similarity {
         FROM reranked r
         JOIN ranked0 r0 ON r.qid = r0.qid AND r.neighbor = r0.neighbor
         WHERE r.rank_after <= $TOPK
-        ORDER BY r.qid, r.rank_after"""))
+        ORDER BY r.qid, r.rank_after""")),
+
+    // -------------------------------------------------------------------
+    // Intra-list diversity of the s01 top-5 result lists (the metric MMR
+    // optimizes, measured): mean pairwise cosine among the 5 retrieved
+    // neighbors, kept EXACT by quantizing each rounded pair cosine to a
+    // micro integer (round(c,6) is integer-valued at 1e6 scale, so the
+    // CAST is exact) — the pair sum is then an order-free integer
+    // aggregate and the mean uses the positivity-shift floor division.
+    // ild_micro = 1e6 - mean: higher = more diverse list. Scale: 10
+    // pairs per query, bounded by the query sample.
+    QueryDef("s23_intralist_diversity",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val q = e.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val top = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("neighbor"), col("v"), col("nrm"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))))
+          .filter(col("rank") <= TOPK)
+        val a = top.select(col("qid"), col("neighbor").as("na"), col("v").as("va"),
+          col("nrm").as("nna"))
+        val b = top.select(col("qid").as("qb"), col("neighbor").as("nb"),
+          col("v").as("vb"), col("nrm").as("nnb"))
+        a.join(b, col("qid") === col("qb") && col("na") < col("nb"))
+          .select(col("qid"),
+            expr(s"CAST(round(1000000 * round(${Ns.dot("va", "vb")} / (nna * nnb), 6)) AS BIGINT)")
+              .as("c6"))
+          .groupBy("qid")
+          .agg(count(lit(1)).as("n_pairs"), sum(col("c6")).as("sum_c6"))
+          .select(col("qid"), col("n_pairs"),
+            expr("CAST((sum_c6 + 2000000 * n_pairs) div n_pairs - 2000000 AS BIGINT)")
+              .as("mean_pair_cos_micro"))
+          .withColumn("ild_micro", lit(1000000L) - col("mean_pair_cos_micro"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE $QFILTER),
+        top AS (
+          SELECT qid, neighbor, v, nrm FROM (
+            SELECT qid, vec_id AS neighbor, v, nrm,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) DESC, vec_id) AS rank
+            FROM q JOIN n ON vec_id <> qid) WHERE rank <= $TOPK),
+        pairs AS (
+          SELECT a.qid,
+                 CAST(round(1000000 * round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6)) AS BIGINT) AS c6
+          FROM top a JOIN top b ON a.qid = b.qid AND a.neighbor < b.neighbor),
+        agg AS (
+          SELECT qid, count(*) AS n_pairs, CAST(sum(c6) AS BIGINT) AS sum_c6
+          FROM pairs GROUP BY qid)
+        SELECT qid, n_pairs,
+               CAST((sum_c6 + 2000000 * n_pairs) // n_pairs - 2000000 AS BIGINT)
+                 AS mean_pair_cos_micro,
+               1000000 - CAST((sum_c6 + 2000000 * n_pairs) // n_pairs - 2000000 AS BIGINT)
+                 AS ild_micro
+        FROM agg
+        ORDER BY qid"""))
   )
 }
