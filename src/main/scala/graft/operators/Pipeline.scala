@@ -1073,6 +1073,93 @@ object Pipeline {
                     WHEN defect_ppm > 50000 THEN 'flag'
                     ELSE 'keep' END AS action
         FROM scored
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Quality-aware survivor selection over near-dup clusters: d06's
+    // converged connected components (MinHash pairs at est_jaccard >=
+    // 0.5, iterative label-min to a fixed point) with the canonical doc
+    // chosen by CONTENT QUALITY — longest doc wins, doc_id breaks ties
+    // (argmax as partial-aggregable min(struct)) — instead of d01's
+    // blind min-id. Reports per multi-doc cluster the survivor and the
+    // exact token count the dedup drop reclaims. The oracle replays the
+    // closure with a recursive CTE, so convergence is pinned, not
+    // assumed. Scale: frontier-sized label joins (d06's analysis), then
+    // one per-cluster aggregate.
+    QueryDef("p22_best_survivor",
+      (s, d) => {
+        val pairs = Dedup.minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+          .select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint(true)
+        var labels = Tables.documents(s, d)
+          .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
+        var changed = 1L
+        while (changed > 0) {
+          val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
+            .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+          val next = labels
+            .join(nbrMin, col("doc_id") === col("src"), "left")
+            .select(col("doc_id"),
+              least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+              (col("nbr_min") < col("cluster")).as("moved"))
+          val obs = org.apache.spark.sql.Observation()
+          val nextCk = next
+            .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+            .select("doc_id", "cluster")
+            .localCheckpoint(true)
+          changed = obs.get("n_moved").asInstanceOf[Long]
+          labels = nextCk
+        }
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id").as("did"), col("n_chars"), expr(NTOK).as("n_tokens"))
+        labels.join(docs, col("doc_id") === col("did"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("cluster_size"),
+            min(struct((-col("n_chars")).as("nc"), col("doc_id").as("di"))).as("m"),
+            sum(col("n_tokens")).as("total_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+          .filter(col("cluster_size") > 1)
+          .join(docs.select(col("did"), col("n_tokens").as("survivor_tokens")),
+            col("m.di") === col("did"))
+          .select(col("cluster"), col("cluster_size"),
+            col("m.di").as("survivor_doc"), (-col("m.nc")).as("survivor_chars"),
+            col("survivor_tokens"),
+            (col("total_tokens") - col("survivor_tokens")).as("reclaimed_tokens"))
+          .orderBy("cluster")
+      },
+      Some(s"""
+        WITH RECURSIVE ${Dedup.minhashPairsOracleCtes},
+        sel AS (SELECT doc_a, doc_b FROM mpairs WHERE est_jaccard >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM sel
+          UNION ALL
+          SELECT doc_b, doc_a FROM sel),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+        docs AS (SELECT doc_id AS did, n_chars, $ONTOK AS n_tokens FROM documents),
+        g AS (
+          SELECT cluster, count(*) AS cluster_size,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          FROM comp JOIN docs ON doc_id = did
+          GROUP BY cluster
+          HAVING count(*) > 1),
+        surv AS (
+          SELECT cluster, did AS survivor_doc, n_chars AS survivor_chars,
+                 n_tokens AS survivor_tokens
+          FROM (
+            SELECT c.cluster, d.did, d.n_chars, d.n_tokens,
+                   row_number() OVER (PARTITION BY c.cluster
+                                      ORDER BY d.n_chars DESC, d.did) AS rn
+            FROM comp c JOIN docs d ON c.doc_id = d.did)
+          WHERE rn = 1)
+        SELECT g.cluster, cluster_size, survivor_doc, survivor_chars,
+               survivor_tokens, total_tokens - survivor_tokens AS reclaimed_tokens
+        FROM g JOIN surv ON g.cluster = surv.cluster
+        ORDER BY g.cluster"""))
   )
 }

@@ -5751,7 +5751,52 @@ object Relational {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
         FROM base b JOIN picks p ON b.segment = p.segment
         GROUP BY b.segment
-        ORDER BY b.segment"""))
+        ORDER BY b.segment""")),
+
+    // -------------------------------------------------------------------
+    // Data-vault satellite load (hub hash key + hashdiff change
+    // detection): each customer's orders in date order form the
+    // satellite history of the volatile attribute set (status,
+    // priority); a row loads only when its md5 hashdiff differs from the
+    // customer's previous order's — the standard Data Vault 2.0 delta
+    // check that keeps satellites append-only and idempotent. md5 hex is
+    // engine-identical; the '|' concat is the DV hard-rule delimiter.
+    // One customer-keyed window; only changed rows survive.
+    QueryDef("q133_data_vault",
+      (s, d) => {
+        val w = Window.partitionBy("hub_customer_hk").orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(md5(concat_ws("|", col("o_custkey"))).as("hub_customer_hk"),
+            col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            md5(concat_ws("|", col("o_orderstatus"), col("o_orderpriority"))).as("hashdiff"),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .withColumn("prev_hd", lag(col("hashdiff"), 1).over(w))
+          .filter(col("prev_hd").isNull || col("prev_hd") =!= col("hashdiff"))
+          .select(col("hub_customer_hk"), col("o_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("load_date"),
+            col("hashdiff"), col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("priority"),
+            col("prev_hd").isNull.as("is_first_version"))
+          .orderBy("hub_customer_hk", "o_orderkey")
+      },
+      Some("""
+        WITH sat AS (
+          SELECT md5(CAST(o_custkey AS VARCHAR)) AS hub_customer_hk,
+                 o_custkey, o_orderkey, o_orderdate,
+                 md5(o_orderstatus || '|' || o_orderpriority) AS hashdiff,
+                 o_orderstatus, o_orderpriority
+          FROM orders),
+        lagged AS (
+          SELECT *, lag(hashdiff) OVER (PARTITION BY hub_customer_hk
+                                        ORDER BY o_orderdate, o_orderkey) AS prev_hd
+          FROM sat)
+        SELECT hub_customer_hk, o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS load_date,
+               hashdiff, o_orderstatus AS status, o_orderpriority AS priority,
+               prev_hd IS NULL AS is_first_version
+        FROM lagged
+        WHERE prev_hd IS NULL OR prev_hd <> hashdiff
+        ORDER BY hub_customer_hk, o_orderkey"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

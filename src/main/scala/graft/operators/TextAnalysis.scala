@@ -20,6 +20,7 @@ object TextAnalysis {
     * and "a"+COMBINING RING compose under NFC; "k"+COMBINING SHORT
     * STROKE OVERLAY has no precomposed form and stays decomposed.
     */
+  private val TR_ITERS = 4
   private val DecomposedSuffix = " e\u0301 a\u030A k\u0337"
 
 
@@ -1558,7 +1559,93 @@ object TextAnalysis {
                       / CAST(n_points * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
                      * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE)))
                AS BIGINT) AS lnk_milli
-        FROM sums"""))
+        FROM sums""")),
+
+    // -------------------------------------------------------------------
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the word co-occurrence graph (distinct adjacent-token pairs across
+    // the corpus), g01's determinism recipe — per-sweep contribution
+    // sums folded in sorted-neighbor order, rank = 0.15 + 0.85*csum,
+    // TR_ITERS unrolled sweeps — then the top-20 tokens by rounded rank
+    // (token tie-break). The graph is vocabulary-sized (not corpus-
+    // sized), so the iteration cost is independent of corpus scale; the
+    // one corpus-sized pass is the adjacency explode + distinct.
+    QueryDef("t33_textrank_keywords",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("toks"),
+            explode(expr("sequence(0, size(toks) - 2)")).as("i"))
+          .select(expr("toks[i]").as("w1"), expr("toks[i+1]").as("w2"))
+          .filter(col("w1") =!= "" && col("w2") =!= "" && col("w1") =!= col("w2"))
+        val und = toks.select(least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b")).distinct().localCheckpoint()
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val nodes = edges.select(col("src").as("token")).distinct()
+        var ranks = nodes.select(col("token"), lit(1.0).as("rank"))
+        for (_ <- 1 to TR_ITERS) {
+          val contribs = edges.join(deg, "src")
+            .join(ranks.select(col("token").as("src"), col("rank")), "src")
+            .select(col("dst"), col("src"), (col("rank") / col("deg")).as("c"))
+          val sums = contribs.groupBy("dst")
+            .agg(expr("""aggregate(transform(sort_array(collect_list(struct(src, c))), x -> x.c),
+                         CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("csum"))
+          ranks = nodes.join(sums, col("token") === col("dst"), "left")
+            .select(col("token"),
+              (lit(0.15) + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("rank"))
+        }
+        val wR = Window.orderBy(col("textrank").desc, col("token"))
+        ranks.join(deg, col("token") === col("src"))
+          .select(col("token"), round(col("rank"), 6).as("textrank"), col("deg"))
+          .withColumn("kw_rank", row_number().over(wR))
+          .filter(col("kw_rank") <= 20)
+          .select(col("kw_rank").cast("int").as("kw_rank"), col("token"),
+            col("textrank"), col("deg").as("degree"))
+          .orderBy("kw_rank")
+      },
+      Some {
+        val sb = new StringBuilder
+        sb ++= """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        adj AS (
+          SELECT toks[i] AS w1, toks[i+1] AS w2
+          FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        und AS (
+          SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+          FROM adj WHERE w1 <> '' AND w2 <> '' AND w1 <> w2),
+        edges AS (
+          SELECT a AS src, b AS dst FROM und
+          UNION ALL
+          SELECT b AS src, a AS dst FROM und),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS token FROM edges),
+        r0 AS (SELECT token, CAST(1 AS DOUBLE) AS rank FROM nodes)"""
+        for (t <- 1 to TR_ITERS) {
+          sb ++= s""",
+        s$t AS (
+          SELECT e.dst,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE), list(r.rank / g.deg ORDER BY e.src)),
+                             (acc, x) -> acc + x) AS csum
+          FROM edges e JOIN deg g ON e.src = g.src JOIN r${t - 1} r ON e.src = r.token
+          GROUP BY e.dst),
+        r$t AS (
+          SELECT n.token,
+                 CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(s.csum, CAST(0 AS DOUBLE)) AS rank
+          FROM nodes n LEFT JOIN s$t s ON n.token = s.dst)"""
+        }
+        sb ++= s"""
+        SELECT CAST(row_number() OVER (ORDER BY round(r.rank, 6) DESC, r.token) AS INT) AS kw_rank,
+               r.token, round(r.rank, 6) AS textrank, g.deg AS degree
+        FROM r$TR_ITERS r JOIN deg g ON r.token = g.src
+        ORDER BY round(r.rank, 6) DESC, r.token
+        LIMIT 20"""
+        sb.toString
+      })
   )
 
   /** Shared lang-id model + per-doc prediction (the t01 pipeline minus
