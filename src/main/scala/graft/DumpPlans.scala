@@ -70,7 +70,8 @@ object DumpPlans {
       "c05_gmm_estep", "s22_rocchio_feedback", "q130_time_to_convert",
       "st21_decayed_counter", "q131_ar_aging", "p21_lexicon_filter",
       "m16_keyframe_select", "q132_boxplot_five_number", "s23_intralist_diversity",
-      "t33_textrank_keywords", "q133_data_vault", "p22_best_survivor")
+      "t33_textrank_keywords", "q133_data_vault", "p22_best_survivor",
+      "q134_snapshot_diff", "q135_quantile_sketch", "s24_filtered_ann")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

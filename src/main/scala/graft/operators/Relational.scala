@@ -5796,7 +5796,171 @@ object Relational {
                prev_hd IS NULL AS is_first_version
         FROM lagged
         WHERE prev_hd IS NULL OR prev_hd <> hashdiff
-        ORDER BY hub_customer_hk, o_orderkey"""))
+        ORDER BY hub_customer_hk, o_orderkey""")),
+
+    // -------------------------------------------------------------------
+    // Table snapshot diff (the Datafold/data-diff reconciliation op):
+    // two simulated snapshots of orders — B drops a deterministic ~5%
+    // hash slice of A, adds a ~5% slice A lacks, and bumps a ~10%
+    // slice's price by one cent — are reconciled with ONE full outer
+    // join on the key, classifying every differing key as added /
+    // removed / changed (with the changed column named). The summary row
+    // counts each class plus unchanged. Keys and classes are pure
+    // hash-mod integers. Scale: one co-partitioned outer join on the
+    // key, no row comparison outside the join.
+    QueryDef("q134_snapshot_diff",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"),
+            col("o_orderstatus").as("status"),
+            expr(s"${Ns.hash60("concat('diff:', CAST(o_orderkey AS STRING))")} % 20").as("h"))
+        val snapA = base.filter(col("h") =!= 1)
+          .select(col("k"), col("cents"), col("status"))
+        val snapB = base.filter(col("h") =!= 2)
+          .select(col("k"),
+            when(col("h") === 3, col("cents") + 1).otherwise(col("cents")).as("cents"),
+            col("status"))
+        val a = snapA.select(col("k").as("ka"), col("cents").as("ca"), col("status").as("sa"))
+        val b = snapB.select(col("k").as("kb"), col("cents").as("cb"), col("status").as("sb"))
+        val joined = a.join(b, col("ka") === col("kb"), "full_outer")
+          .select(coalesce(col("ka"), col("kb")).as("k"),
+            expr("""CASE WHEN ka IS NULL THEN 'added'
+                         WHEN kb IS NULL THEN 'removed'
+                         WHEN ca <> cb OR sa <> sb THEN 'changed'
+                         ELSE 'unchanged' END""").as("class"),
+            expr("""CASE WHEN ka IS NOT NULL AND kb IS NOT NULL AND ca <> cb THEN 'cents'
+                         WHEN ka IS NOT NULL AND kb IS NOT NULL AND sa <> sb THEN 'status'
+                         END""").as("changed_col"))
+        joined.groupBy("class")
+          .agg(count(ONE).as("n_keys"),
+            countDistinct(col("changed_col")).as("n_changed_cols"),
+            min(col("k")).as("first_key"), max(col("k")).as("last_key"))
+          .orderBy("class")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+                 o_orderstatus AS status,
+                 ${Ns.oHash60("'diff:' || CAST(o_orderkey AS VARCHAR)")} % 20 AS h
+          FROM orders),
+        a AS (SELECT k AS ka, cents AS ca, status AS sa FROM base WHERE h <> 1),
+        b AS (SELECT k AS kb,
+                     CASE WHEN h = 3 THEN cents + 1 ELSE cents END AS cb,
+                     status AS sb
+              FROM base WHERE h <> 2),
+        joined AS (
+          SELECT coalesce(ka, kb) AS k,
+                 CASE WHEN ka IS NULL THEN 'added'
+                      WHEN kb IS NULL THEN 'removed'
+                      WHEN ca <> cb OR sa <> sb THEN 'changed'
+                      ELSE 'unchanged' END AS class,
+                 CASE WHEN ka IS NOT NULL AND kb IS NOT NULL AND ca <> cb THEN 'cents'
+                      WHEN ka IS NOT NULL AND kb IS NOT NULL AND sa <> sb THEN 'status'
+                      END AS changed_col
+          FROM a FULL OUTER JOIN b ON ka = kb)
+        SELECT class, count(*) AS n_keys,
+               count(DISTINCT changed_col) AS n_changed_cols,
+               CAST(min(k) AS BIGINT) AS first_key, CAST(max(k) AS BIGINT) AS last_key
+        FROM joined
+        GROUP BY class
+        ORDER BY class""")),
+
+    // -------------------------------------------------------------------
+    // Mergeable quantile sketch (one deterministic KLL compaction
+    // round): order values are hash-scattered into 32 buckets, each
+    // bucket keeps every 8th element of its sorted run starting at
+    // rank 1 (deterministic subsample, weight 8 — where KLL flips a
+    // coin we pin the offset, which keeps the sketch engine- and
+    // partitioning-identical), and quantiles are read from the merged
+    // weighted survivors as the smallest value whose cumulative weight
+    // reaches ceil(q*W). The card reports estimate vs exact and the
+    // realized rank error in ppm — the mergeability witness the sketch
+    // family (q64 HLL, q84 KMV, q87 count-sketch, t13 CMS) lacked.
+    // Scale: per-bucket sorts of n/32, survivors are n/8 rows.
+    QueryDef("q135_quantile_sketch",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"),
+            expr(s"${Ns.hash60("concat('kll:', CAST(o_orderkey AS STRING))")} % 32").as("bkt"))
+        val kept = base
+          .withColumn("brn", row_number().over(
+            Window.partitionBy("bkt").orderBy(col("cents"), col("o_orderkey"))))
+          .filter(expr("brn % 8 = 1"))
+          .select(col("cents"), lit(8L).as("w"), col("o_orderkey"))
+        val cum = kept
+          .withColumn("cw", sum(col("w")).over(
+            Window.orderBy(col("cents"), col("o_orderkey"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tw", sum(col("w")).over(Window.partitionBy()))
+        val exact = base
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("cents"), col("o_orderkey"))))
+          .withColumn("n", count(ONE).over(Window.partitionBy()))
+        val qs = Seq(25, 50, 90, 99)
+        val est = qs.map { q =>
+          cum.filter(expr(s"cw >= ($q * tw + 99) div 100"))
+            .groupBy().agg(min(col("cents")).as("est_cents"))
+            .select(lit(q).as("q_pct"), col("est_cents"))
+        }.reduce(_.unionAll(_))
+        val exa = qs.map { q =>
+          exact.filter(expr(s"rn = ($q * n + 99) div 100"))
+            .select(lit(q).as("qp"), col("cents").as("exact_cents"), col("n"))
+        }.reduce(_.unionAll(_))
+        val ranks = est.join(exa, col("q_pct") === col("qp"))
+          .join(exact.select(col("cents").as("c2")),
+            col("c2") <= col("est_cents"), "left")
+          .groupBy("q_pct", "est_cents", "exact_cents", "n")
+          .agg(count(col("c2")).as("est_rank"))
+        ranks
+          .select(col("q_pct"), col("est_cents"), col("exact_cents"),
+            expr("CAST(abs(1000000 * est_rank div n - 10000 * q_pct) AS BIGINT)")
+              .as("rank_err_ppm"))
+          .orderBy("q_pct")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+                 ${Ns.oHash60("'kll:' || CAST(o_orderkey AS VARCHAR)")} % 32 AS bkt
+          FROM orders),
+        kept AS (
+          SELECT cents, 8 AS w, o_orderkey FROM (
+            SELECT cents, o_orderkey,
+                   row_number() OVER (PARTITION BY bkt ORDER BY cents, o_orderkey) AS brn
+            FROM base) WHERE brn % 8 = 1),
+        cum AS (
+          SELECT cents, o_orderkey,
+                 CAST(sum(w) OVER (ORDER BY cents, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+                 CAST(sum(w) OVER () AS BIGINT) AS tw
+          FROM kept),
+        exact AS (
+          SELECT cents,
+                 row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+                 count(*) OVER () AS n
+          FROM base),
+        qs(q_pct) AS (VALUES (25), (50), (90), (99)),
+        est AS (
+          SELECT q_pct, min(cents) AS est_cents
+          FROM qs JOIN cum ON cw >= (q_pct * tw + 99) // 100
+          GROUP BY q_pct),
+        exa AS (
+          SELECT q_pct AS qp, max(CASE WHEN rn = (q_pct * n + 99) // 100 THEN cents END)
+                   AS exact_cents,
+                 max(n) AS n
+          FROM qs JOIN exact ON rn = (q_pct * n + 99) // 100
+          GROUP BY q_pct),
+        ranks AS (
+          SELECT q_pct, est_cents, exact_cents, n,
+                 (SELECT count(*) FROM exact e WHERE e.cents <= est_cents) AS est_rank
+          FROM est JOIN exa ON q_pct = qp)
+        SELECT q_pct, est_cents, exact_cents,
+               CAST(abs(1000000 * est_rank // n - 10000 * q_pct) AS BIGINT) AS rank_err_ppm
+        FROM ranks
+        ORDER BY q_pct"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

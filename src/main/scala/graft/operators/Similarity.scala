@@ -1868,6 +1868,76 @@ object Similarity {
                1000000 - CAST((sum_c6 + 2000000 * n_pairs) // n_pairs - 2000000 AS BIGINT)
                  AS ild_micro
         FROM agg
-        ORDER BY qid"""))
+        ORDER BY qid""")),
+
+    // -------------------------------------------------------------------
+    // Filtered ANN: pre-filter vs post-filter (the central design choice
+    // of metadata-constrained vector search). Ground truth = PRE-filter:
+    // rank only the vectors passing the predicate (label = query's
+    // label) and take top-5. The cheap alternative = POST-filter: take
+    // the unfiltered s01 top-20, then keep predicate survivors. Each
+    // ground-truth neighbor is flagged with whether post-filtering would
+    // have surfaced it — the recall-loss evidence for sizing the
+    // overfetch factor. All under the s01 rounding/tie-break contract.
+    QueryDef("s24_filtered_ann",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val q = e.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val scored = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qlabel"), col("label"), col("vec_id").as("neighbor"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+        val pre = scored.filter(col("label") === col("qlabel"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))))
+          .filter(col("rank") <= TOPK)
+        val post = scored
+          .withColumn("grank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))))
+          .filter(col("grank") <= 20 && col("label") === col("qlabel"))
+          .withColumn("frank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("grank"))))
+          .filter(col("frank") <= TOPK)
+          .select(col("qid").as("pq"), col("neighbor").as("pn"))
+        pre.join(post, col("qid") === col("pq") && col("neighbor") === col("pn"), "left")
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("neighbor"),
+            col("cosine"), col("pn").isNotNull.as("found_by_postfilter"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn
+              FROM n WHERE $QFILTER),
+        scored AS (
+          SELECT qid, qlabel, label, vec_id AS neighbor,
+                 round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) AS cosine
+          FROM q JOIN n ON vec_id <> qid),
+        pre AS (
+          SELECT qid, neighbor, cosine, rank FROM (
+            SELECT qid, neighbor, cosine,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, neighbor) AS rank
+            FROM scored WHERE label = qlabel) WHERE rank <= $TOPK),
+        post AS (
+          SELECT qid AS pq, neighbor AS pn FROM (
+            SELECT qid, neighbor, grank,
+                   row_number() OVER (PARTITION BY qid ORDER BY grank) AS frank
+            FROM (
+              SELECT qid, qlabel, label, neighbor,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, neighbor) AS grank
+              FROM scored)
+            WHERE grank <= 20 AND label = qlabel)
+          WHERE frank <= $TOPK)
+        SELECT pre.qid, CAST(rank AS INT) AS rank, neighbor, cosine,
+               pn IS NOT NULL AS found_by_postfilter
+        FROM pre LEFT JOIN post ON pre.qid = pq AND pre.neighbor = pn
+        ORDER BY pre.qid, rank"""))
   )
 }
