@@ -201,6 +201,51 @@ object Bpe {
               .as("compression"))
           .orderBy("doc_id")
       },
-      Some(encodeSql(Rounds)))
+      Some(encodeSql(Rounds))),
+
+    // -------------------------------------------------------------------
+    // Tokenizer fertility card per language (the cross-lingual-equity
+    // metric tokenizer teams publish): words per language encoded with
+    // the t18-trained BPE merges, fertility = tokens per word and
+    // bytes-per-token as EXACT ppm/micro integer divisions of the
+    // aggregated counts. A lang whose fertility runs high pays more
+    // sequence length for the same text — the signal that drives vocab
+    // rebalancing. Reuses the broadcast vocab->token-count map (t19's
+    // shape); one groupBy(lang).
+    QueryDef("t34_tokenizer_fertility",
+      (s, d) => {
+        val (_, vocab) = train(s, d, Rounds)
+        val enc = vocab.withColumn("n_toks",
+          size(regexp_extract_all(col("seq"), lit(SymRe), lit(1))).cast("long"))
+          .select(col("word"), col("n_toks"))
+        Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ", -1)).as("word"))
+          .filter(col("word") =!= "")
+          .join(broadcast(enc), "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("word"))).cast("long").as("n_bytes"),
+            sum(col("n_toks")).as("n_tokens"))
+          .select(col("lang"), col("n_words"), col("n_bytes"), col("n_tokens"),
+            expr("1000000 * n_tokens div n_words").as("fertility_ppm"),
+            expr("1000000 * n_bytes div n_tokens").as("bytes_per_token_micro"))
+          .orderBy("lang")
+      },
+      Some(trainSqlCtes(Rounds) + s""",
+      enc AS (
+        SELECT word, CAST(len(regexp_extract_all(seq, '$OSymRe', 1)) AS BIGINT) AS n_toks
+        FROM w$Rounds),
+      lw AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      agg AS (
+        SELECT lang, count(*) AS n_words, sum(len(word)) AS n_bytes,
+               sum(n_toks) AS n_tokens
+        FROM lw JOIN enc USING (word) WHERE word <> '' GROUP BY lang)
+    SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           1000000 * CAST(n_tokens AS BIGINT) // n_words AS fertility_ppm,
+           1000000 * CAST(n_bytes AS BIGINT) // CAST(n_tokens AS BIGINT) AS bytes_per_token_micro
+    FROM agg ORDER BY lang"""))
   )
 }

@@ -348,6 +348,8 @@ object Graph {
 
   private val KCORE_K = 2
   private val KCORE_ROUNDS = 8
+  private val TRUSS_K = 4
+  private val TRUSS_ROUNDS = 4
 
   /** k-core decomposition (k=2) of the near-dup graph by iterative
     * peeling (Matula-Beck): drop every node whose degree among LIVE
@@ -1032,6 +1034,104 @@ object Graph {
         LEFT JOIN cn ON a = u AND b = v
         JOIN deg da ON a = da.src
         JOIN deg db ON b = db.src
-        ORDER BY a, b"""))
+        ORDER BY a, b""")),
+
+    // -----------------------------------------------------------------
+    // k-truss (k=4) of the SimHash near-dup graph: iteratively drop
+    // every edge supported by fewer than k-2 = 2 triangles AMONG LIVE
+    // edges (Cohen 2008) — the cohesion filter one step stronger than
+    // g06's k-core (an edge needs two independent witnesses, so chains
+    // and single-collision bridges die, near-clique dup families
+    // survive). Both engines run the same fixed TRUSS_ROUNDS sweeps
+    // (the g06 bounded-peeling contract; the spec asserts the fixpoint
+    // is reached). Scale: each round is one wedge join on the shared
+    // endpoint semi-joined against the shrinking live edge set —
+    // frontier-sized, the live set is localCheckpoint'd per round (the
+    // g06 lineage cut; MATERIALIZED on the DuckDB side).
+    QueryDef("g15_ktruss",
+      (s, d) => {
+        val e0 = Dedup.simhashPairs(s, d)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint()
+        def supportOf(live: org.apache.spark.sql.DataFrame) = {
+          val dir = live.select(col("a").as("src"), col("b").as("dst"))
+            .union(live.select(col("b").as("src"), col("a").as("dst")))
+          dir.select(col("src").as("w"), col("dst").as("u"))
+            .join(dir.select(col("src").as("w2"), col("dst").as("v")),
+              col("w") === col("w2") && col("u") < col("v"))
+            .join(live.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_semi")
+            .groupBy("u", "v").agg(count(lit(1)).as("support"))
+        }
+        val sup0 = supportOf(e0)
+          .select(col("u").as("a0"), col("v").as("b0"), col("support").as("support0"))
+          .localCheckpoint()
+        var live = e0
+        for (_ <- 1 to TRUSS_ROUNDS) {
+          val sup = supportOf(live)
+          live = live
+            .join(sup, col("a") === col("u") && col("b") === col("v"), "left")
+            .filter(coalesce(col("support"), lit(0L)) >= TRUSS_K - 2)
+            .select("a", "b").localCheckpoint()
+        }
+        val supF = supportOf(live)
+        e0.join(sup0, col("a") === col("a0") && col("b") === col("b0"), "left")
+          .join(live.select(col("a").as("la"), col("b").as("lb"), lit(true).as("in_truss")),
+            col("a") === col("la") && col("b") === col("lb"), "left")
+          .join(supF, col("a") === col("u") && col("b") === col("v"), "left")
+          .select(col("a"), col("b"),
+            coalesce(col("support0"), lit(0L)).as("support0"),
+            coalesce(col("in_truss"), lit(false)).as("in_4truss"),
+            coalesce(col("support"), lit(0L)).as("truss_support"))
+          .orderBy("a", "b")
+      },
+      Some {
+        val sb = new StringBuilder
+        sb ++= s"""
+        WITH ${Dedup.simhashFpOracleCtes},
+        e0 AS MATERIALIZED (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM fp a JOIN fp b
+            ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+        sup0 AS MATERIALIZED (
+          SELECT e1.dst AS u, e2.dst AS v, count(*) AS support0
+          FROM (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0) e1
+          JOIN (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0) e2
+            ON e1.src = e2.src AND e1.dst < e2.dst
+          JOIN e0 le ON le.a = e1.dst AND le.b = e2.dst
+          GROUP BY 1, 2)"""
+        for (t <- 1 to TRUSS_ROUNDS) {
+          val prev = if (t == 1) "e0" else s"e${t - 1}"
+          sb ++= s""",
+        s$t AS MATERIALIZED (
+          SELECT e1.dst AS u, e2.dst AS v, count(*) AS support
+          FROM (SELECT a AS src, b AS dst FROM $prev UNION ALL SELECT b, a FROM $prev) e1
+          JOIN (SELECT a AS src, b AS dst FROM $prev UNION ALL SELECT b, a FROM $prev) e2
+            ON e1.src = e2.src AND e1.dst < e2.dst
+          JOIN $prev le ON le.a = e1.dst AND le.b = e2.dst
+          GROUP BY 1, 2),
+        e$t AS MATERIALIZED (
+          SELECT p.a, p.b FROM $prev p
+          JOIN s$t ON p.a = s$t.u AND p.b = s$t.v
+          WHERE s$t.support >= ${TRUSS_K - 2})"""
+        }
+        val last = s"e$TRUSS_ROUNDS"
+        sb ++= s""",
+        supf AS (
+          SELECT e1.dst AS u, e2.dst AS v, count(*) AS support
+          FROM (SELECT a AS src, b AS dst FROM $last UNION ALL SELECT b, a FROM $last) e1
+          JOIN (SELECT a AS src, b AS dst FROM $last UNION ALL SELECT b, a FROM $last) e2
+            ON e1.src = e2.src AND e1.dst < e2.dst
+          JOIN $last le ON le.a = e1.dst AND le.b = e2.dst
+          GROUP BY 1, 2)
+        SELECT e0.a, e0.b,
+               CAST(coalesce(s0.support0, 0) AS BIGINT) AS support0,
+               l.a IS NOT NULL AS in_4truss,
+               CAST(coalesce(f.support, 0) AS BIGINT) AS truss_support
+        FROM e0
+        LEFT JOIN sup0 s0 ON e0.a = s0.u AND e0.b = s0.v
+        LEFT JOIN $last l ON e0.a = l.a AND e0.b = l.b
+        LEFT JOIN supf f ON e0.a = f.u AND e0.b = f.v
+        ORDER BY e0.a, e0.b"""
+        sb.toString
+      })
   )
 }

@@ -1071,6 +1071,81 @@ object Multimodal {
         SELECT doc_id, shot_id, CAST(n_frames AS BIGINT) AS n_frames,
                f AS keyframe_idx, energy AS key_energy
         FROM ranked WHERE rn = 1
-        ORDER BY doc_id, shot_id"""))
+        ORDER BY doc_id, shot_id""")),
+
+    // -------------------------------------------------------------------
+    // Leading/trailing silence trim (the Whisper-style preprocessing
+    // pass): per track, m07's 64-sample windows and silence rule
+    // (sum_sq < 1000*n), then the first/last voiced window indices and
+    // the window counts a trim would cut from each end. All-silent
+    // tracks flag for drop with sentinel -1 indices. Exact integers;
+    // the voiced argmin/argmax are conditional min/max partial
+    // aggregates over the windowed stats — no sequential pass.
+    QueryDef("m18_silence_trim",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        mediaFromDocuments(s, d)
+          .flatMap { r =>
+            val bytes = r.payload
+            val nSamples = bytes.length / 2
+            (0 until (nSamples + 63) / 64).map { w =>
+              val lo = w * 64
+              val hi = math.min(lo + 64, nSamples)
+              var sumSq = 0L
+              var k = lo
+              while (k < hi) {
+                val raw = (bytes(2 * k) & 0xff) | ((bytes(2 * k + 1) & 0xff) << 8)
+                val sgn = if (raw >= 32768) raw - 65536 else raw
+                sumSq += sgn.toLong * sgn
+                k += 1
+              }
+              (r.doc_id, w, sumSq < 1000L * (hi - lo))
+            }
+          }
+          .toDF("doc_id", "w", "silent")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            min(when(!col("silent"), col("w"))).as("fv"),
+            max(when(!col("silent"), col("w"))).as("lv"))
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("fv"), lit(-1)).cast("int").as("first_voiced"),
+            coalesce(col("lv"), lit(-1)).cast("int").as("last_voiced"),
+            coalesce(col("fv"), col("n_windows")).cast("long").as("lead_trim_windows"),
+            coalesce(col("n_windows") - 1 - col("lv"), lit(0L)).cast("long")
+              .as("tail_trim_windows"),
+            col("fv").isNull.as("all_silent"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, length(text) // 2 AS ns
+          FROM documents WHERE length(text) >= 2),
+        samples AS (
+          SELECT doc_id, CAST(u.k AS BIGINT) AS k,
+                 ascii(substring(text, CAST(2 * u.k + 1 AS INT), 1))
+                 + 256 * ascii(substring(text, CAST(2 * u.k + 2 AS INT), 1)) AS raw
+          FROM t, unnest(generate_series(0, ns - 1)) AS u(k)),
+        signed AS (
+          SELECT doc_id, k,
+                 CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS sv
+          FROM samples),
+        win AS (
+          SELECT doc_id, CAST(k // 64 AS INT) AS w,
+                 sum(CAST(sv AS BIGINT) * sv) < 1000 * count(*) AS silent
+          FROM signed GROUP BY doc_id, k // 64),
+        agg AS (
+          SELECT doc_id, count(*) AS n_windows,
+                 min(CASE WHEN NOT silent THEN w END) AS fv,
+                 max(CASE WHEN NOT silent THEN w END) AS lv
+          FROM win GROUP BY doc_id)
+        SELECT doc_id, n_windows,
+               CAST(coalesce(fv, -1) AS INT) AS first_voiced,
+               CAST(coalesce(lv, -1) AS INT) AS last_voiced,
+               CAST(coalesce(fv, n_windows) AS BIGINT) AS lead_trim_windows,
+               CAST(coalesce(n_windows - 1 - lv, 0) AS BIGINT) AS tail_trim_windows,
+               fv IS NULL AS all_silent
+        FROM agg
+        ORDER BY doc_id"""))
   )
 }
