@@ -72,7 +72,8 @@ object DumpPlans {
       "m16_keyframe_select", "q132_boxplot_five_number", "s23_intralist_diversity",
       "t33_textrank_keywords", "q133_data_vault", "p22_best_survivor",
       "q134_snapshot_diff", "q135_quantile_sketch", "s24_filtered_ann",
-      "g15_ktruss", "t34_tokenizer_fertility", "m18_silence_trim")
+      "g15_ktruss", "t34_tokenizer_fertility", "m18_silence_trim",
+      "d14_weighted_jaccard", "q136_zone_map_skipping", "q137_price_volume_mix")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

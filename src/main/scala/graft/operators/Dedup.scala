@@ -287,6 +287,98 @@ object Dedup {
         ORDER BY doc_a, doc_b""")),
 
     // -------------------------------------------------------------------
+    // IDF-weighted token Jaccard over d04's shingle-blocked candidates:
+    // rare-token overlap counts for more than stopword overlap (the
+    // standard near-dup quality upgrade). IDF is floor-quantized
+    // micro-nats of ln(N/df) — one identical double expression per
+    // TOKEN, after which everything is exact integer sums: shared =
+    // sum of idf over the token intersection, union = ta_total +
+    // tb_total - shared, wj_ppm = 1e6*shared div union. Candidates are
+    // same-lang pairs sharing >= 2 distinct 3-shingles (equi-join
+    // blocking, never all-pairs). Scale: the token-intersection join is
+    // per-candidate on the token key — bucket fan-out bounded.
+    QueryDef("d14_weighted_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+        val tok = docs
+          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
+          .filter(col("token") =!= "")
+        val nd = docs.agg(count(lit(1)).as("n"))
+        val idf = tok.groupBy("token").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nd))
+          .select(col("token"),
+            expr("CAST(floor(1000000 * ln(CAST(n AS DOUBLE) / df)) AS BIGINT)")
+              .as("idf"))
+        val wtok = tok.join(idf, "token")
+        val totals = wtok.groupBy("doc_id").agg(sum(col("idf")).as("tot"))
+        val sh = docs
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(expr(
+              "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("s"))
+        val cand = sh.select(col("doc_id").as("doc_a"), col("lang"), col("s"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("lang").as("lb"), col("s").as("sb")),
+            col("s") === col("sb") && col("lang") === col("lb") &&
+              col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shingles"))
+          .filter(col("n_shingles") >= 2)
+        val shared = cand
+          .join(wtok.select(col("doc_id").as("doc_a"), col("token"), col("idf")), "doc_a")
+          .join(wtok.select(col("doc_id").as("doc_b"), col("token").as("tb")),
+            Seq("doc_b"), "inner")
+          .filter(col("token") === col("tb"))
+          .groupBy("doc_a", "doc_b", "n_shingles").agg(sum(col("idf")).as("shared_idf"))
+        shared
+          .join(totals.select(col("doc_id").as("doc_a"), col("tot").as("ta")), "doc_a")
+          .join(totals.select(col("doc_id").as("doc_b"), col("tot").as("tb2")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("n_shingles"), col("shared_idf"),
+            (col("ta") + col("tb2") - col("shared_idf")).as("union_idf"))
+          .withColumn("wj_ppm", expr("1000000 * shared_idf div union_idf"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        tok AS (
+          SELECT doc_id, u.token
+          FROM t, unnest(list_distinct(toks)) AS u(token)
+          WHERE u.token <> ''),
+        nd AS (SELECT count(*) AS n FROM t),
+        idf AS (
+          SELECT token,
+                 CAST(floor(1000000 * ln(CAST(n AS DOUBLE) / df)) AS BIGINT) AS idf
+          FROM (SELECT token, count(*) AS df FROM tok GROUP BY token) CROSS JOIN nd),
+        wtok AS (SELECT doc_id, tok.token, idf FROM tok JOIN idf ON tok.token = idf.token),
+        totals AS (SELECT doc_id, CAST(sum(idf) AS BIGINT) AS tot FROM wtok GROUP BY doc_id),
+        sh AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+          FROM t),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shingles
+          FROM sh a JOIN sh b
+            ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= 2),
+        shared AS (
+          SELECT c.doc_a, c.doc_b, c.n_shingles,
+                 CAST(sum(wa.idf) AS BIGINT) AS shared_idf
+          FROM cand c
+          JOIN wtok wa ON wa.doc_id = c.doc_a
+          JOIN wtok wb ON wb.doc_id = c.doc_b AND wb.token = wa.token
+          GROUP BY 1, 2, 3)
+        SELECT s.doc_a, s.doc_b, n_shingles, shared_idf,
+               ta.tot + tb.tot - shared_idf AS union_idf,
+               1000000 * shared_idf // (ta.tot + tb.tot - shared_idf) AS wj_ppm
+        FROM shared s
+        JOIN totals ta ON s.doc_a = ta.doc_id
+        JOIN totals tb ON s.doc_b = tb.doc_id
+        ORDER BY s.doc_a, s.doc_b""")),
+
+    // -------------------------------------------------------------------
     // Containment dedup: the quote / subset detector exact Jaccard (d04)
     // misses. A short document pasted inside a long one has LOW Jaccard
     // (the union is dominated by the long doc) but HIGH containment

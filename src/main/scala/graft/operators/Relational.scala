@@ -5960,7 +5960,146 @@ object Relational {
         SELECT q_pct, est_cents, exact_cents,
                CAST(abs(1000000 * est_rank // n - 10000 * q_pct) AS BIGINT) AS rank_err_ppm
         FROM ranks
-        ORDER BY q_pct"""))
+        ORDER BY q_pct""")),
+
+    // -------------------------------------------------------------------
+    // Zone-map / data-skipping audit (the Iceberg-manifest /
+    // ClickHouse-minmax effectiveness report): orders land in simulated
+    // weekly files, each file carries its (min,max) cents zone map, and
+    // three representative predicates are scored on how many files the
+    // zone map alone can prove empty — plus the exact row counts those
+    // skipped files held and how many rows actually match. The gap
+    // between skip_ratio and selectivity is the "clustering debt" a
+    // z-order rewrite (q25/q92) would reclaim. Pure integer aggregates.
+    QueryDef("q136_zone_map_skipping",
+      (s, d) => {
+        val rows = Tables.orders(s, d)
+          .select(expr("datediff(o_orderdate, DATE'1970-01-01') div 7").as("file_id"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+        val zones = rows.groupBy("file_id")
+          .agg(count(ONE).as("n_rows"), min(col("cents")).as("zmin"),
+            max(col("cents")).as("zmax"))
+        val preds = Seq(
+          ("p1_gt_30m", 3000000000L, Long.MaxValue),
+          ("p2_band_1m_2m", 100000000L, 200000000L),
+          ("p3_lt_500k", Long.MinValue, 50000000L))
+        val perPred = preds.map { case (pid, lo, hi) =>
+          val z = zones.select(lit(pid).as("pred"), col("file_id"), col("n_rows"),
+            (col("zmax") < lo || col("zmin") > hi).as("skipped"))
+          val m = rows.filter(col("cents") >= lo && col("cents") <= hi)
+            .agg(count(ONE).as("matching_rows"))
+          z.groupBy("pred")
+            .agg(count(ONE).as("n_files"),
+              sum(when(col("skipped"), 1L).otherwise(0L)).as("files_skipped"),
+              sum(when(col("skipped"), col("n_rows")).otherwise(0L)).as("rows_skipped"),
+              sum(col("n_rows")).as("total_rows"))
+            .crossJoin(m)
+        }.reduce(_.unionAll(_))
+        perPred
+          .select(col("pred"), col("n_files"), col("files_skipped"),
+            col("rows_skipped"), col("total_rows"), col("matching_rows"),
+            expr("1000000 * rows_skipped div total_rows").as("skip_ppm"),
+            expr("1000000 * matching_rows div total_rows").as("selectivity_ppm"))
+          .orderBy("pred")
+      },
+      Some(s"""
+        WITH rows_t AS (
+          SELECT datediff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) // 7 AS file_id,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+          FROM orders),
+        zones AS (
+          SELECT file_id, count(*) AS n_rows,
+                 CAST(min(cents) AS BIGINT) AS zmin, CAST(max(cents) AS BIGINT) AS zmax
+          FROM rows_t GROUP BY file_id),
+        preds(pred, lo, hi) AS (
+          VALUES ('p1_gt_30m', 3000000000, ${Long.MaxValue}),
+                 ('p2_band_1m_2m', 100000000, 200000000),
+                 ('p3_lt_500k', ${Long.MinValue}, 50000000)),
+        z AS (
+          SELECT pred, file_id, n_rows,
+                 (zmax < lo OR zmin > hi) AS skipped
+          FROM zones CROSS JOIN preds),
+        m AS (
+          SELECT pred, count(*) AS matching_rows
+          FROM preds JOIN rows_t ON cents >= lo AND cents <= hi
+          GROUP BY pred),
+        g AS (
+          SELECT pred, count(*) AS n_files,
+                 CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+                 CAST(sum(CASE WHEN skipped THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+                 CAST(sum(n_rows) AS BIGINT) AS total_rows
+          FROM z GROUP BY pred)
+        SELECT g.pred, n_files, files_skipped, rows_skipped, total_rows,
+               CAST(coalesce(matching_rows, 0) AS BIGINT) AS matching_rows,
+               1000000 * rows_skipped // total_rows AS skip_ppm,
+               1000000 * CAST(coalesce(matching_rows, 0) AS BIGINT) // total_rows AS selectivity_ppm
+        FROM g LEFT JOIN m ON g.pred = m.pred
+        ORDER BY g.pred""")),
+
+    // -------------------------------------------------------------------
+    // Price-volume-mix revenue bridge (the FP&A decomposition): per part
+    // brand, the 1995 -> 1996 revenue delta split into a volume effect
+    // (quantity change at old price) and a price effect (new quantity at
+    // the price change), with the classic exact identity dV = VE + PE
+    // held in rationals and floor-quantized to cents via the
+    // positivity-shift division (quantity deltas go negative). The
+    // residual column pins the (bounded, <= 2 cent) quantization gap.
+    // Scale: one join to part, two conditional partial aggregates, all
+    // integer arithmetic.
+    QueryDef("q137_price_volume_mix",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("brand"), expr("year(l_shipdate)").as("yr"),
+            expr("CAST(l_quantity AS BIGINT)").as("qty"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+          .filter(col("yr").isin(1995, 1996))
+        li.groupBy("brand")
+          .agg(sum(when(col("yr") === 1995, col("qty")).otherwise(0L)).as("qty_a"),
+            sum(when(col("yr") === 1996, col("qty")).otherwise(0L)).as("qty_b"),
+            sum(when(col("yr") === 1995, col("cents")).otherwise(0L)).as("val_a"),
+            sum(when(col("yr") === 1996, col("cents")).otherwise(0L)).as("val_b"))
+          .filter(col("qty_a") > 0 && col("qty_b") > 0)
+          .withColumn("volume_effect_cents", expr(
+            "((qty_b - qty_a) * val_a + 10000000000 * qty_a) div qty_a - 10000000000"))
+          .withColumn("price_effect_cents", expr(
+            "val_b - ((qty_b * val_a + 10000000000 * qty_a) div qty_a - 10000000000)"))
+          .select(col("brand"), col("qty_a"), col("qty_b"), col("val_a"), col("val_b"),
+            (col("val_b") - col("val_a")).as("delta_cents"),
+            col("volume_effect_cents"), col("price_effect_cents"),
+            (col("val_b") - col("val_a") - col("volume_effect_cents")
+              - col("price_effect_cents")).as("residual_cents"))
+          .orderBy("brand")
+      },
+      Some("""
+        WITH li AS (
+          SELECT p_brand AS brand, year(l_shipdate) AS yr,
+                 CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE year(l_shipdate) IN (1995, 1996)),
+        g AS (
+          SELECT brand,
+                 CAST(sum(CASE WHEN yr = 1995 THEN qty ELSE 0 END) AS BIGINT) AS qty_a,
+                 CAST(sum(CASE WHEN yr = 1996 THEN qty ELSE 0 END) AS BIGINT) AS qty_b,
+                 CAST(sum(CASE WHEN yr = 1995 THEN cents ELSE 0 END) AS BIGINT) AS val_a,
+                 CAST(sum(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS BIGINT) AS val_b
+          FROM li GROUP BY brand
+          HAVING sum(CASE WHEN yr = 1995 THEN qty ELSE 0 END) > 0
+             AND sum(CASE WHEN yr = 1996 THEN qty ELSE 0 END) > 0),
+        fx AS (
+          SELECT brand, qty_a, qty_b, val_a, val_b,
+                 ((qty_b - qty_a) * val_a + 10000000000 * qty_a) // qty_a - 10000000000
+                   AS volume_effect_cents,
+                 val_b - ((qty_b * val_a + 10000000000 * qty_a) // qty_a - 10000000000)
+                   AS price_effect_cents
+          FROM g)
+        SELECT brand, qty_a, qty_b, val_a, val_b,
+               val_b - val_a AS delta_cents,
+               volume_effect_cents, price_effect_cents,
+               val_b - val_a - volume_effect_cents - price_effect_cents AS residual_cents
+        FROM fx
+        ORDER BY brand"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
