@@ -1132,6 +1132,100 @@ object Graph {
         LEFT JOIN supf f ON e0.a = f.u AND e0.b = f.v
         ORDER BY e0.a, e0.b"""
         sb.toString
-      })
+      }),
+
+    // -----------------------------------------------------------------
+    // Mutual-kNN graph and its components: keep only RECIPROCATED kNN
+    // edges (a in knn(b) AND b in knn(a)) — the hub-resistant graph
+    // semantic-clustering stacks actually cluster on (hubs collect
+    // thousands of one-way in-links; mutuality kills them) — then run
+    // the d06 converged label-min components over the mutual edges.
+    // Per-vector output: mutual degree vs raw out-degree (k=3) and the
+    // component id/size. Scale: mutuality is one self-semi-join of the
+    // directed kNN list against its own swap; components are
+    // frontier-sized label sweeps.
+    QueryDef("g16_mutual_knn",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val scoredAll = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nb"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+        val wK = org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy(col("cosine").desc, col("nb"))
+        val knn = scoredAll.withColumn("rn", row_number().over(wK))
+          .filter(col("rn") <= 3).select(col("qid"), col("nb")).localCheckpoint()
+        val mutual = knn
+          .join(knn.select(col("nb").as("qid"), col("qid").as("nb")), Seq("qid", "nb"),
+            "left_semi")
+          .filter(col("qid") < col("nb"))
+          .select(col("qid").as("a"), col("nb").as("b")).localCheckpoint()
+        var labels = e.select(col("vec_id"), col("vec_id").as("cluster")).localCheckpoint(true)
+        val edges = mutual.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(mutual.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(true)
+        var changed = 1L
+        while (changed > 0) {
+          val nbrMin = edges.join(labels, col("dst") === col("vec_id"))
+            .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+          val next = labels
+            .join(nbrMin, col("vec_id") === col("src"), "left")
+            .select(col("vec_id"),
+              least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+              (col("nbr_min") < col("cluster")).as("moved"))
+          val obs = org.apache.spark.sql.Observation()
+          val nextCk = next
+            .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+            .select("vec_id", "cluster")
+            .localCheckpoint(true)
+          changed = obs.get("n_moved").asInstanceOf[Long]
+          labels = nextCk
+        }
+        val mdeg = edges.groupBy(col("src").as("mid")).agg(count(lit(1)).as("mutual_degree"))
+        labels
+          .join(mdeg, col("vec_id") === col("mid"), "left")
+          .withColumn("component_size", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+          .select(col("vec_id"), lit(3).as("k"),
+            coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"),
+            col("cluster").as("component"), col("component_size"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n),
+        scored AS (
+          SELECT qid, vec_id AS nb,
+                 round(${Ns.oDot("qv", "v")} / (qn * nrm), 6) AS cosine
+          FROM q JOIN n ON vec_id <> qid),
+        knn AS (
+          SELECT qid, nb FROM (
+            SELECT qid, nb,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nb) AS rn
+            FROM scored) WHERE rn <= 3),
+        mutual AS (
+          SELECT a.qid AS a, a.nb AS b
+          FROM knn a JOIN knn b ON a.qid = b.nb AND a.nb = b.qid
+          WHERE a.qid < a.nb),
+        edges AS (
+          SELECT a AS src, b AS dst FROM mutual
+          UNION ALL
+          SELECT b, a FROM mutual),
+        reach(src, dst) AS (
+          SELECT vec_id, vec_id FROM v
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS vec_id, min(dst) AS component FROM reach GROUP BY src),
+        mdeg AS (SELECT src AS mid, count(*) AS mutual_degree FROM edges GROUP BY src)
+        SELECT c.vec_id, 3 AS k,
+               CAST(coalesce(mutual_degree, 0) AS BIGINT) AS mutual_degree,
+               component,
+               count(*) OVER (PARTITION BY component) AS component_size
+        FROM comp c LEFT JOIN mdeg ON c.vec_id = mdeg.mid
+        ORDER BY c.vec_id"""))
   )
 }

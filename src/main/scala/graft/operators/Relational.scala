@@ -6099,7 +6099,71 @@ object Relational {
                volume_effect_cents, price_effect_cents,
                val_b - val_a - volume_effect_cents - price_effect_cents AS residual_cents
         FROM fx
-        ORDER BY brand"""))
+        ORDER BY brand""")),
+
+    // -------------------------------------------------------------------
+    // Earth-mover (Wasserstein-1) drift distance between the 1995 and
+    // 1996 order-value distributions — the drift metric that, unlike
+    // q115's PSI, sees HOW FAR mass moved, not just that bins changed.
+    // 32 equal-width bins over the combined exact cents range; for
+    // normalized histograms EMD = sum_bins |cumA/nA - cumB/nB| / nbins,
+    // kept EXACT by cross-multiplying: sum |cumA*nB - cumB*nA| over the
+    // bins, reported as floor(1e6 * that / (nA*nB*32)). One partial
+    // histogram aggregate per period + a 32-row cumulative window.
+    QueryDef("q138_emd_drift",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select(expr("year(o_orderdate)").as("yr"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+          .filter(col("yr").isin(1995, 1996))
+        val rng = base.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        val binned = base.crossJoin(broadcast(rng))
+          .select(col("yr"),
+            least(expr("CAST(32 * (cents - lo) div (hi - lo + 1) AS INT)"), lit(31)).as("bin"))
+        val hist = binned.groupBy("bin")
+          .agg(sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("ca"),
+            sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("cb"))
+        val wCum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cum_a", sum(col("ca")).over(wCum))
+          .withColumn("cum_b", sum(col("cb")).over(wCum))
+          .withColumn("na", sum(col("ca")).over(Window.partitionBy()))
+          .withColumn("nb", sum(col("cb")).over(Window.partitionBy()))
+        cum.groupBy()
+          .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+            count(ONE).as("n_bins_used"),
+            sum(expr("abs(cum_a * nb - cum_b * na)")).as("cross_sum"))
+          .select(col("n_a"), col("n_b"), col("n_bins_used"),
+            expr("CAST(floor(CAST(1000000 AS DOUBLE) * CAST(cross_sum AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(32 AS DOUBLE))) AS BIGINT)")
+              .as("emd_micro"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT year(o_orderdate) AS yr,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+          FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+        rng AS (SELECT CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi
+                FROM base),
+        binned AS (
+          SELECT yr, least(CAST(32 * (cents - lo) // (hi - lo + 1) AS INT), 31) AS bin
+          FROM base CROSS JOIN rng),
+        hist AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM binned GROUP BY bin),
+        cum AS (
+          SELECT bin, ca, cb,
+                 CAST(sum(ca) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+                 CAST(sum(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+                 CAST(sum(ca) OVER () AS BIGINT) AS na,
+                 CAST(sum(cb) OVER () AS BIGINT) AS nb
+          FROM hist)
+        SELECT max(na) AS n_a, max(nb) AS n_b, count(*) AS n_bins_used,
+               CAST(floor(CAST(1000000 AS DOUBLE) * CAST(sum(abs(cum_a * nb - cum_b * na)) AS DOUBLE)
+                    / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE) * CAST(32 AS DOUBLE))) AS BIGINT)
+                 AS emd_micro
+        FROM cum"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

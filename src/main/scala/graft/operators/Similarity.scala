@@ -1938,6 +1938,70 @@ object Similarity {
         SELECT pre.qid, CAST(rank AS INT) AS rank, neighbor, cosine,
                pn IS NOT NULL AS found_by_postfilter
         FROM pre LEFT JOIN post ON pre.qid = pq AND pre.neighbor = pn
-        ORDER BY pre.qid, rank"""))
+        ORDER BY pre.qid, rank""")),
+
+    // -------------------------------------------------------------------
+    // Hard-negative mining for contrastive training (the triplet-mining
+    // pass an embedding-training pipeline runs per epoch): per anchor
+    // (the s01 sample), the nearest SAME-label vector is the positive
+    // and the nearest DIFFERENT-label vector the hard negative — both
+    // argmax-by-cosine as partial-aggregable min(struct) under the s01
+    // rounding/tie-break contract. margin_micro = quantized pos - neg
+    // cosine; anchors with margin <= 0 are the ACTIVE triplets (the
+    // negative is closer than the positive — the pairs that actually
+    // produce gradient). Scale: bounded by the anchor sample; the two
+    // argmaxes combine map-side.
+    QueryDef("s25_hard_negative_mining",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val q = e.filter(expr(QFILTER))
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val scored = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qlabel"), col("label"), col("vec_id").as("neighbor"),
+            expr(s"CAST(round(1000000 * round(${Ns.dot("qv", "v")} / (qn * nrm), 6)) AS BIGINT)")
+              .as("c6"))
+        scored.groupBy("qid", "qlabel")
+          .agg(
+            min(when(col("label") === col("qlabel"),
+              struct((-col("c6")).as("nc"), col("neighbor").as("nb")))).as("pos"),
+            min(when(col("label") =!= col("qlabel"),
+              struct((-col("c6")).as("nc"), col("neighbor").as("nb")))).as("neg"))
+          .select(col("qid"), col("qlabel"),
+            col("pos.nb").as("positive"), (-col("pos.nc")).as("pos_cos_micro"),
+            col("neg.nb").as("hard_negative"), (-col("neg.nc")).as("neg_cos_micro"),
+            (col("neg.nc") - col("pos.nc")).as("margin_micro"))
+          .withColumn("active_triplet", col("margin_micro") <= 0L)
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn
+              FROM n WHERE $QFILTER),
+        scored AS (
+          SELECT qid, qlabel, label, vec_id AS neighbor,
+                 CAST(round(1000000 * round(${Ns.oDot("qv", "v")} / (qn * nrm), 6)) AS BIGINT) AS c6
+          FROM q JOIN n ON vec_id <> qid),
+        pos AS (
+          SELECT qid, qlabel, neighbor AS positive, c6 AS pos_c6 FROM (
+            SELECT qid, qlabel, neighbor, c6,
+                   row_number() OVER (PARTITION BY qid ORDER BY c6 DESC, neighbor) AS rn
+            FROM scored WHERE label = qlabel) WHERE rn = 1),
+        neg AS (
+          SELECT qid, neighbor AS hard_negative, c6 AS neg_c6 FROM (
+            SELECT qid, neighbor, c6,
+                   row_number() OVER (PARTITION BY qid ORDER BY c6 DESC, neighbor) AS rn
+            FROM scored WHERE label <> qlabel) WHERE rn = 1)
+        SELECT p.qid, p.qlabel, positive, pos_c6 AS pos_cos_micro,
+               hard_negative, neg_c6 AS neg_cos_micro,
+               pos_c6 - neg_c6 AS margin_micro,
+               pos_c6 - neg_c6 <= 0 AS active_triplet
+        FROM pos p JOIN neg ng ON p.qid = ng.qid
+        ORDER BY p.qid"""))
   )
 }
