@@ -56,7 +56,7 @@ object Clustering {
   /** Final (vec_id, cl, d2) assignment after ITERS Lloyd sweeps —
     * shared by c01 and the semantic-dedup pipeline below.
     */
-  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+  private def kmeansAssign(s: SparkSession, d: String, k: Int = K): DataFrame = {
     Ns.registerFast(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
@@ -67,7 +67,7 @@ object Clustering {
     // compiles once and is cache-hit by iterations 2..ITERS and the
     // final assignment (first-run latency was dominated by compiling a
     // distinct shape per sweep)
-    var cent = e.filter(col("vec_id") < K)
+    var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cl"), col("v").as("cv"))
       .as[(Int, Array[Double])].collect().sortBy(_._1).toSeq.toDF("cl", "cv")
     for (_ <- 1 to ITERS) {
@@ -93,35 +93,41 @@ object Clustering {
     * in `afin(vec_id, v, cluster, d2)` — shared by the c01 and c02
     * oracles.
     */
-  private def oracleCtes: String = {
+  private def oracleCtes: String = oracleCtesK(K, "")
+
+  /** [[oracleCtes]] generalized over K with a CTE-name suffix so several
+    * chains (one per k, for the c06 elbow) can coexist in one WITH; the
+    * default (K, "") emits byte-identical text to the c01/c02 oracles.
+    */
+  private def oracleCtesK(k: Int, p: String): String = {
     val l2 = (v: String) =>
       s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform($v, (x, i) -> (x - cv[i]) * (x - cv[i]))), (acc, x) -> acc + x), 6)""".stripMargin
     val sb = new StringBuilder
     sb ++= s"""
-      v AS (
+      v$p AS (
         SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
-      cent0 AS (SELECT CAST(vec_id AS INT) AS cl, v AS cv FROM v WHERE vec_id < $K)"""
+      cent0$p AS (SELECT CAST(vec_id AS INT) AS cl, v AS cv FROM v$p WHERE vec_id < $k)"""
     for (t <- 1 to ITERS) {
       sb ++= s""",
-      a$t AS (
+      a$t$p AS (
         SELECT vec_id, cl FROM (
           SELECT vec_id, cl,
                  row_number() OVER (PARTITION BY vec_id ORDER BY ${l2("v")}, cl) AS rn
-          FROM v CROSS JOIN cent${t - 1}) WHERE rn = 1),
-      cd$t AS (
+          FROM v$p CROSS JOIN cent${t - 1}$p) WHERE rn = 1),
+      cd$t$p AS (
         SELECT cl, i AS pos,
                CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
-        FROM v JOIN a$t USING (vec_id) CROSS JOIN generate_series(1, 64) t(i)
+        FROM v$p JOIN a$t$p USING (vec_id) CROSS JOIN generate_series(1, 64) t(i)
         GROUP BY cl, i),
-      cent$t AS (SELECT cl, list(c ORDER BY pos) AS cv FROM cd$t GROUP BY cl)"""
+      cent$t$p AS (SELECT cl, list(c ORDER BY pos) AS cv FROM cd$t$p GROUP BY cl)"""
     }
     sb ++= s""",
-      afin AS (
+      afin$p AS (
         SELECT vec_id, v, cluster, d2 FROM (
           SELECT vec_id, v, cl AS cluster, ${l2("v")} AS d2,
                  row_number() OVER (PARTITION BY vec_id ORDER BY ${l2("v")}, cl) AS rn
-          FROM v CROSS JOIN cent$ITERS) WHERE rn = 1)"""
+          FROM v$p CROSS JOIN cent$ITERS$p) WHERE rn = 1)"""
     sb.toString
   }
 
@@ -444,5 +450,48 @@ object Clustering {
                CAST(floor(1000000 / z.zsum) AS BIGINT) > 900000 AS confident
         FROM agg g JOIN best b ON g.vec_id = b.vec_id JOIN z ON g.vec_id = z.vec_id
         ORDER BY g.vec_id"""))
+    ,
+
+    // -------------------------------------------------------------------
+    // Elbow curve: k-means inertia (sum of assigned round-6 L2^2
+    // distances, summed EXACTLY as decimals) for k = 2, 3, 4 under the
+    // identical Lloyd contract as c01 — the k-selection diagnostic a
+    // corpus-clustering pipeline runs before committing to a K for
+    // SemDeDup/mixture buckets. drop_vs_prev is the exact decimal
+    // inertia decrease vs the previous k (NULL at k=2); the "elbow" is
+    // where it collapses. Scale: three bounded Lloyd runs (per-sweep
+    // shuffle O(k·dim·partitions), see kmeansAssign) — nothing here
+    // grows faster than c01 itself.
+    QueryDef("c06_elbow_inertia",
+      (s, d) => {
+        val runs = Seq(2, 3, 4).map { k =>
+          kmeansAssign(s, d, k)
+            .agg(count(lit(1)).as("n_vectors"),
+              sum(col("d2").cast("decimal(20,6)")).as("inertia_dec"))
+            .select(lit(k).cast("int").as("k"), col("n_vectors"), col("inertia_dec"))
+        }
+        runs.reduce(_ unionAll _)
+          .withColumn("drop_vs_prev",
+            expr("CAST(lag(inertia_dec, 1) OVER (ORDER BY k) - inertia_dec AS DOUBLE)"))
+          .select(col("k"), col("n_vectors"),
+            col("inertia_dec").cast("double").as("inertia"), col("drop_vs_prev"))
+          .orderBy("k")
+      },
+      Some(s"""
+        WITH ${oracleCtesK(2, "x2")},
+        ${oracleCtesK(3, "x3")},
+        ${oracleCtesK(4, "x4")},
+        uni AS (
+          SELECT 2 AS k, count(*) AS n_vectors,
+                 sum(CAST(d2 AS DECIMAL(20,6))) AS inertia_dec FROM afinx2
+          UNION ALL
+          SELECT 3, count(*), sum(CAST(d2 AS DECIMAL(20,6))) FROM afinx3
+          UNION ALL
+          SELECT 4, count(*), sum(CAST(d2 AS DECIMAL(20,6))) FROM afinx4)
+        SELECT CAST(k AS INT) AS k, n_vectors,
+               CAST(inertia_dec AS DOUBLE) AS inertia,
+               CAST(lag(inertia_dec, 1) OVER (ORDER BY k) - inertia_dec AS DOUBLE) AS drop_vs_prev
+        FROM uni
+        ORDER BY k"""))
   )
 }

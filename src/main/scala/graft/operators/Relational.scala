@@ -6163,7 +6163,77 @@ object Relational {
                CAST(floor(CAST(1000000 AS DOUBLE) * CAST(sum(abs(cum_a * nb - cum_b * na)) AS DOUBLE)
                     / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE) * CAST(32 AS DOUBLE))) AS BIGINT)
                  AS emd_micro
-        FROM cum"""))
+        FROM cum""")),
+
+    // -------------------------------------------------------------------
+    // RFM customer segmentation — the classic CRM scoring warehouse op:
+    // per ordering customer, Recency (days from last order to the
+    // corpus's max order date), Frequency (order count), Monetary
+    // (lifetime cents, exact), each quintiled with ntile(5) under a
+    // TOTAL order (metric + custkey tie-break, so both engines bucket
+    // identically), then mapped to the marketing segments. Scale note:
+    // the facts aggregate in one shuffle on custkey; the three ntile
+    // windows run over the CUSTOMER DIMENSION (|customers| rows of
+    // three longs — megabytes at warehouse scale, not fact-sized), the
+    // same bounded-by-construction argument as the k-means centroid
+    // collect.
+    QueryDef("q139_rfm_segmentation",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderdate"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
+        val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+        val per = o.crossJoin(broadcast(anchor))
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(ONE).as("frequency"),
+            sum(col("cents")).as("monetary_cents"),
+            max(col("anchor")).as("anchor"))
+          .select(col("o_custkey").as("custkey"),
+            expr("CAST(datediff(anchor, last_order) AS BIGINT)").as("recency_days"),
+            col("frequency"), col("monetary_cents"))
+        val wr = Window.orderBy(col("recency_days").desc, col("custkey"))
+        val wf = Window.orderBy(col("frequency").asc, col("custkey"))
+        val wm = Window.orderBy(col("monetary_cents").asc, col("custkey"))
+        per
+          .withColumn("r", ntile(5).over(wr).cast("int"))
+          .withColumn("f", ntile(5).over(wf).cast("int"))
+          .withColumn("m", ntile(5).over(wm).cast("int"))
+          .withColumn("segment", expr(
+            """CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+                    WHEN r >= 4 AND f <= 2 THEN 'new'
+                    WHEN r <= 2 AND f >= 4 THEN 'at_risk'
+                    WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+                    ELSE 'regular' END"""))
+          .orderBy("custkey")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey, o_orderdate,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+          FROM orders),
+        anchor AS (SELECT max(o_orderdate) AS anchor FROM o),
+        per AS (
+          SELECT o_custkey AS custkey,
+                 CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), CAST(max(anchor) AS DATE)) AS BIGINT) AS recency_days,
+                 count(*) AS frequency,
+                 CAST(sum(cents) AS BIGINT) AS monetary_cents
+          FROM o CROSS JOIN anchor
+          GROUP BY o_custkey),
+        scored AS (
+          SELECT custkey, recency_days, frequency, monetary_cents,
+                 CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS INT) AS r,
+                 CAST(ntile(5) OVER (ORDER BY frequency ASC, custkey) AS INT) AS f,
+                 CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, custkey) AS INT) AS m
+          FROM per)
+        SELECT custkey, recency_days, frequency, monetary_cents, r, f, m,
+               CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+                    WHEN r >= 4 AND f <= 2 THEN 'new'
+                    WHEN r <= 2 AND f >= 4 THEN 'at_risk'
+                    WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+                    ELSE 'regular' END AS segment
+        FROM scored
+        ORDER BY custkey"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

@@ -1645,7 +1645,79 @@ object TextAnalysis {
         ORDER BY round(r.rank, 6) DESC, r.token
         LIMIT 20"""
         sb.toString
-      })
+      }),
+
+    // -------------------------------------------------------------------
+    // Jensen-Shannon divergence of each source's unigram distribution vs
+    // the corpus mixture — the SYMMETRIC, BOUNDED ([0, ln 2]) companion
+    // to t20's KL (which is asymmetric and blows up on unseen tokens;
+    // JS never does, so it's the drift score a mixture-design dashboard
+    // can threshold). M = (P_src + P_corpus)/2; per PRESENT token both
+    // halves 0.5·p·ln(p/m) are computed in one identical expression
+    // tree and quantized to DECIMAL(18,9) (the t20 recipe) so the sum
+    // is order-independent; tokens the source never saw contribute a
+    // CLOSED-FORM corpus-side mass 0.5·ln2·(tc − cc_present)/tc — the
+    // t01 analytic-smoothing move, so the |S|×|V| absent matrix is
+    // never materialized. Scale: one groupBy((source,token)) + two
+    // dimension-sized broadcasts; vs-corpus (not pairwise) keeps the
+    // output linear in |S|.
+    QueryDef("t35_js_divergence",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        val st = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+        val sTot = st.groupBy("source").agg(sum("c").as("t"), count(lit(1)).as("vocab"))
+        val corpus = st.groupBy("token").agg(sum("c").as("cc"))
+        val cTot = corpus.agg(sum("cc").as("tc"))
+        st.join(sTot, "source").join(corpus, "token").crossJoin(broadcast(cTot))
+          .select(col("source"), col("t"), col("vocab"), col("cc"), col("tc"),
+            expr("""CAST(round(
+                CAST(0.5 AS DOUBLE) * (CAST(c AS DOUBLE) / t)
+                  * ln((CAST(c AS DOUBLE) / t)
+                       / ((CAST(c AS DOUBLE) / t + CAST(cc AS DOUBLE) / tc) / CAST(2 AS DOUBLE)))
+              + CAST(0.5 AS DOUBLE) * (CAST(cc AS DOUBLE) / tc)
+                  * ln((CAST(cc AS DOUBLE) / tc)
+                       / ((CAST(c AS DOUBLE) / t + CAST(cc AS DOUBLE) / tc) / CAST(2 AS DOUBLE))), 9)
+              AS DECIMAL(18,9))""").as("jterm"))
+          .groupBy("source")
+          .agg(max("t").as("n_tokens"), max("vocab").as("vocab"),
+            sum("jterm").as("jsum"), sum("cc").as("ccp"), max("tc").as("tc"))
+          .select(col("source"), col("n_tokens"), col("vocab"),
+            expr("""round(CAST(jsum AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE) * ln(CAST(2 AS DOUBLE))
+                      * (CAST(tc - ccp AS DOUBLE) / tc), 6)""").as("js_vs_corpus"))
+          .withColumn("js_distance", expr("round(sqrt(js_vs_corpus), 6)"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        stot AS (SELECT source, sum(c) AS t, count(*) AS vocab FROM st GROUP BY 1),
+        corpus AS (SELECT token, sum(c) AS cc FROM st GROUP BY 1),
+        ctot AS (SELECT sum(cc) AS tc FROM corpus),
+        terms AS (
+          SELECT st.source, stot.t, stot.vocab, corpus.cc, ctot.tc,
+                 CAST(round(
+                     CAST(0.5 AS DOUBLE) * (CAST(c AS DOUBLE) / t)
+                       * ln((CAST(c AS DOUBLE) / t)
+                            / ((CAST(c AS DOUBLE) / t + CAST(cc AS DOUBLE) / tc) / CAST(2 AS DOUBLE)))
+                   + CAST(0.5 AS DOUBLE) * (CAST(cc AS DOUBLE) / tc)
+                       * ln((CAST(cc AS DOUBLE) / tc)
+                            / ((CAST(c AS DOUBLE) / t + CAST(cc AS DOUBLE) / tc) / CAST(2 AS DOUBLE))), 9)
+                   AS DECIMAL(18,9)) AS jterm
+          FROM st JOIN stot USING (source) JOIN corpus USING (token) CROSS JOIN ctot)
+        SELECT source, CAST(max(t) AS BIGINT) AS n_tokens,
+               CAST(max(vocab) AS BIGINT) AS vocab,
+               round(CAST(sum(jterm) AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE) * ln(CAST(2 AS DOUBLE))
+                       * (CAST(max(tc) - sum(cc) AS DOUBLE) / max(tc)), 6) AS js_vs_corpus,
+               round(sqrt(round(CAST(sum(jterm) AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE) * ln(CAST(2 AS DOUBLE))
+                       * (CAST(max(tc) - sum(cc) AS DOUBLE) / max(tc)), 6)), 6) AS js_distance
+        FROM terms
+        GROUP BY source
+        ORDER BY source"""))
   )
 
   /** Shared lang-id model + per-doc prediction (the t01 pipeline minus
