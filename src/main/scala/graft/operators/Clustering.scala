@@ -492,6 +492,87 @@ object Clustering {
                CAST(inertia_dec AS DOUBLE) AS inertia,
                CAST(lag(inertia_dec, 1) OVER (ORDER BY k) - inertia_dec AS DOUBLE) AS drop_vs_prev
         FROM uni
-        ORDER BY k"""))
+        ORDER BY k""")),
+
+    // -------------------------------------------------------------------
+    // External clustering evaluation: purity and NMI of the c01 k-means
+    // assignment against the embeddings' ground-truth labels — the
+    // quality gate a clustering-driven curation step (SemDeDup bucket
+    // sizing, mixture design) reports before its output is trusted.
+    // Purity is an exact rational (sum of per-cluster majority counts
+    // over N, one double division); MI / H(C) / H(L) terms are
+    // quantized to DECIMAL(18,9) (t20 recipe) so their sums are
+    // order-independent, and NMI = MI / sqrt(H_C·H_L) recombines the
+    // exact sums with one identical double expression. Scale: the
+    // contingency table is |K|·|labels| cells from ONE partial-agg
+    // shuffle of the assignment; everything after is cell-sized.
+    QueryDef("c07_cluster_purity",
+      (s, d) => {
+        val cells = kmeansAssign(s, d)
+          .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+          .groupBy("cl", "label").agg(count(lit(1)).as("nij"))
+          .localCheckpoint() // Lloyd runs once; five cell-sized aggs read this
+        val tot = cells.agg(sum("nij").as("n"),
+          countDistinct("cl").as("n_clusters"), countDistinct("label").as("n_labels"))
+        val ni = cells.groupBy("cl").agg(sum("nij").as("ni"))
+        val nj = cells.groupBy("label").agg(sum("nij").as("nj"))
+        val mi = cells.join(ni, "cl").join(nj, "label").crossJoin(broadcast(tot))
+          .select(expr("""CAST(round((CAST(nij AS DOUBLE) / n)
+              * ln((CAST(n AS DOUBLE) * nij) / (CAST(ni AS DOUBLE) * nj)), 9)
+              AS DECIMAL(18,9))""").as("t"))
+          .agg(sum("t").as("mi_dec"))
+        val hc = ni.crossJoin(broadcast(tot))
+          .select(expr("""CAST(round(-(CAST(ni AS DOUBLE) / n)
+              * ln(CAST(ni AS DOUBLE) / n), 9) AS DECIMAL(18,9))""").as("t"))
+          .agg(sum("t").as("hc_dec"))
+        val hl = nj.crossJoin(broadcast(tot))
+          .select(expr("""CAST(round(-(CAST(nj AS DOUBLE) / n)
+              * ln(CAST(nj AS DOUBLE) / n), 9) AS DECIMAL(18,9))""").as("t"))
+          .agg(sum("t").as("hl_dec"))
+        val pur = cells.groupBy("cl").agg(max("nij").as("mx")).agg(sum("mx").as("pursum"))
+        tot.crossJoin(pur).crossJoin(mi).crossJoin(hc).crossJoin(hl)
+          .select(col("n").as("n_vectors"), col("n_clusters"), col("n_labels"),
+            expr("round(CAST(pursum AS DOUBLE) / n, 6)").as("purity"),
+            expr("round(CAST(mi_dec AS DOUBLE), 6)").as("mutual_info"),
+            expr("round(CAST(hc_dec AS DOUBLE), 6)").as("h_cluster"),
+            expr("round(CAST(hl_dec AS DOUBLE), 6)").as("h_label"),
+            expr("""round(CAST(mi_dec AS DOUBLE)
+                / sqrt(CAST(hc_dec AS DOUBLE) * CAST(hl_dec AS DOUBLE)), 6)""").as("nmi"))
+      },
+      Some(s"""
+        WITH $oracleCtes,
+        cells AS (
+          SELECT a.cluster AS cl, e.label, count(*) AS nij
+          FROM afin a JOIN embeddings e ON a.vec_id = e.vec_id
+          GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+                       count(DISTINCT cl) AS n_clusters,
+                       count(DISTINCT label) AS n_labels FROM cells),
+        ni AS (SELECT cl, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY cl),
+        nj AS (SELECT label, CAST(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY label),
+        mi AS (
+          SELECT sum(CAST(round((CAST(nij AS DOUBLE) / n)
+                 * ln((CAST(n AS DOUBLE) * nij) / (CAST(ni AS DOUBLE) * nj)), 9)
+                 AS DECIMAL(18,9))) AS mi_dec
+          FROM cells JOIN ni USING (cl) JOIN nj USING (label) CROSS JOIN tot),
+        hc AS (
+          SELECT sum(CAST(round(-(CAST(ni AS DOUBLE) / n)
+                 * ln(CAST(ni AS DOUBLE) / n), 9) AS DECIMAL(18,9))) AS hc_dec
+          FROM ni CROSS JOIN tot),
+        hl AS (
+          SELECT sum(CAST(round(-(CAST(nj AS DOUBLE) / n)
+                 * ln(CAST(nj AS DOUBLE) / n), 9) AS DECIMAL(18,9))) AS hl_dec
+          FROM nj CROSS JOIN tot),
+        pur AS (
+          SELECT CAST(sum(mx) AS BIGINT) AS pursum FROM (
+            SELECT max(nij) AS mx FROM cells GROUP BY cl))
+        SELECT n AS n_vectors, n_clusters, n_labels,
+               round(CAST(pursum AS DOUBLE) / n, 6) AS purity,
+               round(CAST(mi_dec AS DOUBLE), 6) AS mutual_info,
+               round(CAST(hc_dec AS DOUBLE), 6) AS h_cluster,
+               round(CAST(hl_dec AS DOUBLE), 6) AS h_label,
+               round(CAST(mi_dec AS DOUBLE)
+                     / sqrt(CAST(hc_dec AS DOUBLE) * CAST(hl_dec AS DOUBLE)), 6) AS nmi
+        FROM tot CROSS JOIN pur CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl"""))
   )
 }

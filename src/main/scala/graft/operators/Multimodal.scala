@@ -1146,6 +1146,118 @@ object Multimodal {
                CAST(coalesce(n_windows - 1 - lv, 0) AS BIGINT) AS tail_trim_windows,
                fv IS NULL AS all_silent
         FROM agg
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Spectral centroid per 16-sample PCM frame — the "brightness"
+    // feature an audio-curation pipeline computes after energy (m07) /
+    // ZCR (m13) / loudness (m15): an 8-bin DFT magnitude spectrum and
+    // its centroid Σ k·|X_k| / Σ |X_k|. Cross-engine exactness trick:
+    // a 16-point DFT only ever needs cos/sin at multiples of π/8, so
+    // the twiddle factors are a FIXED 16-entry integer table in
+    // micro-units — re/im are exact BIGINT sums (no runtime trig, no
+    // libm divergence), magnitudes and the centroid then run the same
+    // IEEE double ops in both engines, with the 8-term sums folded in
+    // strict k order. All-zero spectra (constant frames have no AC
+    // energy) yield NULL centroid/dominant rather than a 0/0. Scale:
+    // one narrow per-row pass (the m07 kernel shape), no shuffle
+    // before the final sort.
+    QueryDef("m19_spectral_centroid",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        val C = Array(1000000L, 923880L, 707107L, 382683L, 0L, -382683L, -707107L,
+          -923880L, -1000000L, -923880L, -707107L, -382683L, 0L, 382683L, 707107L, 923880L)
+        val S = Array(0L, 382683L, 707107L, 923880L, 1000000L, 923880L, 707107L,
+          382683L, 0L, -382683L, -707107L, -923880L, -1000000L, -923880L, -707107L, -382683L)
+        mediaFromDocuments(s, d)
+          .flatMap { r =>
+            val bytes = r.payload
+            val nSamples = bytes.length / 2
+            val sv = Array.tabulate(nSamples) { i =>
+              val raw = (bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)
+              if (raw >= 32768) raw - 65536 else raw
+            }
+            (0 until nSamples / 16).map { f =>
+              val mags = Array.tabulate(8) { ki =>
+                val k = ki + 1
+                var re = 0L; var im = 0L; var n = 0
+                while (n < 16) {
+                  val x = sv(16 * f + n).toLong
+                  val j = (k * n) % 16
+                  re += x * C(j)
+                  im -= x * S(j)
+                  n += 1
+                }
+                math.sqrt(re.toDouble * re.toDouble + im.toDouble * im.toDouble)
+              }
+              var den = 0.0; var num = 0.0
+              var k = 1
+              while (k <= 8) { den += mags(k - 1); num += k.toDouble * mags(k - 1); k += 1 }
+              var dom = 1; var best = mags(0)
+              k = 2
+              while (k <= 8) { if (mags(k - 1) > best) { best = mags(k - 1); dom = k }; k += 1 }
+              val centroid =
+                if (den == 0.0) None
+                else Some(BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              val magTotal = BigDecimal(den / 1000000.0)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              (r.doc_id, f, if (den == 0.0) None else Some(dom), centroid, magTotal)
+            }
+          }
+          .toDF("doc_id", "frame_id", "dominant_bin", "centroid_bin", "mag_total")
+          .select(col("doc_id"), col("frame_id").cast("int").as("frame_id"),
+            col("dominant_bin").cast("int").as("dominant_bin"),
+            col("centroid_bin"), col("mag_total"))
+          .orderBy("doc_id", "frame_id")
+      },
+      Some("""
+        WITH ct AS (
+          SELECT [1000000, 923880, 707107, 382683, 0, -382683, -707107, -923880,
+                  -1000000, -923880, -707107, -382683, 0, 382683, 707107, 923880] AS c,
+                 [0, 382683, 707107, 923880, 1000000, 923880, 707107, 382683,
+                  0, -382683, -707107, -923880, -1000000, -923880, -707107, -382683] AS sn),
+        t AS (
+          SELECT doc_id, text, length(text) // 2 AS ns
+          FROM documents WHERE length(text) >= 32),
+        samples AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                 ascii(substring(text, CAST(2 * u.i + 1 AS INT), 1))
+                 + 256 * ascii(substring(text, CAST(2 * u.i + 2 AS INT), 1)) AS raw
+          FROM t, unnest(generate_series(0, (ns // 16) * 16 - 1)) AS u(i)),
+        signed AS (
+          SELECT doc_id, CAST(i // 16 AS INT) AS frame_id, CAST(i % 16 AS INT) AS n,
+                 CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS sv
+          FROM samples),
+        bins AS (
+          SELECT doc_id, frame_id, kk.k AS k,
+                 CAST(sum(CAST(sv AS BIGINT) * c[((kk.k * n) % 16) + 1]) AS BIGINT) AS re_micro,
+                 CAST(-sum(CAST(sv AS BIGINT) * sn[((kk.k * n) % 16) + 1]) AS BIGINT) AS im_micro
+          FROM signed CROSS JOIN ct, unnest(generate_series(1, 8)) AS kk(k)
+          GROUP BY doc_id, frame_id, kk.k),
+        mag AS (
+          SELECT doc_id, frame_id, k,
+                 sqrt(CAST(re_micro AS DOUBLE) * CAST(re_micro AS DOUBLE)
+                      + CAST(im_micro AS DOUBLE) * CAST(im_micro AS DOUBLE)) AS m
+          FROM bins),
+        fr AS (
+          SELECT doc_id, frame_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE), list(m ORDER BY k)),
+                             (acc, x) -> acc + x) AS den,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                             list(CAST(k AS DOUBLE) * m ORDER BY k)),
+                             (acc, x) -> acc + x) AS num
+          FROM mag GROUP BY doc_id, frame_id),
+        dom AS (
+          SELECT doc_id, frame_id, k AS dominant FROM (
+            SELECT doc_id, frame_id, k,
+                   row_number() OVER (PARTITION BY doc_id, frame_id ORDER BY m DESC, k) AS rn
+            FROM mag) WHERE rn = 1)
+        SELECT f.doc_id, f.frame_id,
+               CASE WHEN f.den = 0 THEN NULL ELSE CAST(d.dominant AS INT) END AS dominant_bin,
+               CASE WHEN f.den = 0 THEN NULL ELSE round(f.num / f.den, 6) END AS centroid_bin,
+               round(f.den / 1000000.0, 6) AS mag_total
+        FROM fr f JOIN dom d ON f.doc_id = d.doc_id AND f.frame_id = d.frame_id
+        ORDER BY f.doc_id, f.frame_id"""))
   )
 }

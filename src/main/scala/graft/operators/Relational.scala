@@ -6233,7 +6233,79 @@ object Relational {
                     WHEN r <= 2 AND f <= 2 THEN 'hibernating'
                     ELSE 'regular' END AS segment
         FROM scored
-        ORDER BY custkey"""))
+        ORDER BY custkey""")),
+
+    // -------------------------------------------------------------------
+    // Price elasticity of demand per part brand: the log-log OLS slope
+    // of ln(quantity) on ln(unit price) — the econometric complement of
+    // q79's linear OLS (elasticity is the slope in LOG space, i.e. the
+    // % demand change per % price change, what a pricing engine
+    // actually tunes on). Both logs are quantized to BIGINT micro-nats
+    // (the t01 recipe) so every OLS sum is EXACT integer/decimal
+    // arithmetic — order-independent across engines and partitionings;
+    // the micro-units cancel in the slope and r². Products are summed
+    // as DECIMAL(38,0) so the moment sums cannot overflow at any row
+    // count. Scale: one partial-agg groupBy(brand), no second pass.
+    QueryDef("q140_price_elasticity",
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("brand"),
+            expr("CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("y"),
+            expr("""CAST(round(ln(CAST(l_extendedprice AS DOUBLE)
+                    / CAST(l_quantity AS DOUBLE)) * 1e6, 0) AS BIGINT)""").as("x"))
+        base.groupBy("brand")
+          .agg(count(ONE).as("n"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(19,0)) * x")).as("sxx"),
+            sum(expr("CAST(x AS DECIMAL(19,0)) * y")).as("sxy"),
+            sum(expr("CAST(y AS DECIMAL(19,0)) * y")).as("syy"))
+          .select(col("brand"), col("n"),
+            expr("""round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)""").as("elasticity"),
+            expr("""round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)""").as("r2"))
+          .orderBy("brand")
+      },
+      Some("""
+        WITH base AS (
+          SELECT p_brand AS brand,
+                 CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y,
+                 CAST(round(ln(CAST(l_extendedprice AS DOUBLE)
+                      / CAST(l_quantity AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        g AS (
+          SELECT brand, count(*) AS n,
+                 sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                 sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                 sum(CAST(x AS DECIMAL(19,0)) * x) AS sxx,
+                 sum(CAST(x AS DECIMAL(19,0)) * y) AS sxy,
+                 sum(CAST(y AS DECIMAL(19,0)) * y) AS syy
+          FROM base GROUP BY brand)
+        SELECT brand, n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS elasticity,
+               round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        FROM g
+        ORDER BY brand"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
