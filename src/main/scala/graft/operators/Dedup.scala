@@ -892,6 +892,65 @@ object Dedup {
                1000000 * CAST(sum(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) // count(*) AS precision_ppm
         FROM prs
         GROUP BY b, r
-        ORDER BY b DESC"""))
+        ORDER BY b DESC""")),
+
+    // -------------------------------------------------------------------
+    // MinHash estimator accuracy audit: for every d02 candidate pair,
+    // the 16-hash signature estimate vs the TRUE distinct-shingle
+    // Jaccard — the per-pair error card that justifies (or indicts) the
+    // sketch size before a 100 TB dedup run trusts it. True Jaccard is
+    // computed ONLY for the candidate pairs (a candidate-keyed shingle
+    // equi-join — never all-pairs), in exact integers: |A∩B| from the
+    // join, |A∪B| = na + nb − common, both micro-quantized by positive
+    // floor division; est·1e6 = matches·62500 is an exact integral
+    // double, so the BIGINT cast is lossless in both engines. Scale:
+    // candidate-pair-bounded join fan-out, same blocking as d02.
+    QueryDef("d13_minhash_accuracy",
+      (s, d) => {
+        val pairs = minhashPairs(s, d)
+          .select(col("doc_a"), col("doc_b"),
+            expr("CAST(est_jaccard * 1000000 AS BIGINT)").as("est_micro"))
+        val sh = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+        val common = pairs
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+          .join(sh.select(col("doc_id").as("db"), col("sh").as("sh_b")),
+            col("doc_b") === col("db") && col("sh") === col("sh_b"))
+          .groupBy("doc_a", "doc_b", "est_micro")
+          .agg(count(lit(1)).as("n_common"))
+        common
+          .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("est_micro"),
+            expr("n_common * 1000000 div (na + nb - n_common)").as("true_micro"))
+          .withColumn("err_micro", abs(col("est_micro") - col("true_micro")))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH $minhashPairsOracleCtes,
+        est AS (
+          SELECT doc_a, doc_b, CAST(est_jaccard * 1000000 AS BIGINT) AS est_micro
+          FROM mpairs),
+        sizes AS (SELECT doc_id, count(*) AS nsh FROM tok GROUP BY doc_id),
+        common AS (
+          SELECT e.doc_a, e.doc_b, e.est_micro, count(*) AS n_common
+          FROM est e
+          JOIN tok a ON a.doc_id = e.doc_a
+          JOIN tok b ON b.doc_id = e.doc_b AND b.token = a.token
+          GROUP BY e.doc_a, e.doc_b, e.est_micro)
+        SELECT c.doc_a, c.doc_b, c.est_micro,
+               CAST(c.n_common * 1000000 // (sa.nsh + sb.nsh - c.n_common) AS BIGINT)
+                 AS true_micro,
+               CAST(abs(c.est_micro
+                    - c.n_common * 1000000 // (sa.nsh + sb.nsh - c.n_common)) AS BIGINT)
+                 AS err_micro
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        ORDER BY c.doc_a, c.doc_b"""))
   )
 }

@@ -1258,6 +1258,98 @@ object Multimodal {
                CASE WHEN f.den = 0 THEN NULL ELSE round(f.num / f.den, 6) END AS centroid_bin,
                round(f.den / 1000000.0, 6) AS mag_total
         FROM fr f JOIN dom d ON f.doc_id = d.doc_id AND f.frame_id = d.frame_id
-        ORDER BY f.doc_id, f.frame_id"""))
+        ORDER BY f.doc_id, f.frame_id""")),
+
+    // -------------------------------------------------------------------
+    // Pitch detection per 64-sample PCM frame by autocorrelation — the
+    // classic time-domain F0 estimator (the YIN/RAPT family's first
+    // stage): R(l) = Σ_{n<64-l} s[n]·s[n+l] for candidate lags 4..32
+    // (one-octave-plus band), pitch = argmax R(l) with the smallest lag
+    // winning ties, voiced only when the peak is positive. Every R(l)
+    // and the energy R(0) are EXACT int64 sums of sample products
+    // (|s| < 2^15, ≤ 64 terms → < 2^37), so the argmax is
+    // cross-engine deterministic with no float anywhere except the
+    // final clarity ratio R(peak)/R(0). Same PCM16-LE payload reading
+    // as m07/m13/m19. Scale: one narrow per-row pass (frames × 29 lags
+    // of scalar work), no shuffle before the final sort.
+    QueryDef("m20_pitch_autocorr",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        mediaFromDocuments(s, d)
+          .flatMap { r =>
+            val bytes = r.payload
+            val nSamples = bytes.length / 2
+            val sv = Array.tabulate(nSamples) { i =>
+              val raw = (bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)
+              (if (raw >= 32768) raw - 65536 else raw).toLong
+            }
+            (0 until nSamples / 64).map { f =>
+              val base = 64 * f
+              var r0 = 0L
+              var n = 0
+              while (n < 64) { r0 += sv(base + n) * sv(base + n); n += 1 }
+              var bestLag = 0; var bestR = Long.MinValue
+              var l = 4
+              while (l <= 32) {
+                var acc = 0L; var i = 0
+                while (i < 64 - l) { acc += sv(base + i) * sv(base + i + l); i += 1 }
+                if (acc > bestR) { bestR = acc; bestLag = l }
+                l += 1
+              }
+              val voiced = bestR > 0L && r0 > 0L
+              (r.doc_id, f,
+                if (voiced) Some(bestLag) else None,
+                if (voiced) Some(bestR) else None,
+                r0,
+                if (voiced)
+                  Some(BigDecimal(bestR.toDouble / r0.toDouble)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                else None)
+            }
+          }
+          .toDF("doc_id", "frame_id", "pitch_lag", "r_peak", "r0", "clarity")
+          .select(col("doc_id"), col("frame_id").cast("int").as("frame_id"),
+            col("pitch_lag").cast("int").as("pitch_lag"), col("r_peak"),
+            col("r0"), col("clarity"))
+          .orderBy("doc_id", "frame_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text, length(text) // 2 AS ns
+          FROM documents WHERE length(text) >= 128),
+        samples AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                 ascii(substring(text, CAST(2 * u.i + 1 AS INT), 1))
+                 + 256 * ascii(substring(text, CAST(2 * u.i + 2 AS INT), 1)) AS raw
+          FROM t, unnest(generate_series(0, (ns // 64) * 64 - 1)) AS u(i)),
+        signed AS (
+          SELECT doc_id, CAST(i // 64 AS INT) AS frame_id, CAST(i % 64 AS INT) AS n,
+                 CAST(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS BIGINT) AS sv
+          FROM samples),
+        e AS (
+          SELECT doc_id, frame_id, CAST(sum(sv * sv) AS BIGINT) AS r0
+          FROM signed GROUP BY doc_id, frame_id),
+        ac AS (
+          SELECT a.doc_id, a.frame_id, ll.l,
+                 CAST(sum(a.sv * b.sv) AS BIGINT) AS r
+          FROM signed a CROSS JOIN unnest(generate_series(4, 32)) AS ll(l)
+          JOIN signed b ON b.doc_id = a.doc_id AND b.frame_id = a.frame_id
+                       AND b.n = a.n + ll.l
+          GROUP BY a.doc_id, a.frame_id, ll.l),
+        best AS (
+          SELECT doc_id, frame_id, l, r FROM (
+            SELECT doc_id, frame_id, l, r,
+                   row_number() OVER (PARTITION BY doc_id, frame_id
+                                      ORDER BY r DESC, l) AS rn
+            FROM ac) WHERE rn = 1)
+        SELECT e.doc_id, e.frame_id,
+               CASE WHEN b.r > 0 AND e.r0 > 0 THEN CAST(b.l AS INT) END AS pitch_lag,
+               CASE WHEN b.r > 0 AND e.r0 > 0 THEN b.r END AS r_peak,
+               e.r0,
+               CASE WHEN b.r > 0 AND e.r0 > 0
+                    THEN round(CAST(b.r AS DOUBLE) / CAST(e.r0 AS DOUBLE), 6) END AS clarity
+        FROM e JOIN best b ON e.doc_id = b.doc_id AND e.frame_id = b.frame_id
+        ORDER BY e.doc_id, e.frame_id"""))
   )
 }

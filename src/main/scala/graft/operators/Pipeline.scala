@@ -1160,6 +1160,61 @@ object Pipeline {
         SELECT g.cluster, cluster_size, survivor_doc, survivor_chars,
                survivor_tokens, total_tokens - survivor_tokens AS reclaimed_tokens
         FROM g JOIN surv ON g.cluster = surv.cluster
-        ORDER BY g.cluster"""))
+        ORDER BY g.cluster""")),
+
+    // -------------------------------------------------------------------
+    // Largest-remainder (Hamilton) apportionment of a fixed training
+    // token budget across sources: each source gets
+    // floor(B·toks_s / T) tokens, and the leftover B − Σfloor goes one
+    // token-quantum at a time to the largest fractional remainders
+    // (B·toks_s mod T, source tie-break) — the EXACT integer allocator
+    // that p20's temperature weights feed in a real mixture build
+    // (naive per-source rounding either over- or under-spends the
+    // budget; Hamilton is the standard fix, same math as parliamentary
+    // seat allocation). All integer arithmetic — no floats anywhere.
+    // Scale: one groupBy(source) + a |S|-row window.
+    QueryDef("p23_budget_apportion",
+      (s, d) => {
+        val B = 1000000L
+        val g = Tables.documents(s, d)
+          .select(col("source"), expr(NTOK).as("n_tokens"))
+          .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("toks"))
+        val tot = g.agg(sum(col("toks")).as("total"), count(lit(1)).as("n_sources"))
+        val based = g.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("toks"),
+            expr(s"$B * toks div total").as("base_alloc"),
+            expr(s"$B * toks % total").as("remainder"),
+            col("total"), col("n_sources"))
+        val wR = Window.orderBy(col("remainder").desc, col("source"))
+        based
+          .withColumn("rem_rank", row_number().over(wR).cast("long"))
+          .withColumn("n_extra", expr(s"CAST($B AS BIGINT) - sum(base_alloc) OVER ()"))
+          .select(col("source"), col("n_docs"), col("toks").as("n_tokens"),
+            col("base_alloc"),
+            (col("rem_rank") <= col("n_extra")).as("gets_extra"),
+            expr("base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END")
+              .as("alloc"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT source, count(*) AS n_docs, CAST(sum($ONTOK) AS BIGINT) AS toks
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total, count(*) AS n_sources FROM g),
+        based AS (
+          SELECT source, n_docs, toks,
+                 CAST(1000000 * toks // total AS BIGINT) AS base_alloc,
+                 CAST(1000000 * toks % total AS BIGINT) AS remainder
+          FROM g CROSS JOIN tot),
+        ranked AS (
+          SELECT source, n_docs, toks, base_alloc,
+                 CAST(row_number() OVER (ORDER BY remainder DESC, source) AS BIGINT) AS rem_rank,
+                 CAST(1000000 - sum(base_alloc) OVER () AS BIGINT) AS n_extra
+          FROM based)
+        SELECT source, n_docs, toks AS n_tokens, base_alloc,
+               rem_rank <= n_extra AS gets_extra,
+               CAST(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM ranked
+        ORDER BY source"""))
   )
 }

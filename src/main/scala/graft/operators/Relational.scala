@@ -6305,7 +6305,678 @@ object Relational {
                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
         FROM g
-        ORDER BY brand"""))
+        ORDER BY brand""")),
+
+    // -------------------------------------------------------------------
+    // Sequential probability ratio test (Wald's SPRT) on each A/B arm's
+    // conversion stream — the ALWAYS-VALID monitor an experimentation
+    // platform runs instead of q46's fixed-horizon t-test (peeking at a
+    // fixed-horizon test inflates false positives; the SPRT boundary is
+    // designed to be looked at after EVERY event). Arms are q46's
+    // deterministic hash split; H0: p=0.10 vs H1: p=0.12 conversion
+    // (conversion = a purchase event), alpha = beta = 0.05. Per-event
+    // log-likelihood increments are FIXED micro-nat integers
+    // (ln(p1/p0) -> +182322, ln((1-p1)/(1-p0)) -> -22473), the walk is
+    // an exact integer cumsum, and the boundaries are ±ln(19) ->
+    // ±2944439 — everything integer, so the first-crossing position is
+    // cross-engine exact. Scale: one window cumsum per arm + one
+    // grouped conditional-min; the per-arm window is the same
+    // time-ordered shape as q94's CUSUM.
+    QueryDef("q141_sprt_monitor",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(
+            pmod(expr(graft.operators.Ns.hash60("CAST(user_id AS STRING)")), lit(2L)).as("variant"),
+            unix_micros(col("ts")).as("us"), col("event_id"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+          .withColumn("llr_step",
+            when(col("x") === 1L, lit(182322L)).otherwise(lit(-22473L)))
+        val w = Window.partitionBy("variant").orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val walked = ev
+          .withColumn("seq", row_number().over(
+            Window.partitionBy("variant").orderBy(col("us"), col("event_id"))).cast("long"))
+          .withColumn("cum", sum(col("llr_step")).over(w))
+        walked.groupBy("variant")
+          .agg(count(ONE).as("n_events"), sum(col("x")).as("n_conversions"),
+            expr("max_by(cum, seq)").as("final_llr_micro"),
+            min(when(col("cum") >= 2944439L, col("seq"))).as("h1_pos"),
+            min(when(col("cum") <= -2944439L, col("seq"))).as("h0_pos"))
+          .select(col("variant"), col("n_events"), col("n_conversions"),
+            col("final_llr_micro"),
+            expr("""CASE WHEN h1_pos IS NOT NULL AND (h0_pos IS NULL OR h1_pos <= h0_pos)
+                         THEN h1_pos
+                         WHEN h0_pos IS NOT NULL THEN h0_pos END""").as("cross_pos"),
+            expr("""CASE WHEN h1_pos IS NOT NULL AND (h0_pos IS NULL OR h1_pos <= h0_pos)
+                         THEN 'accept_h1'
+                         WHEN h0_pos IS NOT NULL THEN 'accept_h0'
+                         ELSE 'continue' END""").as("decision"))
+          .orderBy("variant")
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT ${graft.operators.Ns.oHash60("CAST(user_id AS VARCHAR)")} % 2 AS variant,
+                 epoch_us(ts) AS us, event_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+                 CASE WHEN event_type = 'purchase' THEN 182322 ELSE -22473 END AS llr_step
+          FROM events),
+        walked AS (
+          SELECT variant, x,
+                 CAST(row_number() OVER tw AS BIGINT) AS seq,
+                 CAST(sum(llr_step) OVER tc AS BIGINT) AS cum
+          FROM ev
+          WINDOW tw AS (PARTITION BY variant ORDER BY us, event_id),
+                 tc AS (PARTITION BY variant ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        g AS (
+          SELECT variant, count(*) AS n_events,
+                 CAST(sum(x) AS BIGINT) AS n_conversions,
+                 CAST(max_by(cum, seq) AS BIGINT) AS final_llr_micro,
+                 min(CASE WHEN cum >= 2944439 THEN seq END) AS h1_pos,
+                 min(CASE WHEN cum <= -2944439 THEN seq END) AS h0_pos
+          FROM walked GROUP BY variant)
+        SELECT variant, n_events, n_conversions, final_llr_micro,
+               CASE WHEN h1_pos IS NOT NULL AND (h0_pos IS NULL OR h1_pos <= h0_pos)
+                    THEN h1_pos
+                    WHEN h0_pos IS NOT NULL THEN h0_pos END AS cross_pos,
+               CASE WHEN h1_pos IS NOT NULL AND (h0_pos IS NULL OR h1_pos <= h0_pos)
+                    THEN 'accept_h1'
+                    WHEN h0_pos IS NOT NULL THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM g
+        ORDER BY variant""")),
+
+    // -------------------------------------------------------------------
+    // Decision-stump split search (CART's root-node step): find the
+    // value threshold that best separates purchases from the rest, by
+    // Gini impurity — the feature-importance probe an experimentation
+    // team runs before shipping a model. Exactness: with integer counts,
+    // weighted-Gini comparison reduces to maximizing
+    //   Q(t) = sL/nL + sR/nR,  s = pos^2 + neg^2 per side,
+    // so each candidate's score is the exact integer
+    //   floor(1e12 * (sL*nR + sR*nL) / (nL*nR))
+    // in DECIMAL(38,0) / HUGEINT (numerator <= ~2e27 at sf0.1) — the
+    // q102 clear-the-rational-denominator recipe applied to impurity.
+    // Scale: one agg over ~561 whole-unit buckets, one prefix-sum window
+    // over the bucket table (never the events), one top-1.
+    QueryDef("q142_gini_stump",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) div 100").as("vb"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val buckets = ev.groupBy("vb")
+          .agg(count(ONE).as("cnt"), sum(col("y")).as("pos"))
+        val tot = buckets.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
+        val wc = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cand = buckets
+          .withColumn("nl", sum(col("cnt")).over(wc))
+          .withColumn("pl", sum(col("pos")).over(wc))
+          .crossJoin(broadcast(tot))
+          .filter(col("n") > col("nl"))
+          .select(col("vb").as("threshold"), col("nl"), (col("n") - col("nl")).as("nr"),
+            col("pl"), (col("p") - col("pl")).as("pr"), col("n"), col("p"))
+          .select(col("threshold"), col("nl"), col("nr"), col("pl"), col("pr"),
+            expr("""(CAST(pl AS DECIMAL(38,0)) * pl + CAST(nl - pl AS DECIMAL(38,0)) * (nl - pl))""").as("sl"),
+            expr("""(CAST(pr AS DECIMAL(38,0)) * pr + CAST(nr - pr AS DECIMAL(38,0)) * (nr - pr))""").as("sr"),
+            col("n"), col("p"))
+          .select(col("threshold"), col("nl"), col("nr"), col("pl"), col("pr"),
+            expr("CAST((sl * nr + sr * nl) * 1000000000000 div (CAST(nl AS DECIMAL(38,0)) * nr) AS BIGINT)")
+              .as("split_score_micro12"),
+            expr("""CAST((CAST(p AS DECIMAL(38,0)) * p + CAST(n - p AS DECIMAL(38,0)) * (n - p))
+                    * 1000000000000 div CAST(n AS DECIMAL(38,0)) AS BIGINT)""")
+              .as("parent_score_micro12"))
+        cand
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("split_score_micro12").desc, col("threshold"))))
+          .filter(col("rn") === 1)
+          .select(col("threshold"), col("nl").as("n_left"), col("nr").as("n_right"),
+            col("pl").as("pos_left"), col("pr").as("pos_right"),
+            col("split_score_micro12"),
+            (col("split_score_micro12") - col("parent_score_micro12")).as("gini_gain_micro12"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 100 AS vb,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events),
+        buckets AS (
+          SELECT vb, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+          FROM ev GROUP BY vb),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p FROM buckets),
+        pre AS (
+          SELECT vb,
+                 CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+                 CAST(sum(pos) OVER w AS BIGINT) AS pl
+          FROM buckets
+          WINDOW w AS (ORDER BY vb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        cand AS (
+          SELECT vb AS threshold, nl, n - nl AS nr, pl, p - pl AS pr, n, p
+          FROM pre CROSS JOIN tot
+          WHERE n > nl),
+        scored AS (
+          SELECT threshold, nl, nr, pl, pr,
+                 CAST(((CAST(pl AS HUGEINT) * pl + CAST(nl - pl AS HUGEINT) * (nl - pl)) * nr
+                     + (CAST(pr AS HUGEINT) * pr + CAST(nr - pr AS HUGEINT) * (nr - pr)) * nl)
+                      * 1000000000000 // (CAST(nl AS HUGEINT) * nr) AS BIGINT)
+                   AS split_score_micro12,
+                 CAST((CAST(p AS HUGEINT) * p + CAST(n - p AS HUGEINT) * (n - p))
+                      * 1000000000000 // CAST(n AS HUGEINT) AS BIGINT)
+                   AS parent_score_micro12
+          FROM cand),
+        best AS (
+          SELECT *, row_number() OVER (ORDER BY split_score_micro12 DESC, threshold) AS rn
+          FROM scored)
+        SELECT threshold, nl AS n_left, nr AS n_right, pl AS pos_left, pr AS pos_right,
+               split_score_micro12,
+               split_score_micro12 - parent_score_micro12 AS gini_gain_micro12
+        FROM best WHERE rn = 1""")),
+
+    // -------------------------------------------------------------------
+    // Consistent-hashing rebalance audit: assign every user to a shard
+    // on a 64-point hash ring (8 shards x 8 virtual nodes), then re-run
+    // the assignment with a 9th shard's 8 points added, and report the
+    // (old shard, new shard) movement matrix. The consistent-hashing
+    // guarantee under test: only successor arcs claimed by the NEW
+    // shard's points move (every off-diagonal row has shard9 = 8), and
+    // the moved fraction is ~1/9, not the ~8/9 of `hash % n_shards`.
+    // Ring positions and user positions are the 60-bit md5 ([[Ns]]), so
+    // both engines walk the identical ring. Scale: the ring is a 72-row
+    // broadcast; assignment is min_by over a per-user conditional — one
+    // map-side-combinable agg, no sort, no range join.
+    QueryDef("q143_consistent_hash",
+      (s, d) => {
+        val ring = s.range(0, 72).toDF("i")
+          .select((col("i") / 8).cast("long").as("shard"), (col("i") % 8).as("vn"))
+          .select(col("shard"),
+            expr(Ns.hash60("CONCAT('ring#', CAST(shard AS STRING), ':', CAST(vn AS STRING))")).as("pos"))
+        val users = Tables.events(s, d).select(col("user_id")).distinct()
+          .select(col("user_id"),
+            expr(Ns.hash60("CONCAT('u#', CAST(user_id AS STRING))")).as("upos"))
+        val assigned = users.crossJoin(broadcast(ring))
+          .groupBy("user_id")
+          .agg(
+            min_by(when(col("shard") < 8, col("shard")),
+              when(col("shard") < 8 && col("pos") >= col("upos"), col("pos"))).as("succ8"),
+            min_by(when(col("shard") < 8, col("shard")),
+              when(col("shard") < 8, col("pos"))).as("wrap8"),
+            min_by(col("shard"), when(col("pos") >= col("upos"), col("pos"))).as("succ9"),
+            min_by(col("shard"), col("pos")).as("wrap9"))
+          .select(col("user_id"),
+            coalesce(col("succ8"), col("wrap8")).as("shard8"),
+            coalesce(col("succ9"), col("wrap9")).as("shard9"))
+        assigned.groupBy("shard8", "shard9")
+          .agg(count(ONE).as("n_users"))
+          .select(col("shard8"), col("shard9"), col("n_users"),
+            (col("shard8") =!= col("shard9")).as("moved"))
+          .orderBy("shard8", "shard9")
+      },
+      Some(s"""
+        WITH ring AS (
+          SELECT CAST(i // 8 AS BIGINT) AS shard,
+                 ${Ns.oHash60("'ring#' || CAST(i // 8 AS VARCHAR) || ':' || CAST(i % 8 AS VARCHAR)")} AS pos
+          FROM range(72) t(i)),
+        users AS (
+          SELECT DISTINCT user_id FROM events),
+        upos AS (
+          SELECT user_id, ${Ns.oHash60("'u#' || CAST(user_id AS VARCHAR)")} AS upos
+          FROM users),
+        assigned AS (
+          SELECT u.user_id,
+                 coalesce(
+                   arg_min(CASE WHEN r.shard < 8 THEN r.shard END,
+                           CASE WHEN r.shard < 8 AND r.pos >= u.upos THEN r.pos END),
+                   arg_min(CASE WHEN r.shard < 8 THEN r.shard END,
+                           CASE WHEN r.shard < 8 THEN r.pos END)) AS shard8,
+                 coalesce(
+                   arg_min(r.shard, CASE WHEN r.pos >= u.upos THEN r.pos END),
+                   arg_min(r.shard, r.pos)) AS shard9
+          FROM upos u CROSS JOIN ring r
+          GROUP BY u.user_id)
+        SELECT shard8, shard9, count(*) AS n_users, shard8 <> shard9 AS moved
+        FROM assigned
+        GROUP BY shard8, shard9
+        ORDER BY shard8, shard9""")),
+
+    // -------------------------------------------------------------------
+    // Haar wavelet energy spectrum of the daily-revenue series — the
+    // multi-resolution decomposition that separates day-to-day noise
+    // (level 1) from seasonal structure (high levels), feeding anomaly
+    // and compression decisions. NO recursive transform: the unnormalized
+    // Haar detail at level j, position k is
+    //   (sum of cents in block [2k·h, (2k+1)·h)) − (sum in [(2k+1)·h, (2k+2)·h)),
+    // h = 2^(j-1), so each level is ONE groupBy of the day series with a
+    // ±1 sign by block parity — 12 levels over a fixed 4096-slot grid
+    // (orders span 2405 days; absent days are implicit zeros because
+    // absent rows simply contribute nothing to the block sums). Energy
+    // per level = Σ detail² in exact DECIMAL(38,0) (detail ≤ total
+    // revenue cents ~2e12, squared 5e24). Scale: the series is one
+    // date-grain agg of orders; the 12-way explode is over the ~2400-row
+    // day table, not the fact table.
+    QueryDef("q144_haar_energy",
+      (s, d) => {
+        val day = Tables.orders(s, d)
+          .select(col("o_orderdate"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+        val minD = day.agg(min(expr("CAST(o_orderdate AS DATE)")).as("d0"))
+        val series = day.crossJoin(broadcast(minD))
+          .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), d0) AS BIGINT)").as("idx"),
+            col("cents"))
+          .groupBy("idx").agg(sum(col("cents")).as("v"))
+        val details = series
+          .select(col("idx"), col("v"), explode(expr("sequence(1, 12)")).as("j"))
+          .select(col("j"),
+            expr("idx div shiftleft(1, j)").as("k"),
+            expr("CASE WHEN (idx div shiftleft(1, j - 1)) % 2 = 0 THEN v ELSE -v END").as("sv"))
+          .groupBy("j", "k").agg(sum(col("sv")).as("detail"))
+        val energy = details.groupBy("j")
+          .agg(count(ONE).as("n_coeffs"),
+            sum(expr("CAST(detail AS DECIMAL(38,0)) * detail")).cast("decimal(38,0)").as("energy"))
+        val tot = energy.agg(sum(col("energy")).cast("decimal(38,0)").as("e_tot"))
+        energy.crossJoin(broadcast(tot))
+          .select(col("j").as("level"), col("n_coeffs"),
+            // cents² reaches ~1.3e20 at sf0.1 — past int64, so the exact
+            // integer is published mega-quantized (div 1e6, positive
+            // floor in both engines)
+            expr("CAST(energy div 1000000 AS BIGINT)").as("energy_mega"),
+            round(col("energy").cast("double") / col("e_tot").cast("double"), 6)
+              .as("energy_share"))
+          .orderBy("level")
+      },
+      Some("""
+        WITH day AS (
+          SELECT CAST(o_orderdate AS DATE) AS od,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM orders),
+        mind AS (SELECT min(od) AS d0 FROM day),
+        series AS (
+          SELECT CAST(date_diff('day', d0, od) AS BIGINT) AS idx,
+                 CAST(sum(cents) AS BIGINT) AS v
+          FROM day CROSS JOIN mind
+          GROUP BY 1),
+        details AS (
+          SELECT j, idx // (1 << j) AS k,
+                 CAST(sum(CASE WHEN (idx // (1 << (j - 1))) % 2 = 0 THEN v ELSE -v END)
+                      AS BIGINT) AS detail
+          FROM series CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS j)
+          GROUP BY j, k),
+        energy AS (
+          SELECT j, count(*) AS n_coeffs,
+                 CAST(sum(CAST(detail AS HUGEINT) * detail) AS DECIMAL(38,0)) AS energy
+          FROM details GROUP BY j),
+        tot AS (SELECT CAST(sum(energy) AS DECIMAL(38,0)) AS e_tot FROM energy)
+        SELECT j AS level, n_coeffs,
+               CAST(CAST(energy AS HUGEINT) // 1000000 AS BIGINT) AS energy_mega,
+               round(CAST(energy AS DOUBLE) / CAST(e_tot AS DOUBLE), 6) AS energy_share
+        FROM energy CROSS JOIN tot
+        ORDER BY level""")),
+
+    // -------------------------------------------------------------------
+    // Lagged cross-correlation of hourly view counts vs purchase counts
+    // (does browsing LEAD buying, and by how many hours?) — q101's
+    // n²-scaled exact estimator generalized to two series:
+    //   num_l = D²·S_xy(l) − D·(Sx·B_l + Sy·A_l) + (D−l)·Sx·Sy
+    //   r_l   = num_l / (D · sqrt((D·Sxx − Sx²)(D·Syy − Sy²)))
+    // with D the full hour-grid span, A_l/B_l the head/tail partial sums
+    // the lag-l overlap touches. Hours with zero events are implicit
+    // grid zeros: they contribute nothing to any sum, so absent rows are
+    // already correct. All terms exact DECIMAL(38,0); the only float is
+    // the final division. Scale: the series is one hour-grain agg; the
+    // lag pairing is a 4-way bounded self equi-join of the ~720-row
+    // hour table.
+    QueryDef("q145_xcorr_lead_lag",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"), col("event_type"))
+        val m = ev.agg(min(col("us")).as("us0"), max(col("us")).as("us1"))
+        val hourly = ev.crossJoin(broadcast(m))
+          .select(expr("(us - us0) div 3600000000").as("b"),
+            when(col("event_type") === "view", 1L).otherwise(0L).as("xv"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("yv"))
+          .groupBy("b").agg(sum(col("xv")).as("x"), sum(col("yv")).as("y"))
+        val dSpan = ev.crossJoin(broadcast(m))
+          .agg(max(expr("(us - us0) div 3600000000 + 1")).as("sp")).select(col("sp"))
+        val lags = s.range(0, 4).toDF("lag")
+        val heads = hourly.crossJoin(broadcast(dSpan)).crossJoin(broadcast(lags))
+          .groupBy("lag")
+          .agg(max(col("sp")).as("sp"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+            sum(when(col("b") <= col("sp") - 1 - col("lag"), col("x")).otherwise(0L)).as("al"),
+            sum(when(col("b") >= col("lag"), col("y")).otherwise(0L)).as("bl"))
+        val sxy = hourly.select(col("b"), col("x"))
+          .join(hourly.select(col("b").as("b2"), col("y")).crossJoin(broadcast(lags)),
+            col("b2") === col("b") + col("lag"))
+          .groupBy("lag")
+          .agg(sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        heads.join(sxy, Seq("lag"), "left")
+          .select(col("lag"), col("sp").as("n_hours"),
+            coalesce(col("sxy"), lit(0)).cast("long").as("s_xy"),
+            expr("""CAST(CAST(sp AS DECIMAL(38,0)) * sp * coalesce(sxy, 0)
+                    - CAST(sp AS DECIMAL(38,0)) * (sx * bl + sy * al)
+                    + (CAST(sp AS DECIMAL(38,0)) - lag) * sx * sy AS DECIMAL(38,0))""").as("num"),
+            expr("CAST(CAST(sp AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))").as("dx"),
+            expr("CAST(CAST(sp AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))").as("dy"))
+          .select(col("lag"), col("n_hours"), col("s_xy"),
+            round(col("num").cast("double")
+              / (col("n_hours").cast("double")
+                 * sqrt(col("dx").cast("double") * col("dy").cast("double"))), 6).as("xcorr"))
+          .orderBy("lag")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT epoch_us(ts) AS us, event_type FROM events),
+        m AS (SELECT min(us) AS us0, max(us) AS us1 FROM ev),
+        hourly AS (
+          SELECT (us - us0) // 3600000000 AS b,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM ev CROSS JOIN m
+          GROUP BY 1),
+        span AS (
+          SELECT CAST(max((us - us0) // 3600000000 + 1) AS BIGINT) AS sp
+          FROM ev CROSS JOIN m),
+        lags AS (SELECT unnest(generate_series(0, 3)) AS lag),
+        heads AS (
+          SELECT lag, max(sp) AS sp,
+                 CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                 CAST(sum(CASE WHEN b <= sp - 1 - lag THEN x ELSE 0 END) AS HUGEINT) AS al,
+                 CAST(sum(CASE WHEN b >= lag THEN y ELSE 0 END) AS HUGEINT) AS bl
+          FROM hourly CROSS JOIN span CROSS JOIN lags
+          GROUP BY lag),
+        sxy AS (
+          SELECT lag, CAST(sum(CAST(a.x AS HUGEINT) * c.y) AS HUGEINT) AS sxy
+          FROM hourly a CROSS JOIN lags
+          JOIN (SELECT b, y FROM hourly) c ON c.b = a.b + lag
+          GROUP BY lag),
+        terms AS (
+          SELECT h.lag, h.sp AS n_hours,
+                 CAST(coalesce(s.sxy, 0) AS BIGINT) AS s_xy,
+                 CAST(h.sp AS HUGEINT) * h.sp * coalesce(s.sxy, 0)
+                   - CAST(h.sp AS HUGEINT) * (h.sx * h.bl + h.sy * h.al)
+                   + (CAST(h.sp AS HUGEINT) - h.lag) * h.sx * h.sy AS num,
+                 CAST(h.sp AS HUGEINT) * h.sxx - h.sx * h.sx AS dx,
+                 CAST(h.sp AS HUGEINT) * h.syy - h.sy * h.sy AS dy
+          FROM heads h LEFT JOIN sxy s ON h.lag = s.lag)
+        SELECT lag, n_hours, s_xy,
+               round(CAST(num AS DOUBLE)
+                     / (CAST(n_hours AS DOUBLE) * sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))), 6)
+                 AS xcorr
+        FROM terms
+        ORDER BY lag""")),
+
+    // -------------------------------------------------------------------
+    // Horvitz-Thompson estimation audit: a deterministic 10% Bernoulli
+    // hash-sample of orders (inclusion probability π = 1/10 exactly, so
+    // the HT weight 1/π = 10 and the Bernoulli variance estimator
+    // (1−π)/π²·Σy² = 90·Σy² are exact integers in cents) against the
+    // true per-priority totals the full scan gives. This is the
+    // estimate-vs-truth report a sampling pipeline publishes to justify
+    // scanning 10% instead of 100 TB. Relative error is quantized by
+    // abs() then integer floor division (both engines floor POSITIVE
+    // quotients identically; signed floor/trunc differs — the q105
+    // lesson). Scale: one projection + two aggs, no joins beyond the
+    // group key.
+    QueryDef("q146_ht_estimate",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderpriority"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"),
+            (expr(Ns.hash60("CONCAT('ht#', CAST(o_orderkey AS STRING))")) % 10 === 0).as("inS"))
+        o.groupBy("o_orderpriority")
+          .agg(count(ONE).as("n_pop"),
+            sum(col("cents")).as("total_cents"),
+            sum(when(col("inS"), 1L).otherwise(0L)).as("n_sampled"),
+            (sum(when(col("inS"), col("cents")).otherwise(0L)) * 10).as("ht_total_cents"),
+            sum(when(col("inS"), expr("CAST(cents AS DECIMAL(38,0)) * cents * 90"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).cast("decimal(38,0)").as("var_hat"))
+          .select(col("o_orderpriority"), col("n_pop"), col("total_cents"),
+            col("n_sampled"), col("ht_total_cents"),
+            (col("ht_total_cents") - col("total_cents")).as("err_cents"),
+            // cents² variance reaches ~2.3e20 at sf0.1 — past int64, so
+            // published mega-quantized (div 1e6, positive floor)
+            expr("CAST(var_hat div 1000000 AS BIGINT)").as("var_hat_mega"),
+            expr("abs(ht_total_cents - total_cents) * 1000000 div total_cents")
+              .as("abs_rel_err_micro"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderpriority,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                 ${Ns.oHash60("'ht#' || CAST(o_orderkey AS VARCHAR)")} % 10 = 0 AS ins
+          FROM orders),
+        g AS (
+          SELECT o_orderpriority, count(*) AS n_pop,
+                 CAST(sum(cents) AS BIGINT) AS total_cents,
+                 CAST(sum(CASE WHEN ins THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                 CAST(sum(CASE WHEN ins THEN cents ELSE 0 END) * 10 AS BIGINT) AS ht_total_cents,
+                 CAST(sum(CASE WHEN ins THEN CAST(cents AS HUGEINT) * cents * 90 ELSE 0 END)
+                      AS DECIMAL(38,0)) AS var_hat
+          FROM o GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n_pop, total_cents, n_sampled, ht_total_cents,
+               ht_total_cents - total_cents AS err_cents,
+               CAST(CAST(var_hat AS HUGEINT) // 1000000 AS BIGINT) AS var_hat_mega,
+               CAST(abs(ht_total_cents - total_cents) * 1000000 // total_cents AS BIGINT)
+                 AS abs_rel_err_micro
+        FROM g
+        ORDER BY o_orderpriority""")),
+
+    // -------------------------------------------------------------------
+    // Net present value of each market segment's order stream at a 10%
+    // annual discount rate — finance's canonical "compare revenue
+    // streams across time" rollup. NO float pow: 1/1.1^k = (10/11)^k,
+    // so each order's discounted term is the EXACT integer
+    //   (cents · 1e6 · 10^k) div 11^k
+    // (k = years since the fixture's first order year, ≤ 6 → numerator
+    // ≤ ~5e19, DECIMAL(38,0)/HUGEINT; both engines floor the positive
+    // quotient identically — Math.pow/libm never runs, the q112 libm
+    // lesson). Terms are micro-cents, summed exactly, published
+    // back-quantized to cents. Scale: one broadcast (min year) + one
+    // segment-key join + one agg.
+    QueryDef("q147_npv_exact",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"),
+            year(expr("CAST(o_orderdate AS DATE)")).as("yr"))
+        val y0 = o.agg(min(col("yr")).as("yr0"))
+        val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        o.crossJoin(broadcast(y0))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("cents"),
+            (col("yr") - col("yr0")).as("k"))
+          .select(col("c_mktsegment"), col("cents"),
+            expr("""CAST(CAST(cents AS DECIMAL(38,0)) * 1000000
+                    * CAST(power(10, k) AS DECIMAL(18,0))
+                    div CAST(power(11, k) AS DECIMAL(18,0)) AS DECIMAL(38,0))""")
+              .as("term_micro"))
+          .groupBy("c_mktsegment")
+          .agg(count(ONE).as("n_orders"),
+            sum(col("cents")).as("nominal_cents"),
+            expr("CAST(sum(term_micro) div 1000000 AS BIGINT)").as("npv_cents"))
+          .select(col("c_mktsegment"), col("n_orders"), col("nominal_cents"),
+            col("npv_cents"),
+            expr("npv_cents * 1000000 div nominal_cents").as("npv_ratio_micro"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                 year(CAST(o_orderdate AS DATE)) AS yr
+          FROM orders),
+        y0 AS (SELECT min(yr) AS yr0 FROM o),
+        t AS (
+          SELECT c.c_mktsegment, o.cents,
+                 CAST(CAST(o.cents AS HUGEINT) * 1000000
+                      * CAST(power(10, yr - yr0) AS BIGINT)
+                      // CAST(power(11, yr - yr0) AS BIGINT) AS HUGEINT) AS term_micro
+          FROM o CROSS JOIN y0
+          JOIN customer c ON o.o_custkey = c.c_custkey),
+        g AS (
+          SELECT c_mktsegment, count(*) AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS nominal_cents,
+                 CAST(sum(term_micro) // 1000000 AS BIGINT) AS npv_cents
+          FROM t GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n_orders, nominal_cents, npv_cents,
+               CAST(npv_cents * 1000000 // nominal_cents AS BIGINT) AS npv_ratio_micro
+        FROM g
+        ORDER BY c_mktsegment""")),
+
+    // -------------------------------------------------------------------
+    // Benjamini-Hochberg FDR screen over per-nation account-balance
+    // deviation tests — the multiple-comparison correction a metrics
+    // platform applies before flagging "nation X's balances are off".
+    // Per nation: the z² statistic against the global mean is the exact
+    // rational (S_i·n − S·n_i)² / (n_i·(n·SS − S²)) in integer cents
+    // (num/den, DECIMAL(38,0)); its distribution-free Chebyshev tail
+    // bound p ≤ den/num is the p-value proxy. BH at α = 1/20 accepts
+    // rank-i iff p_(i) ≤ i·α/m ⇔ 20·m·den_i ≤ i·num_i — evaluated by
+    // EXACT integer cross-multiplication, no division anywhere in the
+    // decision; ranking (p ascending = z² descending) uses the
+    // micro-quantized z² with nation tie-break, identical in both
+    // engines. Significant = rank ≤ k* = max accepted rank (the BH
+    // step-up). Scale: one agg to 25 nation rows + a 25-row window.
+    QueryDef("q148_bh_fdr",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_nationkey"),
+            expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+        val per = c.groupBy("c_nationkey")
+          .agg(count(ONE).as("ni"), sum(col("cents")).as("si"))
+        val tot = c.agg(count(ONE).as("n"), sum(col("cents")).as("ss_sum"),
+          sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("ssq"))
+        val scored = per.crossJoin(broadcast(tot))
+          .select(col("c_nationkey"), col("ni"),
+            expr("""CAST((CAST(si AS DECIMAL(38,0)) * n - CAST(ss_sum AS DECIMAL(38,0)) * ni)
+                    * (CAST(si AS DECIMAL(38,0)) * n - CAST(ss_sum AS DECIMAL(38,0)) * ni)
+                    AS DECIMAL(38,0))""").as("num"),
+            expr("""CAST(CAST(ni AS DECIMAL(38,0))
+                    * (CAST(n AS DECIMAL(38,0)) * ssq - CAST(ss_sum AS DECIMAL(38,0)) * ss_sum)
+                    AS DECIMAL(38,0))""").as("den"))
+          .withColumn("z2_micro", expr("CAST(num * 1000000 div den AS BIGINT)"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("z2_micro").desc, col("c_nationkey"))).cast("long"))
+        val m = scored.agg(count(ONE).as("m"))
+        val flagged = scored.crossJoin(broadcast(m))
+          .withColumn("accept", expr("20 * m * den <= rank * num"))
+        val kstar = flagged.agg(max(when(col("accept"), col("rank"))).as("kstar"))
+        flagged.crossJoin(broadcast(kstar))
+          .select(col("c_nationkey"), col("ni").as("n_customers"), col("rank"),
+            col("z2_micro"),
+            expr("CASE WHEN num = 0 THEN 1000000 ELSE least(den * 1000000 div num, 1000000) END")
+              .as("p_proxy_micro"),
+            expr("rank * 1000000 div (20 * m)").as("bh_cutoff_micro"),
+            expr("kstar IS NOT NULL AND rank <= kstar").as("significant"))
+          .orderBy("rank")
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_nationkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM customer),
+        per AS (
+          SELECT c_nationkey, count(*) AS ni, CAST(sum(cents) AS BIGINT) AS si
+          FROM c GROUP BY c_nationkey),
+        tot AS (
+          SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS ss_sum,
+                 CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ssq
+          FROM c),
+        scored AS (
+          SELECT c_nationkey, ni,
+                 (CAST(si AS HUGEINT) * n - CAST(ss_sum AS HUGEINT) * ni)
+                 * (CAST(si AS HUGEINT) * n - CAST(ss_sum AS HUGEINT) * ni) AS num,
+                 CAST(ni AS HUGEINT)
+                 * (CAST(n AS HUGEINT) * ssq - CAST(ss_sum AS HUGEINT) * ss_sum) AS den
+          FROM per CROSS JOIN tot),
+        ranked AS (
+          SELECT *, CAST(num * 1000000 // den AS BIGINT) AS z2_micro
+          FROM scored),
+        rr AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY z2_micro DESC, c_nationkey) AS BIGINT) AS rank,
+                 (SELECT count(*) FROM ranked) AS m
+          FROM ranked),
+        fl AS (
+          SELECT *, 20 * m * den <= rank * num AS accept FROM rr),
+        ks AS (SELECT max(CASE WHEN accept THEN rank END) AS kstar FROM fl)
+        SELECT c_nationkey, ni AS n_customers, rank, z2_micro,
+               CASE WHEN num = 0 THEN 1000000
+                    ELSE CAST(least(den * 1000000 // num, 1000000) AS BIGINT) END AS p_proxy_micro,
+               CAST(rank * 1000000 // (20 * m) AS BIGINT) AS bh_cutoff_micro,
+               kstar IS NOT NULL AND rank <= kstar AS significant
+        FROM fl CROSS JOIN ks
+        ORDER BY rank""")),
+
+    // -------------------------------------------------------------------
+    // 24-hour ROLLING correlation between hourly view and purchase
+    // counts — q145's single lead-lag number unrolled into the monitor
+    // a dashboard actually plots (does the browse→buy coupling drift
+    // over the month?). The window is a RANGE frame over the hour GRID
+    // (range 23 preceding on the bucket index), so hours with zero
+    // events — absent rows — are still correct implicit zeros: they
+    // contribute nothing to any windowed sum, and the divisor W =
+    // least(b+1, 24) counts grid slots, not present rows. All sums
+    // exact BIGINT; r = (W·Sxy − Sx·Sy)/√((W·Sxx−Sx²)(W·Syy−Sy²)) is
+    // the only float, null when either side is constant. Scale: one
+    // hour-grain agg + one range-frame window pass, no self-join.
+    QueryDef("q149_rolling_corr",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"), col("event_type"))
+        val m = ev.agg(min(col("us")).as("us0"))
+        val hourly = ev.crossJoin(broadcast(m))
+          .select(expr("(us - us0) div 3600000000").as("b"),
+            when(col("event_type") === "view", 1L).otherwise(0L).as("xv"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("yv"))
+          .groupBy("b").agg(sum(col("xv")).as("x"), sum(col("yv")).as("y"))
+        val w = Window.orderBy("b").rangeBetween(-23, 0)
+        hourly
+          .withColumn("sx", sum(col("x")).over(w))
+          .withColumn("sy", sum(col("y")).over(w))
+          .withColumn("sxx", sum(expr("x * x")).over(w))
+          .withColumn("syy", sum(expr("y * y")).over(w))
+          .withColumn("sxy", sum(expr("x * y")).over(w))
+          .withColumn("wsz", least(col("b") + 1, lit(24L)))
+          .select(col("b").as("hour_idx"), col("wsz").as("w"),
+            col("sx").as("views_24h"), col("sy").as("purchases_24h"),
+            expr("""CASE WHEN (wsz * sxx - sx * sx) > 0 AND (wsz * syy - sy * sy) > 0
+                    THEN round(CAST(wsz * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(wsz * sxx - sx * sx AS DOUBLE)
+                                * CAST(wsz * syy - sy * sy AS DOUBLE)), 6)
+                    END""").as("roll_corr"))
+          .orderBy("hour_idx")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT epoch_us(ts) AS us, event_type FROM events),
+        m AS (SELECT min(us) AS us0 FROM ev),
+        hourly AS (
+          SELECT (us - us0) // 3600000000 AS b,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM ev CROSS JOIN m
+          GROUP BY 1),
+        r AS (
+          SELECT b,
+                 CAST(sum(x) OVER w AS BIGINT) AS sx,
+                 CAST(sum(y) OVER w AS BIGINT) AS sy,
+                 CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+                 CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+                 CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+                 least(b + 1, 24) AS wsz
+          FROM hourly
+          WINDOW w AS (ORDER BY b RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+        SELECT b AS hour_idx, wsz AS w, sx AS views_24h, sy AS purchases_24h,
+               CASE WHEN (wsz * sxx - sx * sx) > 0 AND (wsz * syy - sy * sy) > 0
+                    THEN round(CAST(wsz * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(wsz * sxx - sx * sx AS DOUBLE)
+                                * CAST(wsz * syy - sy * sy AS DOUBLE)), 6)
+               END AS roll_corr
+        FROM r
+        ORDER BY hour_idx"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

@@ -2003,5 +2003,116 @@ object Similarity {
                pos_c6 - neg_c6 <= 0 AS active_triplet
         FROM pos p JOIN neg ng ON p.qid = ng.qid
         ORDER BY p.qid"""))
+  ,
+
+    // -------------------------------------------------------------------
+    // Decile lift / gains table — the model-eval card every targeting or
+    // data-curation score ships with: rank events by a score (here the
+    // event value, standing in for a model score), cut into 10 equal
+    // deciles, and report each decile's conversion rate, lift vs the
+    // base rate, and cumulative capture of all conversions. Exactness:
+    // ntile(10) over a TOTAL order (score desc, event_id) is identical
+    // in both engines, and every rate is integer-micro-quantized
+    // (`x*1e6 div n` — positive floor); lift clears the rational base
+    // rate by cross-multiplication: lift = (pos·N·1e6) div (n·P).
+    // Scale: one window rank + one 10-row agg (the ntile sort is the
+    // only shuffle; a 100 TB run would swap ntile for a sampled
+    // quantile cut, same downstream math).
+    QueryDef("s26_lift_gains",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("score_c"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+          .withColumn("decile",
+            ntile(10).over(Window.orderBy(col("score_c").desc, col("event_id"))))
+        val g = ev.groupBy("decile")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        val tot = g.agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp"))
+        val wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.crossJoin(broadcast(tot))
+          .withColumn("cum_pos", sum(col("pos")).over(wc))
+          .select(col("decile"), col("n"), col("pos"),
+            expr("pos * 1000000 div n").as("conv_micro"),
+            expr("(pos * nn * 1000000) div (n * pp)").as("lift_micro"),
+            expr("cum_pos * 1000000 div pp").as("cum_capture_micro"))
+          .orderBy("decile")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS score_c,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events),
+        ranked AS (
+          SELECT y, ntile(10) OVER (ORDER BY score_c DESC, event_id) AS decile
+          FROM ev),
+        g AS (
+          SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+          FROM ranked GROUP BY decile),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS pp FROM g),
+        c AS (
+          SELECT decile, n, pos,
+                 CAST(sum(pos) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+          FROM g)
+        SELECT decile, n, pos,
+               CAST(pos * 1000000 // n AS BIGINT) AS conv_micro,
+               CAST((pos * nn * 1000000) // (n * pp) AS BIGINT) AS lift_micro,
+               CAST(cum_pos * 1000000 // pp AS BIGINT) AS cum_capture_micro
+        FROM c CROSS JOIN tot
+        ORDER BY decile""")),
+
+    // -------------------------------------------------------------------
+    // Embedding dimension-variance audit — the health check run before
+    // trusting a vector index: per dimension, exact mean and variance
+    // plus a variance rank (dead dimensions at the bottom, runaway ones
+    // on top feed whitening / Matryoshka-truncation decisions, s05/s10's
+    // operational cousin). Exactness: floats quantize by
+    // floor(CAST(v AS DOUBLE)·1e6) — float→double widening is exact and
+    // floor of the same double is the same integer in both engines (the
+    // repo's float recipe; no round() midpoints) — then moments are
+    // integer sums, variance is the n-scaled DECIMAL(38,0) integer
+    // n·Σq²−(Σq)², and the mean uses the q105 positivity-shift floor
+    // division (Σq can be negative). Scale: one posexplode + one
+    // 16-group agg; the rank window is 16 rows.
+    QueryDef("s27_dim_variance_audit",
+      (s, d) => {
+        val q = Tables.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("dim"),
+            expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+        val g = q.groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+            sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sqq"))
+          .select(col("dim"), col("n"),
+            expr("(sq + 10000000 * n) div n - 10000000").as("mean_micro"),
+            expr("""CAST(CAST(n AS DECIMAL(38,0)) * sqq - CAST(sq AS DECIMAL(38,0)) * sq
+                    AS DECIMAL(38,0))""").as("var_num"))
+          .select(col("dim"), col("n"), col("mean_micro"),
+            expr("CAST(var_num div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("var_micro2"))
+        g.withColumn("var_rank", row_number().over(
+            Window.orderBy(col("var_micro2").desc, col("dim"))).cast("long"))
+          .orderBy("dim")
+      },
+      Some("""
+        WITH q AS (
+          SELECT CAST(u.i - 1 AS INT) AS dim,
+                 CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+          FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        g AS (
+          SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq,
+                 CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq
+          FROM q GROUP BY dim),
+        m AS (
+          SELECT dim, n,
+                 CAST((sq + 10000000 * n) // n - 10000000 AS BIGINT) AS mean_micro,
+                 CAST((CAST(n AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq)
+                      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_micro2
+          FROM g)
+        SELECT dim, n, mean_micro, var_micro2,
+               CAST(row_number() OVER (ORDER BY var_micro2 DESC, dim) AS BIGINT) AS var_rank
+        FROM m
+        ORDER BY dim"""))
   )
 }

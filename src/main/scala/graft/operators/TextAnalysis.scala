@@ -1717,7 +1717,65 @@ object TextAnalysis {
                        * (CAST(max(tc) - sum(cc) AS DOUBLE) / max(tc)), 6)), 6) AS js_distance
         FROM terms
         GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // -------------------------------------------------------------------
+    // Good-Turing frequency-of-frequencies table (Good 1953; the
+    // smoothing that backs Katz LMs and species-richness estimates),
+    // over word TRIGRAMS (the fixture's 31-word vocabulary makes
+    // unigram counts all huge; trigram types are hapax-rich — the
+    // regime GT exists for): for each trigram count r, N_r = how many
+    // distinct trigrams occur exactly r times, and the GT-adjusted
+    // count r* = (r+1)·N_{r+1}/N_r, quantized to exact micro-units by
+    // integer floor division (both engines floor positive quotients
+    // identically — the t01/q102 recipe). `p_class_micro` is the total
+    // probability mass GT assigns the class (N_r·r*/T, micro-floored),
+    // whose r=0 analogue N_1/T is the unseen-mass estimate. Output
+    // bounded to r <= 20 (the classes where GT is actually used; higher
+    // r falls back to raw counts). Trigrams stream through the custom
+    // [[graft.functions.WordNGrams]] generator — no per-document gram
+    // array (the t15 memory argument). Scale: two cascaded aggs (gram
+    // counts, then counts-of-counts — the second input is
+    // gram-type-sized) and a 20-row self-join.
+    QueryDef("t36_good_turing",
+      (s, d) => {
+        Ns.registerFast(s)
+        val words = Tables.documents(s, d)
+          .select(expr("word_ngrams(text, 3)"))
+        val wc = words.groupBy("ngram").agg(count(lit(1)).as("r"))
+        val cc = wc.groupBy("r").agg(count(lit(1)).as("n_r"))
+        val tot = cc.agg(sum(expr("r * n_r")).as("t_tokens"))
+        val nxt = cc.select(col("r").as("r1"), col("n_r").as("n_r1"))
+        cc.filter(col("r") <= 20)
+          .join(nxt, col("r1") === col("r") + 1, "left")
+          .crossJoin(broadcast(tot))
+          .select(col("r"), col("n_r"),
+            coalesce(col("n_r1"), lit(0L)).as("n_next"), col("t_tokens"))
+          .select(col("r"), col("n_r"), col("n_next"), col("t_tokens"),
+            expr("(r + 1) * n_next * 1000000 div n_r").as("r_star_micro"))
+          .withColumn("p_class_micro",
+            expr("n_r * ((r + 1) * n_next * 1000000 div n_r) div t_tokens"))
+          .orderBy("r")
+      },
+      Some("""
+        WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        words AS (
+          SELECT toks[u.i] || ' ' || toks[u.i + 1] || ' ' || toks[u.i + 2] AS w
+          FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)),
+        wc AS (SELECT w, count(*) AS r FROM words GROUP BY w),
+        cc AS (SELECT r, count(*) AS n_r FROM wc GROUP BY r),
+        tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS t_tokens FROM cc)
+        SELECT cc.r, cc.n_r,
+               CAST(coalesce(nxt.n_r, 0) AS BIGINT) AS n_next,
+               t_tokens,
+               CAST((cc.r + 1) * coalesce(nxt.n_r, 0) * 1000000 // cc.n_r AS BIGINT)
+                 AS r_star_micro,
+               CAST(cc.n_r * ((cc.r + 1) * coalesce(nxt.n_r, 0) * 1000000 // cc.n_r)
+                    // t_tokens AS BIGINT) AS p_class_micro
+        FROM cc LEFT JOIN cc nxt ON nxt.r = cc.r + 1
+        CROSS JOIN tot
+        WHERE cc.r <= 20
+        ORDER BY cc.r"""))
   )
 
   /** Shared lang-id model + per-doc prediction (the t01 pipeline minus

@@ -204,6 +204,41 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  final case class AnomalyOut(event_type: String, event_id: Long, seq: Int,
+    n_prior: Long, is_anomaly: Boolean)
+  final case class Moments(n: Long, s: Long, ss: Long)
+
+  /** Batch twin of the st22 running 3-sigma guardrail: strictly-
+    * preceding window sums carry the same exact integer moments the
+    * stream keeps as one (n, Σv, Σv²) triple per event_type. The flag
+    * inequality runs in DECIMAL(38,0) (the squared deviation reaches
+    * ~10^20 at fixture scale — past int64).
+    */
+  def zscoreGuardrail(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 1000, 0) AS BIGINT)").as("vm"))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("n_prior", coalesce(count(lit(1)).over(wp), lit(0L)))
+      .withColumn("s", coalesce(sum(col("vm")).over(wp), lit(0L)))
+      .withColumn("ss", coalesce(sum(expr("vm * vm")).over(wp), lit(0L)))
+      .select(col("event_type"), col("event_id"), col("seq"), col("n_prior"),
+        expr("""n_prior >= 10 AND
+           CAST(vm * n_prior - s AS DECIMAL(19,0)) * CAST(vm * n_prior - s AS DECIMAL(19,0))
+           > 9 * (CAST(n_prior AS DECIMAL(19,0)) * CAST(ss AS DECIMAL(19,0))
+                  - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))""").as("is_anomaly"))
+  }
+
+  def zscoreGuardrailStream(spark: SparkSession, events: Dataset[EvT]): Dataset[AnomalyOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new ZscoreProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   final case class EvV(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     value: Double)
   final case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
@@ -930,7 +965,90 @@ object Streams {
           FROM walk w JOIN seq e ON e.item_k = w.item_k AND e.pos = w.pos + 1)
         SELECT item_k, pos, event_id, day, score
         FROM walk
-        ORDER BY item_k, pos"""))
+        ORDER BY item_k, pos""")),
+
+    // -------------------------------------------------------------------
+    // Streaming 3-sigma guardrail: per event_type, each arriving value
+    // is flagged against the running mean/variance of the PRIOR values
+    // only (never its own) — the metric-anomaly monitor every
+    // observability stack runs in front of a pipeline. Values are
+    // quantized to milli units so the running moments (n, Σv, Σv²) are
+    // EXACT integers, and the 3σ test is the cross-multiplied integer
+    // inequality (v·n − Σv)² > 9·(n·Σv² − (Σv)²) — no division, no
+    // sqrt, no float state, so stream, batch-window twin and the DuckDB
+    // oracle agree bit-for-bit. Warm-up: flags only after 10 prior
+    // observations. Stream state is ONE (n, s, ss) triple per type
+    // ([[ZscoreProcessor]]); the batch twin carries the same moments as
+    // strictly-preceding window sums.
+    QueryDef("st22_stream_zscore_guardrail",
+      (s, d) => zscoreGuardrail(Tables.events(s, d)).orderBy("event_type", "seq"),
+      Some("""
+        WITH ev AS (
+          SELECT event_type, event_id, epoch_us(ts) AS us,
+                 CAST(round(value * 1000, 0) AS BIGINT) AS vm
+          FROM events),
+        w AS (
+          SELECT event_type, event_id, vm,
+                 CAST(row_number() OVER tw AS INT) AS seq,
+                 CAST(count(*) OVER tp AS BIGINT) AS n_prior,
+                 CAST(coalesce(sum(vm) OVER tp, 0) AS BIGINT) AS s,
+                 CAST(coalesce(sum(vm * vm) OVER tp, 0) AS BIGINT) AS ss
+          FROM ev
+          WINDOW tw AS (PARTITION BY event_type ORDER BY us, event_id),
+                 tp AS (PARTITION BY event_type ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT event_type, event_id, seq, n_prior,
+               n_prior >= 10 AND
+               CAST(vm * n_prior - s AS HUGEINT) * CAST(vm * n_prior - s AS HUGEINT)
+               > 9 * (CAST(n_prior AS HUGEINT) * CAST(ss AS HUGEINT)
+                      - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS is_anomaly
+        FROM w
+        ORDER BY event_type, seq""")),
+
+    // -------------------------------------------------------------------
+    // Absence detection (the CEP "negative pattern"): a view that is NOT
+    // followed by a purchase from the same user within 6 hours raises an
+    // alert — the abandoned-funnel monitor st18's positive-sequence
+    // detector cannot express, and THE canonical use of event-time
+    // timers (nothing arrives to trigger the alert; only the watermark
+    // can). Batch twin: first qualifying purchase per view via one
+    // bounded user-key join + min(struct); status 'converted' /
+    // 'alert' / 'pending' — a view stays pending while its deadline
+    // (`view_us div 1000 + 6h_ms + 1`, the st13 timer convention) is
+    // beyond the end-of-stream watermark. The streaming form
+    // ([[AbsenceProcessor]]) keeps a pending-view ListState per user,
+    // converts on purchase arrival, and alerts from expired timers;
+    // StreamingSpec proves stream output == this twin minus 'pending'.
+    QueryDef("st23_absence_alert",
+      (s, d) => absenceAlerts(Tables.events(s, d))
+        .orderBy("user_id", "view_event_id"),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        wm AS (SELECT max(us) // 1000 AS wm_ms FROM ev),
+        v AS (SELECT user_id, event_id AS view_event_id, us AS vus
+              FROM ev WHERE event_type = 'view'),
+        p AS (SELECT user_id, event_id AS p_id, us AS pus
+              FROM ev WHERE event_type = 'purchase'),
+        conv AS (
+          SELECT user_id, view_event_id, p_id AS converted_by FROM (
+            SELECT v.user_id, v.view_event_id, p.p_id,
+                   row_number() OVER (PARTITION BY v.user_id, v.view_event_id
+                                      ORDER BY p.pus, p.p_id) AS rn
+            FROM v JOIN p ON p.user_id = v.user_id
+                         AND p.pus > v.vus AND p.pus <= v.vus + 21600000000)
+          WHERE rn = 1)
+        SELECT v.user_id, v.view_event_id,
+               v.vus // 1000 + 21600001 AS deadline_ms,
+               CASE WHEN c.converted_by IS NOT NULL THEN 'converted'
+                    WHEN v.vus // 1000 + 21600001 <= wm_ms THEN 'alert'
+                    ELSE 'pending' END AS status,
+               c.converted_by
+        FROM v
+        LEFT JOIN conv c ON c.user_id = v.user_id
+                        AND c.view_event_id = v.view_event_id
+        CROSS JOIN wm
+        ORDER BY v.user_id, v.view_event_id"""))
   )
 
   /** Pattern window for [[sequenceDetect]]: the view->click->purchase
@@ -1012,6 +1130,56 @@ object Streams {
 
   final case class EvT(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
+
+  /** The 6-hour conversion window of st23 (microseconds). */
+  private[streaming] val ABSENCE_WIN_US = 21600000000L
+  final case class PendingView(event_id: Long, us: Long, deadlineMs: Long)
+  final case class AbsenceOut(user_id: Long, view_event_id: Long,
+    deadline_ms: Long, status: String, converted_by: Option[Long])
+
+  /** Batch twin of the st23 absence detector — see the QueryDef note.
+    * The purchase lookup is a user-key equi-join with a bounded range
+    * predicate (per-user event lists are the q88/q94 per-key contract),
+    * then `min(struct(pus, p_id))` picks the first qualifying purchase
+    * without a per-view sort.
+    */
+  def absenceAlerts(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"))
+    val wm = ev.agg(expr("max(us) div 1000").as("wm_ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event_id"), col("us").as("vus"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("p_id"), col("us").as("pus"))
+    val conv = views.join(purch,
+        col("pu") === col("user_id") && col("pus") > col("vus")
+          && col("pus") <= col("vus") + ABSENCE_WIN_US)
+      .groupBy("user_id", "view_event_id")
+      .agg(min(struct(col("pus"), col("p_id"))).as("first_p"))
+      .select(col("user_id"), col("view_event_id"),
+        col("first_p").getField("p_id").as("converted_by"))
+    views.join(conv, Seq("user_id", "view_event_id"), "left")
+      .crossJoin(broadcast(wm))
+      .select(col("user_id"), col("view_event_id"),
+        expr("vus div 1000 + 21600001").as("deadline_ms"),
+        when(col("converted_by").isNotNull, "converted")
+          .when(expr("vus div 1000 + 21600001") <= col("wm_ms"), "alert")
+          .otherwise("pending").as("status"),
+        col("converted_by"))
+  }
+
+  /** Streaming absence detection: event-time timers raise the alerts —
+    * see [[AbsenceProcessor]].
+    */
+  def absenceAlertStream(spark: SparkSession, events: Dataset[EvT],
+      delay: String = "0 seconds"): Dataset[AbsenceOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new AbsenceProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Batch twin of the streaming one-step forecaster: one sequential
     * fold per user over the time-ordered values, appending each step's
@@ -1567,5 +1735,97 @@ class DecayProcessor
     }
     if (evs.nonEmpty) st.update(s)
     out.result().iterator
+  }
+}
+
+/** Running integer moments per event_type for the st22 3-sigma
+  * guardrail: state is one exact (n, Σv_milli, Σv²_milli) triple on a
+  * v2 `ValueState`; the flag inequality runs in BigInt (it reaches
+  * ~10^20), mirroring the batch twin's DECIMAL(38,0) spelling
+  * bit-for-bit. Proven equal to [[Streams.zscoreGuardrail]] in
+  * StreamingSpec.
+  */
+class ZscoreProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, Streams.EvT, Streams.AnomalyOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[Streams.Moments] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Streams.Moments]("zscore_moments",
+      org.apache.spark.sql.Encoders.product[Streams.Moments], TTLConfig.NONE)
+
+  override def handleInputRows(etype: String, rows: Iterator[Streams.EvT],
+      tv: TimerValues): Iterator[Streams.AnomalyOut] = {
+    val sorted = rows.toSeq.sortBy(e => (Streams.usOf(e.ts), e.event_id))
+    var m = if (st.exists()) st.get() else Streams.Moments(0L, 0L, 0L)
+    val out = sorted.map { e =>
+      val vm = BigDecimal(e.value * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val dev = BigInt(vm) * m.n - m.s
+      val anomaly = m.n >= 10 &&
+        dev * dev > 9 * (BigInt(m.n) * m.ss - BigInt(m.s) * m.s)
+      val o = Streams.AnomalyOut(etype, e.event_id, (m.n + 1).toInt, m.n, anomaly)
+      m = Streams.Moments(m.n + 1, m.s + vm, m.ss + vm * vm)
+      o
+    }
+    if (sorted.nonEmpty) st.update(m)
+    out.iterator
+  }
+}
+
+/** Pending-view absence monitor (st23): per user, a ListState of views
+  * awaiting a purchase, one event-time timer per view deadline. A
+  * purchase converts every pending view whose 6-hour window covers it
+  * (emitted immediately); an expired timer alerts every pending view
+  * whose deadline the watermark has passed. Timers are never deleted —
+  * a stale timer (its view already converted) finds no matching pending
+  * entry and no-ops, which keeps two same-millisecond views from
+  * sharing (and prematurely losing) one timer slot. State is O(pending
+  * views per user), dropped at emission either way.
+  */
+class AbsenceProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Streams.EvT, Streams.AbsenceOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var pend: ListState[Streams.PendingView] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    pend = getHandle.getListState[Streams.PendingView]("pending_views",
+      org.apache.spark.sql.Encoders.product[Streams.PendingView], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Streams.EvT],
+      tv: TimerValues): Iterator[Streams.AbsenceOut] = {
+    val sorted = rows.toSeq.sortBy(e => (Streams.usOf(e.ts), e.event_id))
+    var cur = pend.get().toVector
+    val before = cur
+    val out = Vector.newBuilder[Streams.AbsenceOut]
+    sorted.foreach { e =>
+      val us = Streams.usOf(e.ts)
+      e.event_type match {
+        case "view" =>
+          val dl = us / 1000L + Streams.ABSENCE_WIN_US / 1000L + 1
+          cur :+= Streams.PendingView(e.event_id, us, dl)
+          getHandle.registerTimer(dl)
+        case "purchase" =>
+          val (hit, keep) = cur.partition(p =>
+            p.us < us && us <= p.us + Streams.ABSENCE_WIN_US)
+          hit.foreach(p => out += Streams.AbsenceOut(user, p.event_id,
+            p.deadlineMs, "converted", Some(e.event_id)))
+          cur = keep
+        case _ => ()
+      }
+    }
+    if (cur != before) { pend.clear(); if (cur.nonEmpty) pend.put(cur.toArray) }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(user: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[Streams.AbsenceOut] = {
+    val cur = pend.get().toVector
+    val (expired, keep) = cur.partition(_.deadlineMs <= info.getExpiryTimeInMs)
+    if (expired.nonEmpty) { pend.clear(); if (keep.nonEmpty) pend.put(keep.toArray) }
+    expired.iterator.map(p =>
+      Streams.AbsenceOut(user, p.event_id, p.deadlineMs, "alert", None))
   }
 }

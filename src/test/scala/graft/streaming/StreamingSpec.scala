@@ -838,4 +838,81 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("v2 absence timers: stream alerts+conversions == batch twin minus pending") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-absence")
+    writeOrderedFiles(dir, 3) // NO flush sentinel — the watermark alerts
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Streams.EvT]
+      val q = Streams.absenceAlertStream(spark, stream)
+        .writeStream.format("memory").queryName("absence_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("absence_stream").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+        val want = Streams.absenceAlerts(eventsBatch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4))))
+          .filter(_._4 != "pending").toSet
+        assert(got == want,
+          s"got ${got.size} rows, want ${want.size}; " +
+            s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+        // both mechanisms actually fired
+        assert(got.exists(_._4 == "alert") && got.exists(_._4 == "converted"))
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("state API v2 running 3-sigma guardrail == the st22 window plan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-zscore-v2")
+    writeOrderedFiles(dir, 3)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Streams.EvT]
+      val q = Streams.zscoreGuardrailStream(spark, stream)
+        .writeStream.format("memory").queryName("zscore_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("zscore_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+        val want = Streams.zscoreGuardrail(eventsBatch).collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+        assert(got.size == want.size, s"${got.size} != ${want.size}")
+        assert(got == want)
+        // the guardrail actually fires somewhere, and never before warm-up
+        assert(got.values.exists(_._3), "no anomaly flagged on the whole stream")
+        assert(got.values.forall(v => !v._3 || v._2 >= 10))
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
