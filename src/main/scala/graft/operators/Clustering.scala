@@ -573,6 +573,96 @@ object Clustering {
                round(CAST(hl_dec AS DOUBLE), 6) AS h_label,
                round(CAST(mi_dec AS DOUBLE)
                      / sqrt(CAST(hc_dec AS DOUBLE) * CAST(hl_dec AS DOUBLE)), 6) AS nmi
-        FROM tot CROSS JOIN pur CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl"""))
+        FROM tot CROSS JOIN pur CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl""")),
+
+    // -------------------------------------------------------------------
+    // Davies-Bouldin index on the c01 clustering — the internal-validity
+    // score next to c04's silhouette and c06's elbow: per cluster, the
+    // mean member distance to the cluster MEAN (s_i), and
+    // DB_i = max_{j≠i} (s_i + s_j)/d(μ_i, μ_j); the index is the
+    // K-average (lower = tighter/better-separated). Determinism:
+    // cluster means are the exact DECIMAL(28,12) per-dim sums of c01's
+    // update step; every distance is floor(√(l2²)·1e6) — same double,
+    // same floor in both engines; means/ratios are positive-floor
+    // integer divisions; the worst-j pick breaks ties by cluster id.
+    // Scale: one Lloyd pass (shared shape with c01), one broadcast of
+    // K mean vectors, one member-keyed narrow distance pass; the
+    // pairwise d_ij table is K×K driver-free rows.
+    QueryDef("c08_davies_bouldin",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+        val a = kmeansAssign(s, d).drop("d2")
+        val means = updateCentroids(e, a).localCheckpoint()
+        val sd = a.join(e, "vec_id")
+          .join(broadcast(means), "cl")
+          .select(col("cl"),
+            expr("CAST(floor(sqrt(vec_l2sq(v, cv)) * 1000000) AS BIGINT)").as("dist"))
+          .groupBy("cl")
+          .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("dsum"))
+          .withColumn("s_micro", expr("dsum div n_members"))
+        val mi = means.select(col("cl").as("ci"), col("cv").as("cvi"))
+        val mj = means.select(col("cl").as("cj"), col("cv").as("cvj"))
+        val dij = mi.join(mj, col("ci") =!= col("cj"))
+          .select(col("ci"), col("cj"),
+            expr("CAST(floor(sqrt(vec_l2sq(cvi, cvj)) * 1000000) AS BIGINT)").as("d_micro"))
+        val si = sd.select(col("cl").as("ci"), col("s_micro").as("si"),
+          col("n_members"))
+        val sj = sd.select(col("cl").as("cj"), col("s_micro").as("sj"))
+        val ratios = dij.join(si, "ci").join(sj, "cj")
+          .select(col("ci"), col("cj"), col("n_members"), col("si"),
+            expr("(si + sj) * 1000000 div d_micro").as("ratio_micro"))
+        val worst = ratios
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("ci").orderBy(col("ratio_micro").desc, col("cj"))))
+          .filter(col("rn") === 1)
+        val idx = worst.agg(expr("sum(ratio_micro) div count(1)").as("dbi"),
+          count(lit(1)).as("k"))
+        worst.crossJoin(broadcast(idx))
+          .select(col("ci").as("cluster"), col("n_members"),
+            col("si").as("s_micro"), col("cj").as("worst_neighbor"),
+            col("ratio_micro").as("db_ratio_micro"),
+            col("dbi").as("db_index_micro"))
+          .orderBy("cluster")
+      },
+      Some(s"""
+        WITH $oracleCtes,
+        fm AS (
+          SELECT cluster, i AS pos,
+                 CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+          FROM afin CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY cluster, i),
+        fc AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM fm GROUP BY cluster),
+        sd AS (
+          SELECT a.cluster, count(*) AS n_members,
+                 CAST(sum(CAST(floor(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(a.v, (x, i) -> (x - f.cv[i]) * (x - f.cv[i]))),
+                      (acc, x) -> acc + x)) * 1000000) AS BIGINT)) AS BIGINT) AS dsum
+          FROM afin a JOIN fc f ON a.cluster = f.cluster
+          GROUP BY a.cluster),
+        s AS (SELECT cluster, n_members, CAST(dsum // n_members AS BIGINT) AS s_micro FROM sd),
+        dij AS (
+          SELECT i.cluster AS ci, j.cluster AS cj,
+                 CAST(floor(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(i.cv, (x, k) -> (x - j.cv[k]) * (x - j.cv[k]))),
+                      (acc, x) -> acc + x)) * 1000000) AS BIGINT) AS d_micro
+          FROM fc i JOIN fc j ON i.cluster <> j.cluster),
+        ratios AS (
+          SELECT d.ci, d.cj, si.n_members, si.s_micro AS si,
+                 CAST((si.s_micro + sj.s_micro) * 1000000 // d.d_micro AS BIGINT) AS ratio_micro
+          FROM dij d
+          JOIN s si ON si.cluster = d.ci
+          JOIN s sj ON sj.cluster = d.cj),
+        worst AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY ci
+                        ORDER BY ratio_micro DESC, cj) AS rn
+            FROM ratios) WHERE rn = 1),
+        idx AS (SELECT CAST(sum(ratio_micro) // count(*) AS BIGINT) AS dbi FROM worst)
+        SELECT ci AS cluster, n_members, si AS s_micro, cj AS worst_neighbor,
+               ratio_micro AS db_ratio_micro, dbi AS db_index_micro
+        FROM worst CROSS JOIN idx
+        ORDER BY cluster"""))
   )
 }

@@ -1215,6 +1215,64 @@ object Pipeline {
                rem_rank <= n_extra AS gets_extra,
                CAST(base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
         FROM ranked
+        ORDER BY source""")),
+
+    // -------------------------------------------------------------------
+    // Top-p (nucleus) coverage per source: the smallest prefix of docs —
+    // largest-first by token count, doc_id tie-break — whose tokens
+    // reach 90% of the source's total, the "how concentrated is this
+    // source" card that decides whether trimming the tail loses
+    // anything. A doc is kept while the PREVIOUS prefix is still below
+    // the threshold (so the crossing doc is included, the nucleus
+    // convention). Exactness: the 90% test is the integer
+    // cross-multiplication 10·cum_before < 9·total — no rational
+    // threshold is ever materialized. Scale: one doc-grain agg + one
+    // per-source window cumsum.
+    QueryDef("p24_top_p_coverage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), expr(NTOK).as("n_tokens"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tot = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        docs
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .join(tot, "source")
+          .filter(expr("10 * cum_before < 9 * total_tokens"))
+          .groupBy("source")
+          .agg(max(col("n_docs")).as("n_docs"), max(col("total_tokens")).as("total_tokens"),
+            count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            col("n_kept"), col("tokens_kept"),
+            expr("n_kept * 1000000 div n_docs").as("doc_share_micro"),
+            expr("tokens_kept * 1000000 div total_tokens").as("token_share_micro"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT source, doc_id, $ONTOK AS n_tokens FROM documents),
+        tot AS (
+          SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          FROM docs GROUP BY source),
+        c AS (
+          SELECT source, doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                      ORDER BY n_tokens DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS cum_before
+          FROM docs),
+        kept AS (
+          SELECT c.source, t.n_docs, t.total_tokens,
+                 count(*) AS n_kept, CAST(sum(c.n_tokens) AS BIGINT) AS tokens_kept
+          FROM c JOIN tot t ON c.source = t.source
+          WHERE 10 * c.cum_before < 9 * t.total_tokens
+          GROUP BY c.source, t.n_docs, t.total_tokens)
+        SELECT source, n_docs, total_tokens, n_kept, tokens_kept,
+               CAST(n_kept * 1000000 // n_docs AS BIGINT) AS doc_share_micro,
+               CAST(tokens_kept * 1000000 // total_tokens AS BIGINT) AS token_share_micro
+        FROM kept
         ORDER BY source"""))
   )
 }
