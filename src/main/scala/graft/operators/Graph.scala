@@ -1226,6 +1226,79 @@ object Graph {
                component,
                count(*) OVER (PARTITION BY component) AS component_size
         FROM comp c LEFT JOIN mdeg ON c.vec_id = mdeg.mid
-        ORDER BY c.vec_id"""))
+        ORDER BY c.vec_id""")),
+
+    // -------------------------------------------------------------------
+    // Degree distribution power-law card on the near-dup graph (g01's
+    // edge set): the degree histogram plus a log-log regression slope —
+    // the one-row summary that says whether the dup graph is scale-free
+    // (a few mega-clusters dominating, the signal to cap cluster sizes
+    // before a 100 TB dedup join) or degree-homogeneous. Regression
+    // reuses t22's recipe: ln() values quantized to micro-nat BIGINTs,
+    // exact DECIMAL(38,0)/HUGEINT moment sums, one final double
+    // division. Scale: degrees are one edge-list groupBy; the
+    // histogram/regression run on the (distinct-degree)-row table.
+    QueryDef("g17_degree_powerlaw",
+      (s, d) => {
+        val pairs = Dedup.minhashPairs(s, d)
+          .filter(col("est_jaccard") >= JMIN)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = pairs.select(col("doc_a").as("src"))
+          .union(pairs.select(col("doc_b").as("src")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        val xy = hist.select(
+          expr("CAST(round(ln(CAST(deg AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("x"),
+          expr("CAST(round(ln(CAST(n_nodes AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("y"))
+        val sums = xy.agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+        val tot = deg.agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"),
+          max(col("deg")).as("max_degree"))
+        tot.crossJoin(sums)
+          .select(col("n_nodes"), expr("deg_sum div 2").as("n_edges"),
+            col("max_degree"), col("n").as("n_degree_classes"),
+            expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+                    round(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE), 6) END""").as("alpha"),
+            expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+                    round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+                    / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END""")
+              .as("r2"))
+      },
+      Some(s"""
+        WITH ${Dedup.minhashPairsOracleCtes},
+        edges AS (
+          SELECT doc_a AS src FROM mpairs WHERE est_jaccard >= $JMIN
+          UNION ALL
+          SELECT doc_b AS src FROM mpairs WHERE est_jaccard >= $JMIN),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        hist AS (SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg),
+        xy AS (
+          SELECT CAST(round(ln(CAST(deg AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+                 CAST(round(ln(CAST(n_nodes AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+          FROM hist),
+        sums AS (
+          SELECT count(*) AS n,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM xy),
+        tot AS (SELECT count(*) AS n_nodes, CAST(sum(deg) AS BIGINT) AS deg_sum,
+                       CAST(max(deg) AS BIGINT) AS max_degree FROM deg)
+        SELECT n_nodes, CAST(deg_sum // 2 AS BIGINT) AS n_edges, max_degree,
+               CAST(n AS BIGINT) AS n_degree_classes,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS alpha,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
+        FROM tot CROSS JOIN sums"""))
   )
 }

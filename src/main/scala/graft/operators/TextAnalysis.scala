@@ -1775,7 +1775,144 @@ object TextAnalysis {
         FROM cc LEFT JOIN cc nxt ON nxt.r = cc.r + 1
         CROSS JOIN tot
         WHERE cc.r <= 20
-        ORDER BY cc.r"""))
+        ORDER BY cc.r""")),
+
+    // -------------------------------------------------------------------
+    // Entropy RATE of the corpus bigram Markov chain — the compression
+    // bound per token given one token of context, next to t12's
+    // per-doc perplexity and q114's event-type transition matrix:
+    //   H(W|V) = −Σ_vw (c_vw/N)·ln(c_vw/c_v),  H(W) = −Σ_w (c_w/N)·ln(c_w/N)
+    // and the information one token of context buys = H(W) − H(W|V).
+    // Per-term values are quantized to DECIMAL(18,9) (the c07 recipe:
+    // identical doubles rounded at 9 digits, then exact decimal sums),
+    // so both engines sum identically. Scale: the model is one groupBy
+    // over OBSERVED bigrams (never |V|² — the t01 lesson).
+    QueryDef("t37_entropy_rate",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("token"))
+        val big = toks.alias("a")
+          .join(toks.alias("b"),
+            col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+          .select(col("a.token").as("v"), col("b.token").as("w"))
+          .groupBy("v", "w").agg(count(lit(1)).as("cvw"))
+        val left = big.groupBy("v").agg(sum(col("cvw")).as("cv"))
+        val tot = big.agg(sum(col("cvw")).as("nb"), countDistinct(col("v")).as("n_states"))
+        val hCond = big.join(left, "v").crossJoin(broadcast(tot))
+          .select(expr("""CAST(round(-(CAST(cvw AS DOUBLE) / nb)
+              * ln(CAST(cvw AS DOUBLE) / cv), 9) AS DECIMAL(18,9))""").as("t"))
+          .agg(sum("t").as("h_cond"))
+        val uni = toks.groupBy("token").agg(count(lit(1)).as("cw"))
+        val utot = uni.agg(sum(col("cw")).as("nt"))
+        val hUni = uni.crossJoin(broadcast(utot))
+          .select(expr("""CAST(round(-(CAST(cw AS DOUBLE) / nt)
+              * ln(CAST(cw AS DOUBLE) / nt), 9) AS DECIMAL(18,9))""").as("t"))
+          .agg(sum("t").as("h_uni"))
+        tot.crossJoin(hCond).crossJoin(hUni)
+          .select(col("nb").as("n_bigrams"), col("n_states"),
+            expr("round(CAST(h_cond AS DOUBLE), 6)").as("entropy_rate"),
+            expr("round(CAST(h_uni AS DOUBLE), 6)").as("unigram_entropy"),
+            expr("round(CAST(h_uni AS DOUBLE) - CAST(h_cond AS DOUBLE), 6)")
+              .as("context_info_gain"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, u.i AS pos, toks[u.i] AS token FROM (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            unnest(generate_series(1, len(toks))) AS u(i)),
+        big AS (
+          SELECT a.token AS v, b.token AS w, count(*) AS cvw
+          FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          GROUP BY 1, 2),
+        lft AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cv FROM big GROUP BY v),
+        tot AS (SELECT CAST(sum(cvw) AS BIGINT) AS nb,
+                       count(DISTINCT v) AS n_states FROM big),
+        hc AS (
+          SELECT sum(CAST(round(-(CAST(cvw AS DOUBLE) / nb)
+                 * ln(CAST(cvw AS DOUBLE) / cv), 9) AS DECIMAL(18,9))) AS h_cond
+          FROM big JOIN lft USING (v) CROSS JOIN tot),
+        uni AS (SELECT token, count(*) AS cw FROM toks GROUP BY token),
+        ut AS (SELECT CAST(sum(cw) AS BIGINT) AS nt FROM uni),
+        hu AS (
+          SELECT sum(CAST(round(-(CAST(cw AS DOUBLE) / nt)
+                 * ln(CAST(cw AS DOUBLE) / nt), 9) AS DECIMAL(18,9))) AS h_uni
+          FROM uni CROSS JOIN ut)
+        SELECT nb AS n_bigrams, n_states,
+               round(CAST(h_cond AS DOUBLE), 6) AS entropy_rate,
+               round(CAST(h_uni AS DOUBLE), 6) AS unigram_entropy,
+               round(CAST(h_uni AS DOUBLE) - CAST(h_cond AS DOUBLE), 6) AS context_info_gain
+        FROM tot CROSS JOIN hc CROSS JOIN hu""")),
+
+    // -------------------------------------------------------------------
+    // Greedy bigram generation: from EVERY vocabulary token as a seed,
+    // follow argmax p(w|v) for 10 steps — the decode-side twin of the
+    // t23/t37 model cards (what a 1-gram-context "LLM" would emit, and
+    // a quick probe of the chain's attractor structure: most seeds fall
+    // into the same high-frequency cycle). The successor table is
+    // argmax by count with LEXICOGRAPHIC tie-break (min(struct(-c, w))
+    // — partial-aggregable, deterministic in both engines); generation
+    // is 10 chained broadcast joins against the |V|-row successor
+    // table (the chain is data-INdependent in length, so the plan is a
+    // fixed 10-join tree — no driver iteration state). Dead-end seeds
+    // (no outgoing bigram) stop early and report their actual length.
+    QueryDef("t38_greedy_generate",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("token"))
+        val nxt = toks.alias("a")
+          .join(toks.alias("b"),
+            col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+          .select(col("a.token").as("v"), col("b.token").as("w"))
+          .groupBy("v", "w").agg(count(lit(1)).as("c"))
+          .groupBy("v")
+          .agg(min(struct((-col("c")).as("nc"), col("w"))).as("m"))
+          .select(col("v"), col("m.w").as("nxt"))
+        var st = toks.select(col("token")).distinct()
+          .select(col("token").as("seed"), col("token").as("cur"),
+            col("token").as("gen"), lit(1L).as("n_tokens"))
+        for (_ <- 1 to 10) {
+          st = st.join(broadcast(nxt), col("cur") === col("v"), "left")
+            .select(col("seed"),
+              col("nxt").as("cur"),
+              when(col("nxt").isNotNull, concat(col("gen"), lit(" "), col("nxt")))
+                .otherwise(col("gen")).as("gen"),
+              when(col("nxt").isNotNull, col("n_tokens") + 1)
+                .otherwise(col("n_tokens")).as("n_tokens"))
+        }
+        st.select(col("seed"), col("n_tokens"), col("gen").as("generated"))
+          .orderBy("seed")
+      },
+      Some("""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, u.i AS pos, toks[u.i] AS token FROM (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            unnest(generate_series(1, len(toks))) AS u(i)),
+        big AS (
+          SELECT a.token AS v, b.token AS w, count(*) AS c
+          FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          GROUP BY 1, 2),
+        nxt AS (
+          SELECT v, w AS nxt FROM (
+            SELECT v, w, row_number() OVER (PARTITION BY v ORDER BY c DESC, w) AS rn
+            FROM big) WHERE rn = 1),
+        seeds AS (SELECT DISTINCT token AS seed FROM toks),
+        walk AS (
+          SELECT seed, seed AS cur, seed AS gen, CAST(1 AS BIGINT) AS n_tokens,
+                 0 AS step
+          FROM seeds
+          UNION ALL
+          SELECT w.seed, n.nxt,
+                 CASE WHEN n.nxt IS NOT NULL THEN w.gen || ' ' || n.nxt ELSE w.gen END,
+                 CASE WHEN n.nxt IS NOT NULL THEN w.n_tokens + 1 ELSE w.n_tokens END,
+                 w.step + 1
+          FROM walk w LEFT JOIN nxt n ON w.cur = n.v
+          WHERE w.step < 10 AND w.cur IS NOT NULL)
+        SELECT seed, n_tokens, gen AS generated FROM (
+          SELECT *, row_number() OVER (PARTITION BY seed ORDER BY step DESC) AS rn
+          FROM walk) WHERE rn = 1
+        ORDER BY seed"""))
   )
 
   /** Shared lang-id model + per-doc prediction (the t01 pipeline minus
