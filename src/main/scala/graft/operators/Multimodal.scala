@@ -1350,6 +1350,122 @@ object Multimodal {
                CASE WHEN b.r > 0 AND e.r0 > 0
                     THEN round(CAST(b.r AS DOUBLE) / CAST(e.r0 AS DOUBLE), 6) END AS clarity
         FROM e JOIN best b ON e.doc_id = b.doc_id AND e.frame_id = b.frame_id
-        ORDER BY e.doc_id, e.frame_id"""))
+        ORDER BY e.doc_id, e.frame_id""")),
+
+    // -------------------------------------------------------------------
+    // Perceptual hash (pHash) via an 8×8 DCT-II — the DCT sibling of
+    // m06's wavelet hash: strided-mean-pool the payload bytes into an
+    // 8×8 grayscale grid, transform rows then columns, and set one bit
+    // per AC coefficient above the AC median. Cross-engine exactness:
+    // the DCT twiddles cos(π(2n+1)k/16) are a FIXED 8×8 integer table
+    // in micro-units (the m19 trick), so both passes are exact int64
+    // sums (|coef| ≤ ~1.6e16); the pool is integer floor-mean; the
+    // median is the ranked 32nd of 63 values — no float exists
+    // anywhere in this operator. AC index (u,k)≠(0,0) maps to bit
+    // u·8+k−1 ∈ [0,62], keeping the hash in positive int64. Scale:
+    // one narrow per-row pass, no shuffle before the final sort.
+    QueryDef("m21_phash_dct",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        val C = Array(
+          Array(1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L),
+          Array(980785L, 831470L, 555570L, 195090L, -195090L, -555570L, -831470L, -980785L),
+          Array(923880L, 382683L, -382683L, -923880L, -923880L, -382683L, 382683L, 923880L),
+          Array(831470L, -195090L, -980785L, -555570L, 555570L, 980785L, 195090L, -831470L),
+          Array(707107L, -707107L, -707107L, 707107L, 707107L, -707107L, -707107L, 707107L),
+          Array(555570L, -980785L, 195090L, 831470L, -831470L, -195090L, 980785L, -555570L),
+          Array(382683L, -923880L, 923880L, -382683L, -382683L, 923880L, -923880L, 382683L),
+          Array(195090L, -555570L, 831470L, -980785L, 980785L, -831470L, 555570L, -195090L))
+        mediaFromDocuments(s, d)
+          .filter(length(col("payload")) >= 64)
+          .map { r =>
+            val bytes = r.payload
+            val sums = Array.fill(64)(0L); val cnts = Array.fill(64)(0L)
+            var p = 0
+            while (p < bytes.length) {
+              val j = p % 64
+              sums(j) += bytes(p) & 0xff; cnts(j) += 1; p += 1
+            }
+            val g = Array.tabulate(64)(j => sums(j) / cnts(j))
+            val a = Array.ofDim[Long](8, 8) // a(r)(k) = Σ_c g(r,c)·C(k)(c)
+            var rr = 0
+            while (rr < 8) {
+              var k = 0
+              while (k < 8) {
+                var acc = 0L; var c = 0
+                while (c < 8) { acc += g(8 * rr + c) * C(k)(c); c += 1 }
+                a(rr)(k) = acc; k += 1
+              }
+              rr += 1
+            }
+            val b = Array.ofDim[Long](8, 8) // b(u)(k) = Σ_r a(r)(k)·C(u)(r)
+            var u = 0
+            while (u < 8) {
+              var k = 0
+              while (k < 8) {
+                var acc = 0L; var r2 = 0
+                while (r2 < 8) { acc += a(r2)(k) * C(u)(r2); r2 += 1 }
+                b(u)(k) = acc; k += 1
+              }
+              u += 1
+            }
+            val ac = (for (u2 <- 0 until 8; k2 <- 0 until 8 if u2 != 0 || k2 != 0)
+              yield (u2 * 8 + k2 - 1, b(u2)(k2))).toArray
+            val med = ac.map(_._2).sorted.apply(31)
+            var phash = 0L; var nset = 0L
+            ac.foreach { case (idx, v) =>
+              if (v > med) { phash |= 1L << idx; nset += 1 }
+            }
+            (r.doc_id, phash, nset, med)
+          }
+          .toDF("doc_id", "phash", "n_bits_set", "median_coef")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH ct AS (
+          SELECT [[1000000, 1000000, 1000000, 1000000, 1000000, 1000000, 1000000, 1000000],
+                  [980785, 831470, 555570, 195090, -195090, -555570, -831470, -980785],
+                  [923880, 382683, -382683, -923880, -923880, -382683, 382683, 923880],
+                  [831470, -195090, -980785, -555570, 555570, 980785, 195090, -831470],
+                  [707107, -707107, -707107, 707107, 707107, -707107, -707107, 707107],
+                  [555570, -980785, 195090, 831470, -831470, -195090, 980785, -555570],
+                  [382683, -923880, 923880, -382683, -382683, 923880, -923880, 382683],
+                  [195090, -555570, 831470, -980785, 980785, -831470, 555570, -195090]] AS c),
+        t AS (
+          SELECT doc_id, text, length(text) AS len
+          FROM documents WHERE length(text) >= 64),
+        bytes AS (
+          SELECT doc_id, CAST((u.i - 1) % 64 AS INT) AS j,
+                 CAST(ascii(substring(text, CAST(u.i AS INT), 1)) AS BIGINT) AS bv
+          FROM t, unnest(generate_series(1, len)) AS u(i)),
+        grid AS (
+          SELECT doc_id, j, CAST(sum(bv) // count(*) AS BIGINT) AS g
+          FROM bytes GROUP BY doc_id, j),
+        rowpass AS (
+          SELECT doc_id, j // 8 AS r, kk.k AS k,
+                 CAST(sum(g * c[kk.k + 1][(j % 8) + 1]) AS BIGINT) AS a
+          FROM grid CROSS JOIN ct, unnest(generate_series(0, 7)) AS kk(k)
+          GROUP BY doc_id, j // 8, kk.k),
+        colpass AS (
+          SELECT doc_id, uu.u AS u, k,
+                 CAST(sum(a * c[uu.u + 1][r + 1]) AS BIGINT) AS b
+          FROM rowpass CROSS JOIN ct, unnest(generate_series(0, 7)) AS uu(u)
+          GROUP BY doc_id, uu.u, k),
+        ac AS (
+          SELECT doc_id, CAST(u * 8 + k - 1 AS INT) AS idx, b
+          FROM colpass WHERE NOT (u = 0 AND k = 0)),
+        med AS (
+          SELECT doc_id, b AS medv FROM (
+            SELECT doc_id, b, row_number() OVER (PARTITION BY doc_id ORDER BY b, idx) AS rn
+            FROM ac) WHERE rn = 32)
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN a.b > m.medv THEN CAST(1 AS BIGINT) << a.idx ELSE 0 END)
+                    AS BIGINT) AS phash,
+               CAST(sum(CASE WHEN a.b > m.medv THEN 1 ELSE 0 END) AS BIGINT) AS n_bits_set,
+               CAST(max(m.medv) AS BIGINT) AS median_coef
+        FROM ac a JOIN med m ON a.doc_id = m.doc_id
+        GROUP BY a.doc_id
+        ORDER BY a.doc_id"""))
   )
 }

@@ -6976,7 +6976,94 @@ object Relational {
                                 * CAST(wsz * syy - sy * sy AS DOUBLE)), 6)
                END AS roll_corr
         FROM r
-        ORDER BY hour_idx"""))
+        ORDER BY hour_idx""")),
+
+    // -------------------------------------------------------------------
+    // CUPED variance reduction for the q46 A/B split: per user, X = the
+    // pre-period covariate (first-15-day value sum) and Y = the outcome
+    // (last-15-day sum); CUPED adjusts Y by θ·(X − X̄) with
+    // θ = cov(X,Y)/var(X), cutting outcome variance by exactly
+    // ρ²(X,Y) — the number this card reports per arm (experimentation
+    // platforms ship faster because of it; Deng et al. 2013). All of
+    // θ and ρ² come from the centered integer moment forms
+    // Sxx = n·Σx²−(Σx)² etc. in DECIMAL(38,0)/HUGEINT: θ is a
+    // positivity-shifted floor division (cov can be negative — the
+    // q105 recipe), ρ²·1e6 = Sxy²·1e6 div (Sxx·Syy) is exact and
+    // nonnegative. User sums are whole currency units (cents div 100)
+    // so Sxy² stays under 38 digits at 10× the fixture. Scale: one
+    // user-grain agg, one variant-grain agg — no joins.
+    QueryDef("q150_cuped",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) div 100").as("u"))
+        val m = ev.agg(min(col("us")).as("us0"))
+        val per = ev.crossJoin(broadcast(m))
+          .select(col("user_id"),
+            when(col("us") < col("us0") + 1296000000000L, col("u")).otherwise(0L).as("xu"),
+            when(col("us") >= col("us0") + 1296000000000L, col("u")).otherwise(0L).as("yu"))
+          .groupBy("user_id")
+          .agg(sum(col("xu")).as("x"), sum(col("yu")).as("y"))
+          .select(
+            pmod(expr(graft.operators.Ns.hash60("CAST(user_id AS STRING)")), lit(2L)).as("variant"),
+            col("x"), col("y"))
+        per.groupBy("variant")
+          .agg(count(ONE).as("n_users"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+          .select(col("variant"), col("n_users"),
+            col("sx").as("sum_pre_units"), col("sy").as("sum_out_units"),
+            expr("CAST(n_users AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("cxx"),
+            expr("CAST(n_users AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("cyy"),
+            expr("CAST(n_users AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("cxy"))
+          .select(col("variant"), col("n_users"), col("sum_pre_units"), col("sum_out_units"),
+            expr("""CASE WHEN cxx > 0 THEN
+                    CAST((cxy * 1000000 + 1000000000 * cxx) div cxx AS BIGINT) - 1000000000
+                    END""").as("theta_micro"),
+            expr("""CASE WHEN cxx > 0 AND cyy > 0 THEN
+                    CAST(cxy * cxy * 1000000 div (cxx * cyy) AS BIGINT)
+                    END""").as("var_reduction_micro"))
+          .orderBy("variant")
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 100 AS u
+          FROM events),
+        m AS (SELECT min(us) AS us0 FROM ev),
+        per AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN us < us0 + 1296000000000 THEN u ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN us >= us0 + 1296000000000 THEN u ELSE 0 END) AS BIGINT) AS y
+          FROM ev CROSS JOIN m
+          GROUP BY user_id),
+        v AS (
+          SELECT ${graft.operators.Ns.oHash60("CAST(user_id AS VARCHAR)")} % 2 AS variant, x, y
+          FROM per),
+        g AS (
+          SELECT variant, count(*) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+          FROM v GROUP BY variant),
+        c AS (
+          SELECT variant, n_users, sx AS sum_pre_units, sy AS sum_out_units,
+                 CAST(n_users AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS cxx,
+                 CAST(n_users AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS cyy,
+                 CAST(n_users AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cxy
+          FROM g)
+        SELECT variant, n_users, sum_pre_units, sum_out_units,
+               CASE WHEN cxx > 0 THEN
+                 CAST((cxy * 1000000 + 1000000000 * cxx) // cxx AS BIGINT) - 1000000000
+               END AS theta_micro,
+               CASE WHEN cxx > 0 AND cyy > 0 THEN
+                 CAST(cxy * cxy * 1000000 // (cxx * cyy) AS BIGINT)
+               END AS var_reduction_micro
+        FROM c
+        ORDER BY variant"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
