@@ -1299,6 +1299,69 @@ object Graph {
                CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
                round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
                      / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
-        FROM tot CROSS JOIN sums"""))
+        FROM tot CROSS JOIN sums""")),
+
+    // -------------------------------------------------------------------
+    // 1-dimensional Weisfeiler-Leman color refinement (2 rounds) on the
+    // near-dup graph — the graph-isomorphism fingerprint GNN people
+    // call WL hashing: start from degrees, then repeatedly hash each
+    // node's (own color, sorted multiset of neighbor colors). The
+    // round-2 color HISTOGRAM is the graph signature; two graphs with
+    // different histograms are provably non-isomorphic. Determinism:
+    // colors are md5-derived 60-bit ints ([[Ns]]); the neighbor
+    // multiset is a numerically-sorted comma join — identical strings,
+    // identical hashes in both engines. Scale: each round is one
+    // edge-keyed join + one node groupBy (the g01 shuffle shape), and
+    // the state per node is one BIGINT color.
+    QueryDef("g18_wl_colors",
+      (s, d) => {
+        val pairs = Dedup.minhashPairs(s, d)
+          .filter(col("est_jaccard") >= JMIN)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint()
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        var colors = edges.groupBy("src").agg(count(lit(1)).as("c"))
+          .select(col("src").as("node"), col("c"))
+        for (_ <- 1 to 2) {
+          val nb = edges
+            .join(colors.select(col("node").as("dst"), col("c").as("nc")), "dst")
+            .groupBy("src")
+            .agg(expr("concat_ws(',', sort_array(collect_list(nc)))").as("ns"))
+          colors = colors.join(nb, col("node") === col("src"))
+            .select(col("node"),
+              expr(Ns.hash60("CONCAT(CAST(c AS STRING), '|', ns)")).as("c"))
+        }
+        colors.groupBy("c").agg(count(lit(1)).as("n_nodes"))
+          .select(col("c").as("wl_color"), col("n_nodes"))
+          .orderBy(col("n_nodes").desc, col("wl_color"))
+      },
+      Some(s"""
+        WITH ${Dedup.minhashPairsOracleCtes},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM mpairs WHERE est_jaccard >= $JMIN
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM mpairs WHERE est_jaccard >= $JMIN),
+        c0 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS c FROM edges GROUP BY src),
+        n1 AS (
+          SELECT e.src, string_agg(CAST(d.c AS VARCHAR), ',' ORDER BY d.c) AS ns
+          FROM edges e JOIN c0 d ON e.dst = d.node
+          GROUP BY e.src),
+        c1 AS (
+          SELECT c0.node,
+                 ${Ns.oHash60("CAST(c0.c AS VARCHAR) || '|' || n1.ns")} AS c
+          FROM c0 JOIN n1 ON c0.node = n1.src),
+        n2 AS (
+          SELECT e.src, string_agg(CAST(d.c AS VARCHAR), ',' ORDER BY d.c) AS ns
+          FROM edges e JOIN c1 d ON e.dst = d.node
+          GROUP BY e.src),
+        c2 AS (
+          SELECT c1.node,
+                 ${Ns.oHash60("CAST(c1.c AS VARCHAR) || '|' || n2.ns")} AS c
+          FROM c1 JOIN n2 ON c1.node = n2.src)
+        SELECT c AS wl_color, count(*) AS n_nodes
+        FROM c2
+        GROUP BY c
+        ORDER BY n_nodes DESC, wl_color"""))
   )
 }

@@ -1273,6 +1273,95 @@ object Pipeline {
                CAST(n_kept * 1000000 // n_docs AS BIGINT) AS doc_share_micro,
                CAST(tokens_kept * 1000000 // total_tokens AS BIGINT) AS token_share_micro
         FROM kept
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // -------------------------------------------------------------------
+    // Context-length packing-efficiency curve: next-fit packing (docs
+    // kept whole, arrival order, one open bin) replayed at four context
+    // capacities (512/1024/2048/4096) — the measurement behind "which
+    // sequence length wastes the least compute", p14's FFD sibling
+    // reduced to the curve a pretraining team actually plots. Per
+    // (capacity, shard): the same deterministic `aggregate` fold as
+    // p14 but with O(1) state (open-bin load, closed-bin count,
+    // accumulated waste); efficiency = packed tokens vs bins×capacity
+    // in exact micro floor-division. Docs longer than the capacity are
+    // counted (and reported) as skipped, not silently dropped. Scale:
+    // shards fold in parallel; the explode is 4 capacities × 8 shards.
+    QueryDef("p25_pack_efficiency",
+      (s, d) => {
+        val items = Tables.documents(s, d)
+          .select(col("doc_id"), expr(NTOK).as("tokens"))
+          .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+        val caps = s.range(0, 4).toDF("ci")
+          .select(expr("CAST(512 * shiftleft(1, ci) AS BIGINT)").as("cap"))
+        val folded = items
+          .crossJoin(broadcast(caps))
+          .groupBy("cap", "shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("tokens") > col("cap"), 1L).otherwise(0L)).as("n_skipped"),
+            expr("sort_array(collect_list(IF(tokens <= cap, struct(doc_id, tokens), null)))")
+              .as("its"),
+            max(col("cap")).as("c2"))
+          .withColumn("st", expr(
+            """aggregate(its,
+               named_struct('load', CAST(0 AS BIGINT), 'bins', CAST(0 AS BIGINT),
+                            'packed', CAST(0 AS BIGINT)),
+               (acc, it) -> IF(it IS NULL, acc,
+                 IF(acc.bins = 0,
+                    named_struct('load', it.tokens, 'bins', CAST(1 AS BIGINT),
+                                 'packed', acc.packed + it.tokens),
+                    IF(acc.load + it.tokens <= c2,
+                       named_struct('load', acc.load + it.tokens, 'bins', acc.bins,
+                                    'packed', acc.packed + it.tokens),
+                       named_struct('load', it.tokens, 'bins', acc.bins + 1,
+                                    'packed', acc.packed + it.tokens)))))"""))
+          .select(col("cap"), col("shard"), col("n_docs"), col("n_skipped"),
+            col("st.bins").as("n_bins"), col("st.packed").as("tokens_packed"),
+            expr("CASE WHEN st.bins > 0 THEN st.packed * 1000000 div (st.bins * cap) END")
+              .as("efficiency_micro"))
+        folded.orderBy("cap", "shard")
+      },
+      Some(s"""
+        WITH RECURSIVE caps AS (
+          SELECT CAST(512 * (1 << ci) AS BIGINT) AS cap
+          FROM (SELECT unnest(generate_series(0, 3)) AS ci)),
+        items AS (
+          SELECT doc_id, $ONTOK AS tokens, CAST(doc_id % 8 AS INT) AS shard
+          FROM documents),
+        fit AS (
+          SELECT c.cap, i.shard, i.doc_id, i.tokens,
+                 CAST(row_number() OVER (PARTITION BY c.cap, i.shard
+                      ORDER BY i.doc_id) AS INT) AS k
+          FROM items i CROSS JOIN caps c
+          WHERE i.tokens <= c.cap),
+        walk AS (
+          SELECT cap, shard, doc_id, tokens, k,
+                 tokens AS load, CAST(1 AS BIGINT) AS bins, tokens AS packed
+          FROM fit WHERE k = 1
+          UNION ALL
+          SELECT f.cap, f.shard, f.doc_id, f.tokens, f.k,
+                 CASE WHEN w.load + f.tokens <= f.cap THEN w.load + f.tokens
+                      ELSE f.tokens END,
+                 CASE WHEN w.load + f.tokens <= f.cap THEN w.bins ELSE w.bins + 1 END,
+                 w.packed + f.tokens
+          FROM walk w JOIN fit f
+            ON f.cap = w.cap AND f.shard = w.shard AND f.k = w.k + 1),
+        fin AS (
+          SELECT cap, shard, bins AS n_bins, packed AS tokens_packed FROM (
+            SELECT *, row_number() OVER (PARTITION BY cap, shard ORDER BY k DESC) AS rn
+            FROM walk) WHERE rn = 1),
+        base AS (
+          SELECT c.cap, i.shard, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN i.tokens > c.cap THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+          FROM items i CROSS JOIN caps c
+          GROUP BY c.cap, i.shard)
+        SELECT b.cap, b.shard, b.n_docs, b.n_skipped,
+               CAST(coalesce(f.n_bins, 0) AS BIGINT) AS n_bins,
+               CAST(coalesce(f.tokens_packed, 0) AS BIGINT) AS tokens_packed,
+               CASE WHEN f.n_bins > 0
+                    THEN CAST(f.tokens_packed * 1000000 // (f.n_bins * b.cap) AS BIGINT) END
+                 AS efficiency_micro
+        FROM base b LEFT JOIN fin f ON b.cap = f.cap AND b.shard = f.shard
+        ORDER BY b.cap, b.shard"""))
   )
 }

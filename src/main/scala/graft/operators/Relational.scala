@@ -7063,7 +7063,66 @@ object Relational {
                  CAST(cxy * cxy * 1000000 // (cxx * cyy) AS BIGINT)
                END AS var_reduction_micro
         FROM c
-        ORDER BY variant"""))
+        ORDER BY variant""")),
+
+    // -------------------------------------------------------------------
+    // QUANTITY-weighted price quantiles per brand — the "median sale
+    // price" a merchandiser actually wants (each line item counts by
+    // units sold, not once; q103's unweighted median can't say this).
+    // Weighted quantile q = smallest price whose cumulative weight
+    // reaches q·W, decided by integer cross-multiplication
+    // (k·cumw ≥ q_num·W with weights in exact centi-units) — no
+    // rational threshold, no interpolation, so engines agree exactly.
+    // Scale: one brand-key join (part is the broadcast dim), one
+    // per-brand window cumsum, one conditional-min agg.
+    QueryDef("q151_weighted_quantile",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("price_c"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)").as("w"))
+        val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+        val rows = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val wd = Window.partitionBy("p_brand")
+          .orderBy(col("price_c"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = rows
+          .withColumn("cumw", sum(col("w")).over(wd))
+        val tot = c.groupBy("p_brand")
+          .agg(count(ONE).as("n_lines"), sum(col("w")).as("tw"))
+        c.join(tot, "p_brand")
+          .groupBy("p_brand")
+          .agg(max(col("n_lines")).as("n_lines"), max(col("tw")).as("total_weight"),
+            min(when(expr("4 * cumw >= tw"), col("price_c"))).as("wp25_cents"),
+            min(when(expr("2 * cumw >= tw"), col("price_c"))).as("wmedian_cents"),
+            min(when(expr("4 * cumw >= 3 * tw"), col("price_c"))).as("wp75_cents"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_partkey, l_orderkey, l_linenumber,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c,
+                 CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS w
+          FROM lineitem),
+        rows_ AS (
+          SELECT p.p_brand, li.price_c, li.w, li.l_orderkey, li.l_linenumber
+          FROM li JOIN part p ON li.l_partkey = p.p_partkey),
+        c AS (
+          SELECT p_brand, price_c, w,
+                 CAST(sum(w) OVER (PARTITION BY p_brand
+                      ORDER BY price_c, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw
+          FROM rows_),
+        tot AS (
+          SELECT p_brand, count(*) AS n_lines, CAST(sum(w) AS BIGINT) AS tw
+          FROM c GROUP BY p_brand)
+        SELECT c.p_brand, max(t.n_lines) AS n_lines, max(t.tw) AS total_weight,
+               min(CASE WHEN 4 * c.cumw >= t.tw THEN c.price_c END) AS wp25_cents,
+               min(CASE WHEN 2 * c.cumw >= t.tw THEN c.price_c END) AS wmedian_cents,
+               min(CASE WHEN 4 * c.cumw >= 3 * t.tw THEN c.price_c END) AS wp75_cents
+        FROM c JOIN tot t ON c.p_brand = t.p_brand
+        GROUP BY c.p_brand
+        ORDER BY c.p_brand"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
