@@ -951,6 +951,52 @@ object Dedup {
         FROM common c
         JOIN sizes sa ON sa.doc_id = c.doc_a
         JOIN sizes sb ON sb.doc_id = c.doc_b
-        ORDER BY c.doc_a, c.doc_b"""))
+        ORDER BY c.doc_a, c.doc_b""")),
+
+    // -------------------------------------------------------------------
+    // LSH bucket-skew audit: per band, the bucket-size distribution the
+    // d02 candidate join will fan out over — n_buckets, the biggest
+    // bucket, the TOTAL candidate-pair work Σ s·(s−1)/2 (the join's
+    // actual output size), and a Gini coefficient of bucket sizes
+    // (q95's exact cross-multiplied spelling: sizes ranked ascending,
+    // G = (2·Σi·s − (n+1)·Σs)·1e6 div (n·Σs)). THE pre-flight check
+    // before a 100 TB LSH join: a hot bucket here is a straggler
+    // there, and the fix (more bands / salting) is cheap before the
+    // run and expensive after. Scale: one groupBy to bucket sizes —
+    // band-count × bucket-count rows, fixture-free arithmetic after.
+    QueryDef("d15_lsh_bucket_skew",
+      (s, d) => {
+        val buckets = minhashBands(s, d)
+          .groupBy("band", "sig").agg(count(lit(1)).as("sz"))
+        val ranked = buckets
+          .withColumn("i", row_number().over(
+            Window.partitionBy("band").orderBy(col("sz"), col("sig"))).cast("long"))
+        ranked.groupBy("band")
+          .agg(count(lit(1)).as("n_buckets"), sum(col("sz")).as("n_docs"),
+            max(col("sz")).as("max_bucket"),
+            sum(expr("sz * (sz - 1) div 2")).as("candidate_pairs"),
+            sum(expr("i * sz")).as("is_sum"))
+          .select(col("band"), col("n_buckets"), col("n_docs"), col("max_bucket"),
+            col("candidate_pairs"),
+            expr("""(2 * is_sum - (n_buckets + 1) * n_docs) * 1000000
+                    div (n_buckets * n_docs)""").as("gini_micro"))
+          .orderBy("band")
+      },
+      Some(s"""
+        WITH $minhashPairsOracleCtes,
+        bsz AS (
+          SELECT band, sig, count(*) AS sz FROM bands GROUP BY band, sig),
+        ranked AS (
+          SELECT band, sz,
+                 CAST(row_number() OVER (PARTITION BY band ORDER BY sz, sig) AS BIGINT) AS i
+          FROM bsz)
+        SELECT band, count(*) AS n_buckets, CAST(sum(sz) AS BIGINT) AS n_docs,
+               CAST(max(sz) AS BIGINT) AS max_bucket,
+               CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs,
+               CAST((2 * CAST(sum(i * sz) AS BIGINT) - (count(*) + 1) * CAST(sum(sz) AS BIGINT))
+                    * 1000000 // (count(*) * CAST(sum(sz) AS BIGINT)) AS BIGINT) AS gini_micro
+        FROM ranked
+        GROUP BY band
+        ORDER BY band"""))
   )
 }

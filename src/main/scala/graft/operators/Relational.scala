@@ -7122,7 +7122,100 @@ object Relational {
                min(CASE WHEN 4 * c.cumw >= 3 * t.tw THEN c.price_c END) AS wp75_cents
         FROM c JOIN tot t ON c.p_brand = t.p_brand
         GROUP BY c.p_brand
-        ORDER BY c.p_brand"""))
+        ORDER BY c.p_brand""")),
+
+    // -------------------------------------------------------------------
+    // Bivariate Mahalanobis outliers per nation: each customer's
+    // (account balance, order count) against the nation's 2×2
+    // covariance — the multivariate screen that catches "balance
+    // normal, order count normal, COMBINATION impossible" where q29's
+    // univariate z-scores see nothing. Fully exact: with n-scaled
+    // deviations dx = n·x − Σx and centered moments cxx = n·Σx² − (Σx)²
+    // etc., the quadratic form Q = cyy·dx² − 2·cxy·dx·dy + cxx·dy²
+    // satisfies d² = Q/det exactly, so d²·1e6 is one integer floor
+    // division of DECIMAL(38,0)/HUGEINT products (balances in whole
+    // units keep Q·1e6 under 38 digits at 10× fixture). Top-3 per
+    // nation by the EXACT Q (det is constant within a nation), custkey
+    // tie-break. Scale: one left join for order counts, one
+    // nation-grain moment agg broadcast back, one top-k window.
+    QueryDef("q152_mahalanobis_outliers",
+      (s, d) => {
+        val oc = Tables.orders(s, d).groupBy("o_custkey").agg(count(ONE).as("n_orders"))
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"),
+            expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) div 100").as("x"))
+          .join(oc, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_nationkey"), col("x"),
+            coalesce(col("n_orders"), lit(0L)).as("y"))
+        val g = base.groupBy("c_nationkey")
+          .agg(count(ONE).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+          .select(col("c_nationkey").as("nk"), col("n"), col("sx"), col("sy"),
+            expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("cxx"),
+            expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("cyy"),
+            expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("cxy"))
+          .withColumn("det", expr("cxx * cyy - cxy * cxy"))
+          .filter(col("det") > 0)
+        val scored = base.join(broadcast(g), col("c_nationkey") === col("nk"))
+          .select(col("c_nationkey"), col("c_custkey"), col("x"), col("y"),
+            expr("CAST(n AS DECIMAL(38,0)) * x - sx").as("dx"),
+            expr("CAST(n AS DECIMAL(38,0)) * y - sy").as("dy"),
+            col("cxx"), col("cyy"), col("cxy"), col("det"))
+          .select(col("c_nationkey"), col("c_custkey"), col("x"), col("y"),
+            expr("CAST(cyy * dx * dx - 2 * cxy * dx * dy + cxx * dy * dy AS DECIMAL(38,0))")
+              .as("q"),
+            col("det"))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("c_nationkey").orderBy(col("q").desc, col("c_custkey"))).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("c_nationkey"), col("rank"), col("c_custkey"),
+            col("x").as("acctbal_units"), col("y").as("n_orders"),
+            expr("CAST(q * 1000000 div det AS BIGINT)").as("d2_micro"))
+          .orderBy("c_nationkey", "rank")
+      },
+      Some("""
+        WITH oc AS (
+          SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+        base AS (
+          SELECT c.c_custkey, c.c_nationkey,
+                 CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100 AS x,
+                 CAST(coalesce(oc.n_orders, 0) AS BIGINT) AS y
+          FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey),
+        g AS (
+          SELECT c_nationkey AS nk, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+          FROM base GROUP BY c_nationkey),
+        cc AS (
+          SELECT nk, n, sx, sy,
+                 CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS cxx,
+                 CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS cyy,
+                 CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cxy
+          FROM g),
+        cd AS (
+          SELECT *, cxx * cyy - cxy * cxy AS det FROM cc WHERE cxx * cyy - cxy * cxy > 0),
+        scored AS (
+          SELECT b.c_nationkey, b.c_custkey, b.x, b.y,
+                 cd.cyy * (CAST(cd.n AS HUGEINT) * b.x - cd.sx) * (CAST(cd.n AS HUGEINT) * b.x - cd.sx)
+                 - 2 * cd.cxy * (CAST(cd.n AS HUGEINT) * b.x - cd.sx) * (CAST(cd.n AS HUGEINT) * b.y - cd.sy)
+                 + cd.cxx * (CAST(cd.n AS HUGEINT) * b.y - cd.sy) * (CAST(cd.n AS HUGEINT) * b.y - cd.sy)
+                   AS q,
+                 cd.det
+          FROM base b JOIN cd ON b.c_nationkey = cd.nk),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY q DESC, c_custkey) AS BIGINT) AS rank
+          FROM scored)
+        SELECT c_nationkey, rank, c_custkey, x AS acctbal_units, y AS n_orders,
+               CAST(q * 1000000 // det AS BIGINT) AS d2_micro
+        FROM ranked
+        WHERE rank <= 3
+        ORDER BY c_nationkey, rank"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
