@@ -663,6 +663,63 @@ object Clustering {
         SELECT ci AS cluster, n_members, si AS s_micro, cj AS worst_neighbor,
                ratio_micro AS db_ratio_micro, dbi AS db_index_micro
         FROM worst CROSS JOIN idx
-        ORDER BY cluster"""))
+        ORDER BY cluster""")),
+
+    // -------------------------------------------------------------------
+    // Adjusted Rand Index between the K=4 and K=5 clusterings — the
+    // granularity-stability card (c06's elbow says how much inertia a
+    // 5th cluster buys; this says how much the PARTITION actually
+    // moves): ARI is a pure rational in the contingency counts
+    //   ARI = (C2n·Σ₂nij − Σ₂a·Σ₂b) / (C2n·(Σ₂a+Σ₂b)/2 − Σ₂a·Σ₂b),
+    // Σ₂ = pair counts m(m−1)/2, so ari_micro is ONE positivity-shifted
+    // integer floor division (ARI can be negative) of DECIMAL(38,0) /
+    // HUGEINT products — no float anywhere. Scale: two Lloyd passes
+    // (each the c01 shape), one (cluster₄, cluster₅)-cell agg; the ARI
+    // arithmetic runs on K×K' cells.
+    QueryDef("c09_ari_stability",
+      (s, d) => {
+        val a4 = kmeansAssign(s, d).select(col("vec_id"), col("cl").as("ca"))
+        val a5 = kmeansAssign(s, d, 5).select(col("vec_id").as("vb"), col("cl").as("cb"))
+        val cells = a4.join(a5, col("vec_id") === col("vb"))
+          .groupBy("ca", "cb").agg(count(lit(1)).as("nij"))
+          .localCheckpoint() // both Lloyd chains end here; four tiny aggs follow
+        val sij = cells.agg(sum(expr("nij * (nij - 1) div 2")).as("s_ij"))
+        val sa = cells.groupBy("ca").agg(sum("nij").as("ai"))
+          .agg(sum(expr("ai * (ai - 1) div 2")).as("s_a"))
+        val sb = cells.groupBy("cb").agg(sum("nij").as("bj"))
+          .agg(sum(expr("bj * (bj - 1) div 2")).as("s_b"))
+        val tot = cells.agg(sum("nij").as("n"))
+        tot.crossJoin(sij).crossJoin(sa).crossJoin(sb)
+          .select(col("n"), lit(4).as("k_a"), lit(5).as("k_b"),
+            col("s_ij"), col("s_a"), col("s_b"),
+            expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2").as("c2n"))
+          .select(col("n"), col("k_a"), col("k_b"), col("s_ij"), col("s_a"), col("s_b"),
+            expr("""CAST(((2 * CAST(c2n AS DECIMAL(38,0)) * s_ij - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b)
+                     * 1000000
+                     + 2000000 * (CAST(c2n AS DECIMAL(38,0)) * (s_a + s_b) - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b))
+                    div (CAST(c2n AS DECIMAL(38,0)) * (s_a + s_b) - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b)
+                    AS BIGINT) - 2000000""").as("ari_micro"))
+      },
+      Some(s"""
+        WITH ${oracleCtesK(4, "")},
+        ${oracleCtesK(5, "b")},
+        cells AS (
+          SELECT a.cluster AS ca, b.cluster AS cb, count(*) AS nij
+          FROM afin a JOIN afinb b ON a.vec_id = b.vec_id
+          GROUP BY 1, 2),
+        sij AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS HUGEINT) AS s_ij FROM cells),
+        sa AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS HUGEINT) AS s_a FROM (
+                 SELECT CAST(sum(nij) AS BIGINT) AS ai FROM cells GROUP BY ca)),
+        sb AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS HUGEINT) AS s_b FROM (
+                 SELECT CAST(sum(nij) AS BIGINT) AS bj FROM cells GROUP BY cb)),
+        tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cells),
+        c2 AS (SELECT CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS HUGEINT) AS c2n FROM tot)
+        SELECT n, 4 AS k_a, 5 AS k_b,
+               CAST(s_ij AS BIGINT) AS s_ij, CAST(s_a AS BIGINT) AS s_a,
+               CAST(s_b AS BIGINT) AS s_b,
+               CAST(((2 * c2n * s_ij - 2 * s_a * s_b) * 1000000
+                     + 2000000 * (c2n * (s_a + s_b) - 2 * s_a * s_b))
+                    // (c2n * (s_a + s_b) - 2 * s_a * s_b) AS BIGINT) - 2000000 AS ari_micro
+        FROM tot CROSS JOIN sij CROSS JOIN sa CROSS JOIN sb CROSS JOIN c2"""))
   )
 }

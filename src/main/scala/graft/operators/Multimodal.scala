@@ -1466,6 +1466,52 @@ object Multimodal {
                CAST(max(m.medv) AS BIGINT) AS median_coef
         FROM ac a JOIN med m ON a.doc_id = m.doc_id
         GROUP BY a.doc_id
-        ORDER BY a.doc_id"""))
+        ORDER BY a.doc_id""")),
+
+    // -------------------------------------------------------------------
+    // Run-length compressibility probe: byte runs in the raw payload
+    // (boundary = byte differs from its predecessor, one lag window per
+    // doc) and the RLE size estimate 2·runs — the zero-cost "is this
+    // column worth RLE/dictionary encoding" stat a storage layer
+    // gathers before choosing parquet encodings (m14's entropy probe
+    // answers the same question for entropy coders). All integers;
+    // ratio micro-floored. Scale: one narrow explode + one lag window
+    // keyed by doc — same shape as m14.
+    QueryDef("m22_rle_compressibility",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(split(text, ''), c -> ascii(c))")).as(Seq("i", "bv")))
+          .withColumn("boundary",
+            when(lag(col("bv"), 1).over(w).isNull
+              || lag(col("bv"), 1).over(w) =!= col("bv"), 1L).otherwise(0L))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bytes"), sum(col("boundary")).as("n_runs"))
+          .select(col("doc_id"), col("n_bytes"), col("n_runs"),
+            (col("n_runs") * 2).as("rle_bytes"),
+            expr("n_runs * 2 * 1000000 div n_bytes").as("ratio_micro"),
+            (col("n_runs") * 2 < col("n_bytes")).as("rle_wins"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, u.i,
+                 ascii(substring(text, CAST(u.i AS INT), 1)) AS bv
+          FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+        m AS (
+          SELECT doc_id,
+                 CASE WHEN lag(bv) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                        OR lag(bv) OVER (PARTITION BY doc_id ORDER BY i) <> bv
+                      THEN 1 ELSE 0 END AS boundary
+          FROM b)
+        SELECT doc_id, count(*) AS n_bytes,
+               CAST(sum(boundary) AS BIGINT) AS n_runs,
+               CAST(sum(boundary) * 2 AS BIGINT) AS rle_bytes,
+               CAST(sum(boundary) * 2 * 1000000 // count(*) AS BIGINT) AS ratio_micro,
+               sum(boundary) * 2 < count(*) AS rle_wins
+        FROM m
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

@@ -7215,7 +7215,53 @@ object Relational {
                CAST(q * 1000000 // det AS BIGINT) AS d2_micro
         FROM ranked
         WHERE rank <= 3
-        ORDER BY c_nationkey, rank"""))
+        ORDER BY c_nationkey, rank""")),
+
+    // -------------------------------------------------------------------
+    // Empirical-Bayes shrinkage of per-user conversion rates: raw
+    // x/n rates on a handful of events are noise — shrink toward the
+    // prior with a Beta(10,10) pseudo-count, the standard "don't rank
+    // a 1/1 user above a 90/100 user" fix (and the same math behind
+    // rating sites' weighted scores). Both rates are exact positive
+    // integer floor divisions in micro units; the rank comparison
+    // column shows how many positions shrinkage moved each user (raw
+    // rank and shrunk rank are both total orders with user tie-break).
+    // Scale: one user-grain agg + two 1500-row rank windows.
+    QueryDef("q153_eb_shrinkage",
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(count(ONE).as("n_events"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_conv"))
+          .select(col("user_id"), col("n_events"), col("n_conv"),
+            expr("n_conv * 1000000 div n_events").as("raw_micro"),
+            expr("(n_conv + 10) * 1000000 div (n_events + 20)").as("shrunk_micro"))
+        per
+          .withColumn("raw_rank", row_number().over(
+            Window.orderBy(col("raw_micro").desc, col("user_id"))).cast("long"))
+          .withColumn("shrunk_rank", row_number().over(
+            Window.orderBy(col("shrunk_micro").desc, col("user_id"))).cast("long"))
+          .withColumn("rank_moved", col("raw_rank") - col("shrunk_rank"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH per AS (
+          SELECT user_id, count(*) AS n_events,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_conv
+          FROM events GROUP BY user_id),
+        r AS (
+          SELECT user_id, n_events, n_conv,
+                 CAST(n_conv * 1000000 // n_events AS BIGINT) AS raw_micro,
+                 CAST((n_conv + 10) * 1000000 // (n_events + 20) AS BIGINT) AS shrunk_micro
+          FROM per)
+        SELECT user_id, n_events, n_conv, raw_micro, shrunk_micro,
+               CAST(row_number() OVER (ORDER BY raw_micro DESC, user_id) AS BIGINT) AS raw_rank,
+               CAST(row_number() OVER (ORDER BY shrunk_micro DESC, user_id) AS BIGINT) AS shrunk_rank,
+               CAST(row_number() OVER (ORDER BY raw_micro DESC, user_id) AS BIGINT)
+               - CAST(row_number() OVER (ORDER BY shrunk_micro DESC, user_id) AS BIGINT) AS rank_moved
+        FROM r
+        ORDER BY user_id"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
