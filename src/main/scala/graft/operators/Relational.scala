@@ -7261,7 +7261,169 @@ object Relational {
                CAST(row_number() OVER (ORDER BY raw_micro DESC, user_id) AS BIGINT)
                - CAST(row_number() OVER (ORDER BY shrunk_micro DESC, user_id) AS BIGINT) AS rank_moved
         FROM r
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // -------------------------------------------------------------------
+    // Difference-in-differences on the q46/q150 A/B split: event-level
+    // mean value per (arm, pre/post-day-15 period), and the DiD
+    // estimator (post−pre treatment change minus post−pre control
+    // change) — the causal read when assignment isn't random over time
+    // and a parallel-trends baseline is the best available control.
+    // Each cell mean is an exact positive micro floor division; the
+    // estimator is plain integer subtraction of the four cell means,
+    // so both engines agree to the last micro. Output: the four cells
+    // with their stats plus the constant did_micro column. Scale: one
+    // projection + one 4-group agg + a broadcast of the 4-row pivot.
+    QueryDef("q154_diff_in_diff",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+        val m = ev.agg(min(col("us")).as("us0"))
+        val cells = ev.crossJoin(broadcast(m))
+          .select(
+            pmod(expr(graft.operators.Ns.hash60("CAST(user_id AS STRING)")), lit(2L)).as("variant"),
+            (col("us") >= col("us0") + 1296000000000L).as("post"), col("cents"))
+          .groupBy("variant", "post")
+          .agg(count(ONE).as("n_events"), sum(col("cents")).as("sum_cents"))
+          .withColumn("mean_micro", expr("sum_cents * 1000000 div n_events"))
+        val did = cells.agg(
+          (sum(when(col("variant") === 1 && col("post"), col("mean_micro")).otherwise(0L))
+            - sum(when(col("variant") === 1 && !col("post"), col("mean_micro")).otherwise(0L))
+            - sum(when(col("variant") === 0 && col("post"), col("mean_micro")).otherwise(0L))
+            + sum(when(col("variant") === 0 && !col("post"), col("mean_micro")).otherwise(0L)))
+            .as("did_micro"))
+        cells.crossJoin(broadcast(did))
+          .select(col("variant"), col("post"), col("n_events"), col("sum_cents"),
+            col("mean_micro"), col("did_micro"))
+          .orderBy("variant", "post")
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        m AS (SELECT min(us) AS us0 FROM ev),
+        cells AS (
+          SELECT ${graft.operators.Ns.oHash60("CAST(user_id AS VARCHAR)")} % 2 AS variant,
+                 us >= us0 + 1296000000000 AS post,
+                 count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+          FROM ev CROSS JOIN m
+          GROUP BY 1, 2),
+        mm AS (
+          SELECT variant, post, n_events, sum_cents,
+                 CAST(sum_cents * 1000000 // n_events AS BIGINT) AS mean_micro
+          FROM cells),
+        did AS (
+          SELECT CAST(sum(CASE WHEN variant = 1 AND post THEN mean_micro ELSE 0 END)
+                 - sum(CASE WHEN variant = 1 AND NOT post THEN mean_micro ELSE 0 END)
+                 - sum(CASE WHEN variant = 0 AND post THEN mean_micro ELSE 0 END)
+                 + sum(CASE WHEN variant = 0 AND NOT post THEN mean_micro ELSE 0 END)
+                 AS BIGINT) AS did_micro
+          FROM mm)
+        SELECT variant, post, n_events, sum_cents, mean_micro, did_micro
+        FROM mm CROSS JOIN did
+        ORDER BY variant, post""")),
+
+    // -------------------------------------------------------------------
+    // ABC-XYZ inventory matrix: parts classified by revenue
+    // concentration (A = first 80% of cumulative revenue, B = to 95%,
+    // C = tail — q113's discipline, thresholds as 5·cum<4·tot /
+    // 20·cum<19·tot integer cross-multiplications on the PRECEDING
+    // cumulative so the crossing part is included) × demand
+    // variability (X/Y/Z by the squared coefficient of variation of
+    // monthly quantities over the FULL month grid — missing months are
+    // implicit zeros because n is the global month count, not the
+    // part's present-month count; cv² = (n·Σq²−S²)·1e6 div S² exact).
+    // The 9-cell matrix is what drives stocking policy (steady A-X on
+    // auto-replenish; erratic C-Z on kill lists). Scale: one
+    // month-grain agg, one part-grain rollup, one rank window over
+    // parts, one 9-row matrix agg.
+    QueryDef("q155_abc_xyz",
+      (s, d) => {
+        // orders is a fact table — no broadcast hint; the orderkey
+        // equi-join shuffles both sides on their natural key (AQE may
+        // still broadcast at small SF)
+        val li = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("rev_c"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)").as("q_c"),
+            date_format(expr("CAST(o_orderdate AS DATE)"), "yyyy-MM").as("mon"))
+        val nMonths = li.agg(countDistinct(col("mon")).as("nm"))
+        val pm = li.groupBy("l_partkey", "mon").agg(sum(col("q_c")).as("mq"))
+        val xyz = pm.groupBy("l_partkey")
+          .agg(sum(col("mq")).as("sq"),
+            sum(expr("CAST(mq AS DECIMAL(38,0)) * mq")).as("sqq"))
+          .crossJoin(broadcast(nMonths))
+          .select(col("l_partkey").as("pk_x"),
+            expr("""CAST((CAST(nm AS DECIMAL(38,0)) * sqq - CAST(sq AS DECIMAL(38,0)) * sq)
+                    * 1000000 div (CAST(sq AS DECIMAL(38,0)) * sq) AS BIGINT)""").as("cv2_micro"))
+          .select(col("pk_x"),
+            when(col("cv2_micro") < 250000L, "X")
+              .when(col("cv2_micro") < 1000000L, "Y").otherwise("Z").as("xyz_class"))
+        val rev = li.groupBy("l_partkey").agg(sum(col("rev_c")).as("prc"))
+        val tot = rev.agg(sum(col("prc")).as("trc"))
+        val wR = Window.orderBy(col("prc").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val abc = rev
+          .withColumn("cum_before", coalesce(sum(col("prc")).over(wR), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col("l_partkey").as("pk_a"), col("prc"),
+            when(expr("5 * cum_before < 4 * trc"), "A")
+              .when(expr("20 * cum_before < 19 * trc"), "B").otherwise("C").as("abc_class"))
+        abc.join(xyz, col("pk_a") === col("pk_x"))
+          .crossJoin(broadcast(tot))
+          .groupBy("abc_class", "xyz_class")
+          .agg(count(ONE).as("n_parts"), sum(col("prc")).as("revenue_cents"),
+            expr("sum(prc) * 1000000 div max(trc)").as("revenue_share_micro"))
+          .orderBy("abc_class", "xyz_class")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l.l_partkey,
+                 CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS rev_c,
+                 CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q_c,
+                 strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS mon
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        nmv AS (SELECT count(DISTINCT mon) AS nm FROM li),
+        pm AS (
+          SELECT l_partkey, mon, CAST(sum(q_c) AS BIGINT) AS mq
+          FROM li GROUP BY l_partkey, mon),
+        xyz AS (
+          SELECT l_partkey AS pk_x,
+                 CASE WHEN (CAST(nm AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq) * 1000000
+                           // (CAST(sq AS HUGEINT) * sq) < 250000 THEN 'X'
+                      WHEN (CAST(nm AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq) * 1000000
+                           // (CAST(sq AS HUGEINT) * sq) < 1000000 THEN 'Y'
+                      ELSE 'Z' END AS xyz_class
+          FROM (
+            SELECT l_partkey, CAST(sum(mq) AS BIGINT) AS sq,
+                   CAST(sum(CAST(mq AS HUGEINT) * mq) AS HUGEINT) AS sqq
+            FROM pm GROUP BY l_partkey) CROSS JOIN nmv),
+        rev AS (
+          SELECT l_partkey, CAST(sum(rev_c) AS BIGINT) AS prc
+          FROM li GROUP BY l_partkey),
+        tot AS (SELECT CAST(sum(prc) AS BIGINT) AS trc FROM rev),
+        abc AS (
+          SELECT l_partkey AS pk_a, prc,
+                 CASE WHEN 5 * cum_before < 4 * trc THEN 'A'
+                      WHEN 20 * cum_before < 19 * trc THEN 'B'
+                      ELSE 'C' END AS abc_class
+          FROM (
+            SELECT l_partkey, prc,
+                   CAST(coalesce(sum(prc) OVER (ORDER BY prc DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS cum_before
+            FROM rev) CROSS JOIN tot)
+        SELECT a.abc_class, x.xyz_class, count(*) AS n_parts,
+               CAST(sum(a.prc) AS BIGINT) AS revenue_cents,
+               CAST(sum(a.prc) * 1000000 // max(t.trc) AS BIGINT) AS revenue_share_micro
+        FROM abc a JOIN xyz x ON a.pk_a = x.pk_x
+        CROSS JOIN tot t
+        GROUP BY a.abc_class, x.xyz_class
+        ORDER BY a.abc_class, x.xyz_class"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
