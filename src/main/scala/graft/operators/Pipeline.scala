@@ -1362,6 +1362,105 @@ object Pipeline {
                     THEN CAST(f.tokens_packed * 1000000 // (f.n_bins * b.cap) AS BIGINT) END
                  AS efficiency_micro
         FROM base b LEFT JOIN fin f ON b.cap = f.cap AND b.shard = f.shard
-        ORDER BY b.cap, b.shard"""))
+        ORDER BY b.cap, b.shard""")),
+
+    // -------------------------------------------------------------------
+    // EXACT budget-constrained curation: per source, the 0/1-knapsack
+    // optimum (maximize total distinct-token value under a 100-quantum
+    // token budget, weights = ceil(tokens/100)) next to the
+    // biggest-value-first greedy the p15 family uses — the card that
+    // quantifies what greedy leaves on the table. The DP table is a
+    // 101-slot BIGINT array folded through `aggregate` (the p14
+    // array-state pattern; `transform` reads the PREVIOUS row's array,
+    // which is exactly the 0/1 no-reuse semantics), the greedy is a
+    // 2-field fold, and the DuckDB oracle replays both as recursive
+    // CTEs carrying a BIGINT[] / scalar state. All integers. Scale:
+    // sources fold in parallel; per-source state is 101 longs.
+    QueryDef("q157_knapsack_curation",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            expr(NTOK).as("toks"),
+            expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").as("v"))
+          .withColumn("w", expr("(toks + 99) div 100"))
+          .filter(col("w") <= 100)
+        val folded = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sort_array(collect_list(struct(doc_id, w, v)))").as("its"),
+            // ascending sort of (-v, doc_id) = value DESC with doc_id ASC
+            // tie-break (a descending struct sort would flip the tie-break)
+            expr("sort_array(collect_list(struct(-v AS negv, doc_id, w)))").as("greedy_its"))
+          .withColumn("dp", expr(
+            """aggregate(its,
+               transform(sequence(0, 100), c -> CAST(0 AS BIGINT)),
+               (dp, it) -> transform(dp, (x, i) ->
+                 IF(i >= it.w, greatest(x, element_at(dp, CAST(i - it.w + 1 AS INT)) + it.v), x)))"""))
+          .withColumn("g", expr(
+            """aggregate(greedy_its,
+               named_struct('rem', CAST(100 AS BIGINT), 'gval', CAST(0 AS BIGINT)),
+               (acc, it) -> IF(it.w <= acc.rem,
+                 named_struct('rem', acc.rem - it.w, 'gval', acc.gval - it.negv), acc))"""))
+          .select(col("source"), col("n_docs"),
+            expr("element_at(dp, 101)").as("dp_value"),
+            col("g.gval").as("greedy_value"))
+          .select(col("source"), col("n_docs"), lit(100L).as("budget"),
+            col("dp_value"), col("greedy_value"),
+            (col("dp_value") - col("greedy_value")).as("gap"),
+            expr("CASE WHEN dp_value > 0 THEN (dp_value - greedy_value) * 1000000 div dp_value END")
+              .as("gap_micro"))
+        folded.orderBy("source")
+      },
+      Some(s"""
+        WITH RECURSIVE docs AS (
+          SELECT source, doc_id, $ONTOK AS toks,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS v,
+                 ($ONTOK + 99) // 100 AS w
+          FROM documents),
+        items AS (
+          SELECT source, doc_id, w, v,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS k
+          FROM docs WHERE w <= 100),
+        nk AS (SELECT source, max(k) AS mk, count(*) AS n_docs FROM items GROUP BY source),
+        dp AS (
+          SELECT source, 0 AS k,
+                 list_transform(generate_series(0, 100), c -> CAST(0 AS BIGINT)) AS t
+          FROM nk
+          UNION ALL
+          SELECT d.source, i.k,
+                 list_transform(d.t, (x, ci) ->
+                   CASE WHEN ci - 1 >= i.w
+                        THEN greatest(x, d.t[CAST(ci - i.w AS INT)] + i.v)
+                        ELSE x END)
+          FROM dp d JOIN items i ON i.source = d.source AND i.k = d.k + 1),
+        dpfin AS (
+          SELECT d.source, d.t[101] AS dp_value
+          FROM dp d JOIN nk ON d.source = nk.source AND d.k = nk.mk),
+        gitems AS (
+          SELECT source, doc_id, w, v,
+                 CAST(row_number() OVER (PARTITION BY source
+                      ORDER BY v DESC, doc_id, w) AS INT) AS k
+          FROM docs WHERE w <= 100),
+        walkg AS (
+          SELECT source, k, 100 - w AS rem, v AS gval
+          FROM gitems WHERE k = 1
+          UNION ALL
+          SELECT g.source, i.k,
+                 CASE WHEN i.w <= g.rem THEN g.rem - i.w ELSE g.rem END,
+                 CASE WHEN i.w <= g.rem THEN g.gval + i.v ELSE g.gval END
+          FROM walkg g JOIN gitems i ON i.source = g.source AND i.k = g.k + 1),
+        gfin AS (
+          SELECT w.source, w.gval AS greedy_value
+          FROM walkg w JOIN nk ON w.source = nk.source AND w.k = nk.mk)
+        SELECT n.source, CAST(n.n_docs AS BIGINT) AS n_docs,
+               CAST(100 AS BIGINT) AS budget,
+               CAST(d.dp_value AS BIGINT) AS dp_value,
+               CAST(g.greedy_value AS BIGINT) AS greedy_value,
+               CAST(d.dp_value - g.greedy_value AS BIGINT) AS gap,
+               CASE WHEN d.dp_value > 0
+                    THEN CAST((d.dp_value - g.greedy_value) * 1000000 // d.dp_value AS BIGINT) END
+                 AS gap_micro
+        FROM nk n JOIN dpfin d ON n.source = d.source
+        JOIN gfin g ON n.source = g.source
+        ORDER BY n.source"""))
   )
 }

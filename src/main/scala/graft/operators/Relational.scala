@@ -7423,7 +7423,117 @@ object Relational {
         FROM abc a JOIN xyz x ON a.pk_a = x.pk_x
         CROSS JOIN tot t
         GROUP BY a.abc_class, x.xyz_class
-        ORDER BY a.abc_class, x.xyz_class"""))
+        ORDER BY a.abc_class, x.xyz_class""")),
+
+    // -------------------------------------------------------------------
+    // Western Electric control-chart rules per event_type: the first 15
+    // days freeze the baseline (n, Σv, Σv² in exact milli-integers);
+    // every later event is tested against the FOUR classic rules —
+    // R1: one point beyond 3σ; R2: ≥2 of the last 3 beyond 2σ on the
+    // same side; R3: ≥4 of the last 5 beyond 1σ on the same side;
+    // R4: 8 in a row on the same side. Every zone test is the st22
+    // cross-multiplied inequality dev² > k²·(n·Σv²−(Σv)²) with
+    // dev = v·n − Σv (exact DECIMAL(38,0)/HUGEINT, no σ, no sqrt), and
+    // the run counts are ROWS-frame window sums — so the whole rule
+    // engine is integer-exact in both engines. Scale: one baseline
+    // agg broadcast to the monitored stream + one per-type ordered
+    // window pass (the q94 shape).
+    QueryDef("q156_control_chart",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+            expr("CAST(round(value * 1000, 0) AS BIGINT)").as("vm"))
+        val m = ev.agg(min(col("us")).as("us0"))
+        val tagged = ev.crossJoin(broadcast(m))
+          .withColumn("post", col("us") >= col("us0") + 1296000000000L)
+        val base = tagged.filter(!col("post"))
+          .groupBy(col("event_type").as("bt"))
+          .agg(count(ONE).as("n"), sum(col("vm")).as("sv"),
+            sum(expr("CAST(vm AS DECIMAL(38,0)) * vm")).as("svv"))
+          .withColumn("vvar", expr("CAST(n AS DECIMAL(38,0)) * svv - CAST(sv AS DECIMAL(38,0)) * sv"))
+        val zoned = tagged.filter(col("post"))
+          .join(broadcast(base), col("event_type") === col("bt"))
+          .select(col("event_type"), col("event_id"), col("us"),
+            expr("CAST(vm AS DECIMAL(38,0)) * n - sv").as("dev"), col("vvar"))
+          .select(col("event_type"), col("event_id"), col("us"),
+            (col("dev") > 0).as("up"),
+            expr("CAST(CASE WHEN dev * dev > 9 * vvar THEN 1 ELSE 0 END AS BIGINT)").as("b3"),
+            expr("CAST(CASE WHEN dev * dev > 4 * vvar AND dev > 0 THEN 1 ELSE 0 END AS BIGINT)").as("b2u"),
+            expr("CAST(CASE WHEN dev * dev > 4 * vvar AND dev < 0 THEN 1 ELSE 0 END AS BIGINT)").as("b2d"),
+            expr("CAST(CASE WHEN dev * dev > 1 * vvar AND dev > 0 THEN 1 ELSE 0 END AS BIGINT)").as("b1u"),
+            expr("CAST(CASE WHEN dev * dev > 1 * vvar AND dev < 0 THEN 1 ELSE 0 END AS BIGINT)").as("b1d"),
+            expr("CAST(CASE WHEN dev > 0 THEN 1 ELSE 0 END AS BIGINT)").as("su"),
+            expr("CAST(CASE WHEN dev < 0 THEN 1 ELSE 0 END AS BIGINT)").as("sd"))
+        def fr(k: Int) = Window.partitionBy("event_type")
+          .orderBy(col("us"), col("event_id")).rowsBetween(-(k - 1), 0)
+        val w0 = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
+        val flagged = zoned
+          .withColumn("seq", row_number().over(w0).cast("long"))
+          .withColumn("r1", col("b3") === 1L)
+          .withColumn("r2", sum(col("b2u")).over(fr(3)) >= 2 || sum(col("b2d")).over(fr(3)) >= 2)
+          .withColumn("r3", sum(col("b1u")).over(fr(5)) >= 4 || sum(col("b1d")).over(fr(5)) >= 4)
+          .withColumn("r4", sum(col("su")).over(fr(8)) === 8 || sum(col("sd")).over(fr(8)) === 8)
+        flagged.groupBy("event_type")
+          .agg(count(ONE).as("n_monitored"),
+            sum(when(col("r1"), 1L).otherwise(0L)).as("r1_hits"),
+            sum(when(col("r2"), 1L).otherwise(0L)).as("r2_hits"),
+            sum(when(col("r3"), 1L).otherwise(0L)).as("r3_hits"),
+            sum(when(col("r4"), 1L).otherwise(0L)).as("r4_hits"),
+            min(when(col("r1") || col("r2") || col("r3") || col("r4"), col("seq")))
+              .as("first_violation_seq"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, event_id, epoch_us(ts) AS us,
+                 CAST(round(value * 1000, 0) AS BIGINT) AS vm
+          FROM events),
+        m AS (SELECT min(us) AS us0 FROM ev),
+        base AS (
+          SELECT event_type AS bt, count(*) AS n, CAST(sum(vm) AS BIGINT) AS sv,
+                 CAST(sum(CAST(vm AS HUGEINT) * vm) AS HUGEINT) AS svv
+          FROM ev CROSS JOIN m WHERE us < us0 + 1296000000000
+          GROUP BY event_type),
+        zoned AS (
+          SELECT e.event_type, e.event_id, e.us,
+                 CAST(e.vm AS HUGEINT) * b.n - b.sv AS dev,
+                 CAST(b.n AS HUGEINT) * b.svv - CAST(b.sv AS HUGEINT) * b.sv AS vvar
+          FROM ev e CROSS JOIN m JOIN base b ON e.event_type = b.bt
+          WHERE e.us >= m.us0 + 1296000000000),
+        zz AS (
+          SELECT event_type, event_id, us,
+                 CASE WHEN dev * dev > 9 * vvar THEN 1 ELSE 0 END AS b3,
+                 CASE WHEN dev * dev > 4 * vvar AND dev > 0 THEN 1 ELSE 0 END AS b2u,
+                 CASE WHEN dev * dev > 4 * vvar AND dev < 0 THEN 1 ELSE 0 END AS b2d,
+                 CASE WHEN dev * dev > 1 * vvar AND dev > 0 THEN 1 ELSE 0 END AS b1u,
+                 CASE WHEN dev * dev > 1 * vvar AND dev < 0 THEN 1 ELSE 0 END AS b1d,
+                 CASE WHEN dev > 0 THEN 1 ELSE 0 END AS su,
+                 CASE WHEN dev < 0 THEN 1 ELSE 0 END AS sd
+          FROM zoned),
+        flagged AS (
+          SELECT event_type,
+                 CAST(row_number() OVER o AS BIGINT) AS seq,
+                 b3 = 1 AS r1,
+                 sum(b2u) OVER f3 >= 2 OR sum(b2d) OVER f3 >= 2 AS r2,
+                 sum(b1u) OVER f5 >= 4 OR sum(b1d) OVER f5 >= 4 AS r3,
+                 sum(su) OVER f8 = 8 OR sum(sd) OVER f8 = 8 AS r4
+          FROM zz
+          WINDOW o AS (PARTITION BY event_type ORDER BY us, event_id),
+                 f3 AS (PARTITION BY event_type ORDER BY us, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 f5 AS (PARTITION BY event_type ORDER BY us, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                 f8 AS (PARTITION BY event_type ORDER BY us, event_id
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        SELECT event_type, count(*) AS n_monitored,
+               CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS r1_hits,
+               CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS r2_hits,
+               CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS r3_hits,
+               CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS r4_hits,
+               min(CASE WHEN r1 OR r2 OR r3 OR r4 THEN seq END) AS first_violation_seq
+        FROM flagged
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
