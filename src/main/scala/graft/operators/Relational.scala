@@ -7533,7 +7533,87 @@ object Relational {
                min(CASE WHEN r1 OR r2 OR r3 OR r4 THEN seq END) AS first_violation_seq
         FROM flagged
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // -------------------------------------------------------------------
+    // Hierarchical forecast reconciliation: a naive last-4-month-mean
+    // revenue forecast made independently per NATION (bottom-up) vs per
+    // REGION then allocated down by trailing-12-month revenue shares
+    // (top-down) — the coherence check every planning hierarchy runs,
+    // because independently-made forecasts never add up. All integer
+    // cents: means are positive floor divisions, the top-down split is
+    // region_fc·share numerator-first (td = fc·nation12 div region12),
+    // and the bottom-up/top-down gap is plain subtraction. Month
+    // recency via dense_rank over the global month list. Scale: one
+    // orders→customer key join + broadcast nation/region dims, then
+    // month-grain and group-grain aggs.
+    QueryDef("q158_forecast_reconcile",
+      (s, d) => {
+        val nat = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_regionkey"))
+        val om = Tables.orders(s, d)
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"),
+            date_format(expr("CAST(o_orderdate AS DATE)"), "yyyy-MM").as("mon"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+        val months = om.select("mon").distinct()
+          .withColumn("mrank", dense_rank().over(Window.orderBy(col("mon").desc)))
+        val tagged = om.join(broadcast(months), "mon")
+        val nation4 = tagged.filter(col("mrank") <= 4)
+          .groupBy("nk", "rk").agg(expr("sum(cents) div 4").as("own_fc_cents"))
+        val nation12 = tagged.filter(col("mrank") <= 12)
+          .groupBy(col("nk").as("nk12")).agg(sum(col("cents")).as("n12"))
+        val region4 = tagged.filter(col("mrank") <= 4)
+          .groupBy(col("rk").as("rk4")).agg(expr("sum(cents) div 4").as("region_fc_cents"))
+        val region12 = tagged.filter(col("mrank") <= 12)
+          .groupBy(col("rk").as("rk12")).agg(sum(col("cents")).as("r12"))
+        nation4
+          .join(nation12, col("nk") === col("nk12"))
+          .join(broadcast(region4), col("rk") === col("rk4"))
+          .join(broadcast(region12), col("rk") === col("rk12"))
+          .select(col("nk").as("n_nationkey"), col("rk").as("n_regionkey"),
+            col("own_fc_cents"), col("region_fc_cents"),
+            expr("""CAST(CAST(region_fc_cents AS DECIMAL(38,0)) * n12 div r12 AS BIGINT)""")
+              .as("td_fc_cents"))
+          .select(col("n_nationkey"), col("n_regionkey"), col("own_fc_cents"),
+            col("region_fc_cents"), col("td_fc_cents"),
+            (col("own_fc_cents") - col("td_fc_cents")).as("gap_cents"))
+          .orderBy("n_nationkey")
+      },
+      Some("""
+        WITH om AS (
+          SELECT n.n_nationkey AS nk, n.n_regionkey AS rk,
+                 strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS mon,
+                 CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        months AS (
+          SELECT mon, dense_rank() OVER (ORDER BY mon DESC) AS mrank
+          FROM (SELECT DISTINCT mon FROM om)),
+        tagged AS (SELECT om.*, m.mrank FROM om JOIN months m USING (mon)),
+        n4 AS (SELECT nk, rk, CAST(sum(cents) // 4 AS BIGINT) AS own_fc_cents
+               FROM tagged WHERE mrank <= 4 GROUP BY nk, rk),
+        n12 AS (SELECT nk AS nk12, CAST(sum(cents) AS BIGINT) AS n12
+                FROM tagged WHERE mrank <= 12 GROUP BY nk),
+        r4 AS (SELECT rk AS rk4, CAST(sum(cents) // 4 AS BIGINT) AS region_fc_cents
+               FROM tagged WHERE mrank <= 4 GROUP BY rk),
+        r12 AS (SELECT rk AS rk12, CAST(sum(cents) AS BIGINT) AS r12
+                FROM tagged WHERE mrank <= 12 GROUP BY rk)
+        SELECT n4.nk AS n_nationkey, n4.rk AS n_regionkey, n4.own_fc_cents,
+               r4.region_fc_cents,
+               CAST(CAST(r4.region_fc_cents AS HUGEINT) * n12.n12 // r12.r12 AS BIGINT)
+                 AS td_fc_cents,
+               n4.own_fc_cents
+               - CAST(CAST(r4.region_fc_cents AS HUGEINT) * n12.n12 // r12.r12 AS BIGINT)
+                 AS gap_cents
+        FROM n4
+        JOIN n12 ON n4.nk = n12.nk12
+        JOIN r4 ON n4.rk = r4.rk4
+        JOIN r12 ON n4.rk = r12.rk12
+        ORDER BY n_nationkey"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

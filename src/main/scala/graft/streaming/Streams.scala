@@ -1048,7 +1048,39 @@ object Streams {
         LEFT JOIN conv c ON c.user_id = v.user_id
                         AND c.view_event_id = v.view_event_id
         CROSS JOIN wm
-        ORDER BY v.user_id, v.view_event_id"""))
+        ORDER BY v.user_id, v.view_event_id""")),
+
+    // -------------------------------------------------------------------
+    // KMV distinct-user sketch per event_type — the batch twin of the
+    // sketch-in-state streaming pattern ([[KmvProcessor]]): the k=64
+    // smallest 52-bit user hashes, the exact distinct count, and the
+    // KMV estimate (k−1)·2^52/h_k (q84's math on a per-type state a
+    // stream can actually carry: 64 longs per key instead of a
+    // distinct-set). StreamingSpec proves the stream's final per-type
+    // estimate equals this twin exactly — same hashes, same kth, same
+    // rounding. Scale: the per-type sketch is one partial-aggregable
+    // top-k of hashes; n_exact is the audit column only batch can
+    // afford.
+    QueryDef("st24_stream_kmv",
+      (s, d) => kmvByType(Tables.events(s, d)).orderBy("event_type"),
+      Some(s"""
+        WITH base AS (SELECT DISTINCT event_type, user_id FROM events),
+        h AS (SELECT DISTINCT event_type,
+                     ${graft.operators.Ns.oHash52("CAST(user_id AS VARCHAR)")} AS h
+              FROM base),
+        r AS (SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              FROM h),
+        sk AS (SELECT event_type, count(*) AS n_sketch, max(h) AS kth
+               FROM r WHERE rn <= 64 GROUP BY event_type),
+        ex AS (SELECT event_type, count(*) AS n_exact FROM base GROUP BY event_type)
+        SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_sketch AS BIGINT) AS n_sketch, CAST(kth AS BIGINT) AS kth,
+               round(CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                          ELSE CAST(${63L * 4503599627370496L} AS DOUBLE) / CAST(kth AS DOUBLE)
+                     END, 4) AS est_distinct
+        FROM ex JOIN sk USING (event_type)
+        ORDER BY event_type"""))
   )
 
   /** Pattern window for [[sequenceDetect]]: the view->click->purchase
@@ -1179,6 +1211,41 @@ object Streams {
       .groupByKey(_.user_id)
       .transformWithState(new AbsenceProcessor,
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  final case class KmvOut(event_type: String, n_sketch: Long, kth: Long,
+    est_distinct: Double)
+
+  /** Batch twin of the st24 per-type KMV sketch (k = 64, 52-bit md5
+    * hashes, estimate (k−1)·2^52/h_k — q84's recipe as carryable
+    * state).
+    */
+  def kmvByType(events: DataFrame): DataFrame = {
+    val k = 64
+    val kthNum = 63L * 4503599627370496L
+    val base = events.select(col("event_type"), col("user_id")).distinct()
+    val hashed = base
+      .withColumn("h", expr(graft.operators.Ns.hash52("CAST(user_id AS STRING)")))
+      .select("event_type", "h").distinct()
+    val sk = hashed
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("event_type").agg(count(lit(1)).as("n_sketch"), max("h").as("kth"))
+    base.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      .join(sk, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_sketch"), col("kth"),
+        round(when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit(kthNum).cast("double") / col("kth").cast("double")), 4)
+          .as("est_distinct"))
+  }
+
+  def kmvStream(spark: SparkSession, events: Dataset[EvT]): Dataset[KmvOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new KmvProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
   /** Batch twin of the streaming one-step forecaster: one sequential
@@ -1827,5 +1894,46 @@ class AbsenceProcessor
     if (expired.nonEmpty) { pend.clear(); if (keep.nonEmpty) pend.put(keep.toArray) }
     expired.iterator.map(p =>
       Streams.AbsenceOut(user, p.event_id, p.deadlineMs, "alert", None))
+  }
+}
+
+/** Sketch-in-state: per event_type, the k = 64 smallest DISTINCT 52-bit
+  * user hashes on one ValueState array — the production pattern for
+  * streaming cardinality (bounded state for unbounded keys). Each batch
+  * merges its users' hashes and emits the current (n_sketch, kth,
+  * estimate) row; the LAST row per type equals [[Streams.kmvByType]]
+  * exactly (same md5-derived hashes, same (k−1)·2^52/h_k arithmetic,
+  * same HALF_UP rounding at 4 decimals).
+  */
+class KmvProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, Streams.EvT, Streams.KmvOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  private val K = 64
+  private val KthNum = 63L * 4503599627370496L
+
+  @transient private var st: org.apache.spark.sql.streaming.ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getListState[Long]("kmv",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  private def h52(u: Long): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(13), 16)
+
+  override def handleInputRows(etype: String, rows: Iterator[Streams.EvT],
+      tv: TimerValues): Iterator[Streams.KmvOut] = {
+    val cur = st.get().toArray
+    val merged = (cur ++ rows.map(e => h52(e.user_id)).toArray)
+      .distinct.sorted.take(K)
+    st.clear(); st.put(merged)
+    val n = merged.length
+    val est =
+      if (n < K) n.toDouble
+      else BigDecimal(KthNum.toDouble / merged.last.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Iterator.single(Streams.KmvOut(etype, n.toLong, if (n == 0) 0L else merged.last, est))
   }
 }

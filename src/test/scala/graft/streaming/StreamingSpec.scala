@@ -878,6 +878,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("v2 sketch-in-state: final streaming KMV row per type == batch twin") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-kmv")
+    writeOrderedFiles(dir, 3)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Streams.EvT]
+      val q = Streams.kmvStream(spark, stream)
+        .writeStream.format("memory").queryName("kmv_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // one row per (type, batch); n_sketch grows monotonically and,
+        // once saturated, kth only shrinks — so the final state per type
+        // is max n_sketch with MIN kth as tie-break
+        val rows = spark.table("kmv_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        val got = rows.groupBy(_._1).map { case (_, g) =>
+          g.maxBy(r => (r._2, -r._3))
+        }.toSet
+        val want = Streams.kmvByType(eventsBatch).collect()
+          .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+        assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+        assert(got.nonEmpty)
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("state API v2 running 3-sigma guardrail == the st22 window plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-zscore-v2")
