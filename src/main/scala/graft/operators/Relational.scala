@@ -7613,7 +7613,74 @@ object Relational {
         JOIN n12 ON n4.nk = n12.nk12
         JOIN r4 ON n4.rk = r4.rk4
         JOIN r12 ON n4.rk = r12.rk12
-        ORDER BY n_nationkey"""))
+        ORDER BY n_nationkey""")),
+
+    // -------------------------------------------------------------------
+    // Little's law audit of the view→purchase funnel treated as a
+    // queue: per hour, arrivals (views), completions (purchases), the
+    // running depth Σ(a−c), and the one-row card L = avg depth,
+    // λ = arrival rate, W = L/λ (the law says W is the average
+    // time-in-system WITHOUT tracking any individual — the point of
+    // the theorem). Depth can be negative in this synthetic funnel
+    // (purchases aren't matched to views), so every mean/ratio is the
+    // q105 positivity-shifted floor division. L and λ average over
+    // OBSERVED hours (stated in the column names; W = L/λ =
+    // depth_sum/arrivals is observation-count-free either way).
+    // Scale: one hour-grain agg + one windowed cumsum.
+    QueryDef("q159_littles_law",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"), col("event_type"))
+        val m = ev.agg(min(col("us")).as("us0"))
+        val hourly = ev.crossJoin(broadcast(m))
+          .select(expr("(us - us0) div 3600000000").as("b"),
+            when(col("event_type") === "view", 1L).otherwise(0L).as("a"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("c"))
+          .groupBy("b").agg(sum(col("a")).as("arr"), sum(col("c")).as("comp"))
+        val wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val depth = hourly
+          .withColumn("depth", sum(col("arr") - col("comp")).over(wc))
+        depth
+          .agg(count(ONE).as("n_obs_hours"),
+            sum(col("arr")).as("total_arrivals"),
+            sum(col("comp")).as("total_completions"),
+            expr("max_by(depth, b)").as("end_depth"),
+            sum(col("depth")).as("depth_sum"))
+          .select(col("n_obs_hours"), col("total_arrivals"), col("total_completions"),
+            col("end_depth"),
+            expr("(depth_sum * 1000 + 1000000000 * n_obs_hours) div n_obs_hours - 1000000000")
+              .as("l_avg_milli"),
+            expr("total_arrivals * 1000 div n_obs_hours").as("lambda_milli"),
+            expr("(depth_sum * 1000 + 1000000000 * total_arrivals) div total_arrivals - 1000000000")
+              .as("w_hours_milli"))
+      },
+      Some("""
+        WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        m AS (SELECT min(us) AS us0 FROM ev),
+        hourly AS (
+          SELECT (us - us0) // 3600000000 AS b,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS arr,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS comp
+          FROM ev CROSS JOIN m GROUP BY 1),
+        dpt AS (
+          SELECT b, arr, comp,
+                 CAST(sum(arr - comp) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS depth
+          FROM hourly),
+        agg AS (
+          SELECT count(*) AS n_obs_hours,
+                 CAST(sum(arr) AS BIGINT) AS total_arrivals,
+                 CAST(sum(comp) AS BIGINT) AS total_completions,
+                 CAST(max_by(depth, b) AS BIGINT) AS end_depth,
+                 CAST(sum(depth) AS BIGINT) AS depth_sum
+          FROM dpt)
+        SELECT n_obs_hours, total_arrivals, total_completions, end_depth,
+               CAST((depth_sum * 1000 + 1000000000 * n_obs_hours) // n_obs_hours
+                    - 1000000000 AS BIGINT) AS l_avg_milli,
+               CAST(total_arrivals * 1000 // n_obs_hours AS BIGINT) AS lambda_milli,
+               CAST((depth_sum * 1000 + 1000000000 * total_arrivals) // total_arrivals
+                    - 1000000000 AS BIGINT) AS w_hours_milli
+        FROM agg"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

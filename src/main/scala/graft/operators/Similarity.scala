@@ -2113,6 +2113,89 @@ object Similarity {
         SELECT dim, n, mean_micro, var_micro2,
                CAST(row_number() OVER (ORDER BY var_micro2 DESC, dim) AS BIGINT) AS var_rank
         FROM m
-        ORDER BY dim"""))
+        ORDER BY dim""")),
+
+    // -------------------------------------------------------------------
+    // Hubness audit of the k=3 cosine-kNN graph: the k-occurrence
+    // N_k(x) = how many vectors list x among their top-3 — the
+    // high-dimensional pathology metric (Radovanović et al. 2010):
+    // skewed N_k means a few "hub" vectors pollute everyone's
+    // neighbor lists and ANN recall targets mislead. Output is the
+    // N_3 histogram plus the exact-moment skewness of N_3 (g1 =
+    // m3_num/(m2_num·√m2_num) with the n-scaled integer central
+    // moments — the only floats are one sqrt and one division; no
+    // libm pow). Antihubs (N_3 = 0) appear as the occ = 0 row via an
+    // anti-join count. Scale: the directed kNN build is the g09
+    // shape (documented all-pairs on the fixed-size embeddings
+    // table; the 100 TB path blocks through s02/s04 first).
+    QueryDef("s28_hubness_audit",
+      (s, d) => {
+        Ns.registerFast(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+        val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val wK = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nb"))
+        val knn = q.join(e, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nb"),
+            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+          .withColumn("rn", row_number().over(wK))
+          .filter(col("rn") <= 3)
+        val occ = e.select(col("vec_id"))
+          .join(knn.groupBy("nb").agg(count(lit(1)).as("k_occ")),
+            col("vec_id") === col("nb"), "left")
+          .select(col("vec_id"), coalesce(col("k_occ"), lit(0L)).as("occ"))
+        val hist = occ.groupBy("occ").agg(count(lit(1)).as("n_vectors"))
+        val mom = occ.agg(count(lit(1)).as("n"), sum(col("occ")).as("so"),
+          sum(expr("CAST(occ AS DECIMAL(38,0)) * occ")).as("soo"),
+          sum(expr("CAST(occ AS DECIMAL(38,0)) * occ * occ")).as("sooo"))
+          .select(
+            expr("CAST(n AS DECIMAL(38,0)) * soo - CAST(so AS DECIMAL(38,0)) * so").as("m2n"),
+            expr("""CAST(n AS DECIMAL(38,0)) * n * sooo
+                    - 3 * CAST(n AS DECIMAL(38,0)) * so * soo
+                    + 2 * CAST(so AS DECIMAL(38,0)) * so * so""").as("m3n"))
+          .select(expr("""CASE WHEN m2n > 0 THEN
+                  round(CAST(m3n AS DOUBLE)
+                        / (CAST(m2n AS DOUBLE) * sqrt(CAST(m2n AS DOUBLE))), 6) END""")
+            .as("skewness"))
+        hist.crossJoin(broadcast(mom))
+          .select(col("occ"), col("n_vectors"), col("skewness"))
+          .orderBy("occ")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
+        n AS (
+          SELECT vec_id, v,
+                 sqrt(${Ns.oDot("v", "v")}) AS nrm
+          FROM e),
+        scored AS (
+          SELECT q.vec_id AS qid, t.vec_id AS nb,
+                 round(${Ns.oDot("q.v", "t.v")} / (q.nrm * t.nrm), 6) AS cosine
+          FROM n q JOIN n t ON t.vec_id <> q.vec_id),
+        knn AS (
+          SELECT qid, nb FROM (
+            SELECT qid, nb,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nb) AS rn
+            FROM scored) WHERE rn <= 3),
+        occ AS (
+          SELECT e.vec_id, CAST(coalesce(k.k_occ, 0) AS BIGINT) AS occ
+          FROM e LEFT JOIN (SELECT nb, count(*) AS k_occ FROM knn GROUP BY nb) k
+            ON e.vec_id = k.nb),
+        hist AS (SELECT occ, count(*) AS n_vectors FROM occ GROUP BY occ),
+        mom AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(occ) AS HUGEINT) AS so,
+                 CAST(sum(CAST(occ AS HUGEINT) * occ) AS HUGEINT) AS soo,
+                 CAST(sum(CAST(occ AS HUGEINT) * occ * occ) AS HUGEINT) AS sooo
+          FROM occ),
+        sk AS (
+          SELECT CASE WHEN n * soo - so * so > 0 THEN
+                 round(CAST(n * n * sooo - 3 * n * so * soo + 2 * so * so * so AS DOUBLE)
+                       / (CAST(n * soo - so * so AS DOUBLE)
+                          * sqrt(CAST(n * soo - so * so AS DOUBLE))), 6) END AS skewness
+          FROM mom)
+        SELECT occ, n_vectors, skewness
+        FROM hist CROSS JOIN sk
+        ORDER BY occ"""))
   )
 }
