@@ -73,7 +73,23 @@ object DumpPlans {
       "t33_textrank_keywords", "q133_data_vault", "p22_best_survivor",
       "q134_snapshot_diff", "q135_quantile_sketch", "s24_filtered_ann",
       "g15_ktruss", "t34_tokenizer_fertility", "m18_silence_trim",
-      "d14_weighted_jaccard", "q136_zone_map_skipping", "q137_price_volume_mix")
+      "d14_weighted_jaccard", "q136_zone_map_skipping", "q137_price_volume_mix",
+      "q138_emd_drift", "q139_rfm_segmentation", "q140_price_elasticity",
+      "q141_sprt_monitor", "q142_gini_stump", "q143_consistent_hash",
+      "q144_haar_energy", "q145_xcorr_lead_lag", "q146_ht_estimate",
+      "q147_npv_exact", "q148_bh_fdr", "q149_rolling_corr",
+      "q150_cuped", "q151_weighted_quantile", "q152_mahalanobis_outliers",
+      "q153_eb_shrinkage", "q154_diff_in_diff", "q155_abc_xyz",
+      "q156_control_chart", "q157_knapsack_curation", "q158_forecast_reconcile",
+      "q159_littles_law", "st22_stream_zscore_guardrail", "st23_absence_alert",
+      "st24_stream_kmv", "s25_hard_negative_mining", "s26_lift_gains",
+      "s27_dim_variance_audit", "s28_hubness_audit", "d13_minhash_accuracy",
+      "d15_lsh_bucket_skew", "g16_mutual_knn", "g17_degree_powerlaw",
+      "g18_wl_colors", "m19_spectral_centroid", "m20_pitch_autocorr",
+      "m21_phash_dct", "m22_rle_compressibility", "p23_budget_apportion",
+      "p24_top_p_coverage", "p25_pack_efficiency", "t35_js_divergence",
+      "t36_good_turing", "t37_entropy_rate", "t38_greedy_generate",
+      "c08_davies_bouldin", "c09_ari_stability")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")

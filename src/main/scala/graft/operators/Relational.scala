@@ -7680,7 +7680,73 @@ object Relational {
                CAST(total_arrivals * 1000 // n_obs_hours AS BIGINT) AS lambda_milli,
                CAST((depth_sum * 1000 + 1000000000 * total_arrivals) // total_arrivals
                     - 1000000000 AS BIGINT) AS w_hours_milli
-        FROM agg"""))
+        FROM agg""")),
+
+    // -------------------------------------------------------------------
+    // Sequential-pattern support (PrefixSpan's first two levels, exact):
+    // for every ordered event-type pair A>B and triple A>B>C, the
+    // number of USERS whose history contains the pattern as a
+    // SUBSEQUENCE (gaps allowed — the support notion q114's adjacent
+    // transition matrix cannot express). Pair support needs only each
+    // user's per-type (min, max) times: A>B ⇔ min(A) < max(B) (and for
+    // A>A the strict inequality forces two occurrences). Triple
+    // support adds one middle witness: a B event strictly inside
+    // (min(A), max(C)) — found by one bounded events×(A,C) join, never
+    // a per-user sequence scan. Supports are exact micro shares.
+    // Scale: one (user,type) agg (25 rows per user max), one 5×5
+    // broadcast pair join, one 25-way bounded middle join.
+    QueryDef("q160_seq_patterns",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val utp = ev.groupBy("user_id", "event_type")
+          .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+          .localCheckpoint() // three join arms below read this
+        val nUsers = ev.select("user_id").distinct().count()
+        val a = utp.select(col("user_id"), col("event_type").as("ta"), col("mn"))
+        val b = utp.select(col("user_id").as("ub"), col("event_type").as("tb"), col("mx"))
+        val pairs = a.join(b, col("user_id") === col("ub") && col("mn") < col("mx"))
+          .groupBy("ta", "tb").agg(countDistinct(col("user_id")).as("support_users"))
+          .select(concat(col("ta"), lit(">"), col("tb")).as("pattern"),
+            lit(2).as("n_steps"), col("support_users"))
+        val c = utp.select(col("user_id").as("uc"), col("event_type").as("tc"),
+          col("mx").as("mxc"))
+        val triples = a
+          .join(c, col("user_id") === col("uc"))
+          .join(ev.select(col("user_id").as("um"), col("event_type").as("tb"),
+              col("us").as("usm")),
+            col("user_id") === col("um") && col("usm") > col("mn") && col("usm") < col("mxc"))
+          .groupBy("ta", "tb", "tc").agg(countDistinct(col("user_id")).as("support_users"))
+          .select(concat(col("ta"), lit(">"), col("tb"), lit(">"), col("tc")).as("pattern"),
+            lit(3).as("n_steps"), col("support_users"))
+        pairs.unionByName(triples)
+          .select(col("pattern"), col("n_steps"), col("support_users"),
+            expr(s"support_users * 1000000 div ${nUsers}L").as("support_micro"))
+          .orderBy("n_steps", "pattern")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        utp AS (
+          SELECT user_id, event_type, min(us) AS mn, max(us) AS mx
+          FROM ev GROUP BY user_id, event_type),
+        nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ev),
+        pairs AS (
+          SELECT a.event_type || '>' || b.event_type AS pattern, 2 AS n_steps,
+                 count(DISTINCT a.user_id) AS support_users
+          FROM utp a JOIN utp b ON a.user_id = b.user_id AND a.mn < b.mx
+          GROUP BY 1),
+        triples AS (
+          SELECT a.event_type || '>' || m.event_type || '>' || c.event_type AS pattern,
+                 3 AS n_steps, count(DISTINCT a.user_id) AS support_users
+          FROM utp a
+          JOIN utp c ON a.user_id = c.user_id
+          JOIN ev m ON m.user_id = a.user_id AND m.us > a.mn AND m.us < c.mx
+          GROUP BY 1)
+        SELECT pattern, n_steps, CAST(support_users AS BIGINT) AS support_users,
+               CAST(support_users * 1000000 // n_users AS BIGINT) AS support_micro
+        FROM (SELECT * FROM pairs UNION ALL SELECT * FROM triples) CROSS JOIN nu
+        ORDER BY n_steps, pattern"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
