@@ -7746,7 +7746,246 @@ object Relational {
         SELECT pattern, n_steps, CAST(support_users AS BIGINT) AS support_users,
                CAST(support_users * 1000000 // n_users AS BIGINT) AS support_micro
         FROM (SELECT * FROM pairs UNION ALL SELECT * FROM triples) CROSS JOIN nu
-        ORDER BY n_steps, pattern"""))
+        ORDER BY n_steps, pattern""")),
+
+    // -------------------------------------------------------------------
+    // Referential-integrity conformance matrix: every FK edge of the
+    // schema (lineitem→orders, lineitem→part, orders→customer,
+    // customer→nation, supplier→nation, nation→region) with child
+    // count, orphan count (left-anti join on the parent key set) and
+    // conformance share — the one-page foreign-key health card a
+    // warehouse publishes before anyone trusts a join. Orphan checks
+    // are DISTINCT-key anti-joins (parent key sets are the small
+    // side), so the cost is keys, not fact rows, and conformance is an
+    // exact micro floor division. Scale: six independent key-set
+    // anti-joins unioned into a 6-row report.
+    QueryDef("q161_fk_conformance",
+      (s, d) => {
+        def edge(name: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String): DataFrame = {
+          val orphans = child.select(col(key).as("k")).filter(col("k").isNotNull)
+            .join(parent.select(col(pkey).as("pk")).distinct(),
+              col("k") === col("pk"), "left_anti")
+            .agg(count(ONE).as("orphan_rows"))
+          child.agg(count(ONE).as("child_rows"),
+            sum(when(col(key).isNull, 1L).otherwise(0L)).as("null_keys"))
+            .crossJoin(orphans)
+            .select(lit(name).as("fk_edge"), col("child_rows"), col("null_keys"),
+              col("orphan_rows"),
+              expr("(child_rows - null_keys - orphan_rows) * 1000000 div child_rows")
+                .as("conform_micro"))
+        }
+        val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d); val p = Tables.part(s, d)
+        val n = Tables.nation(s, d); val r = Tables.region(s, d)
+        val su = Tables.supplier(s, d)
+        edge("customer->nation", c, "c_nationkey", n, "n_nationkey")
+          .unionByName(edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+          .unionByName(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+          .unionByName(edge("nation->region", n, "n_regionkey", r, "r_regionkey"))
+          .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+          .unionByName(edge("supplier->nation", su, "s_nationkey", n, "n_nationkey"))
+          .orderBy("fk_edge")
+      },
+      Some("""
+        WITH e1 AS (
+          SELECT 'customer->nation' AS fk_edge, count(*) AS child_rows,
+                 CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+                 CAST((SELECT count(*) FROM customer
+                       WHERE c_nationkey IS NOT NULL
+                         AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT)
+                   AS orphan_rows
+          FROM customer),
+        e2 AS (
+          SELECT 'lineitem->orders', count(*),
+                 CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST((SELECT count(*) FROM lineitem
+                       WHERE l_orderkey IS NOT NULL
+                         AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+          FROM lineitem),
+        e3 AS (
+          SELECT 'lineitem->part', count(*),
+                 CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST((SELECT count(*) FROM lineitem
+                       WHERE l_partkey IS NOT NULL
+                         AND l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT)
+          FROM lineitem),
+        e4 AS (
+          SELECT 'nation->region', count(*),
+                 CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST((SELECT count(*) FROM nation
+                       WHERE n_regionkey IS NOT NULL
+                         AND n_regionkey NOT IN (SELECT r_regionkey FROM region)) AS BIGINT)
+          FROM nation),
+        e5 AS (
+          SELECT 'orders->customer', count(*),
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST((SELECT count(*) FROM orders
+                       WHERE o_custkey IS NOT NULL
+                         AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+          FROM orders),
+        e6 AS (
+          SELECT 'supplier->nation', count(*),
+                 CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST((SELECT count(*) FROM supplier
+                       WHERE s_nationkey IS NOT NULL
+                         AND s_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT)
+          FROM supplier),
+        u AS (
+          SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+          UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6)
+        SELECT fk_edge, CAST(child_rows AS BIGINT) AS child_rows, null_keys, orphan_rows,
+               CAST((child_rows - null_keys - orphan_rows) * 1000000 // child_rows AS BIGINT)
+                 AS conform_micro
+        FROM u
+        ORDER BY fk_edge""")),
+
+    // -------------------------------------------------------------------
+    // Parquet-encoding advisor over lineitem's columns: per column, the
+    // cardinality ratio and run profile (sorted-adjacency runs on the
+    // natural file order) that drive the dictionary / RLE / plain
+    // choice a columnar writer makes — q136's zone-map audit for the
+    // ENCODING decision instead of the skipping decision. Rule:
+    // dictionary when distinct/n < 10%, RLE when runs/n < 50%, else
+    // plain. Exact integers throughout (ratios micro-floored; run
+    // boundaries via one lag window per column on the (orderkey,
+    // linenumber) file order). Scale: the stack is a narrow per-column
+    // projection — one pass per column over the fact table, each a
+    // partial-aggregable count.
+    QueryDef("q162_encoding_advisor",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .selectExpr("l_orderkey", "l_linenumber",
+            """stack(6,
+              'l_orderkey', CAST(l_orderkey AS STRING),
+              'l_partkey', CAST(l_partkey AS STRING),
+              'l_suppkey', CAST(l_suppkey AS STRING),
+              'l_quantity', CAST(CAST(l_quantity AS DECIMAL(12,2)) AS STRING),
+              'l_discount', CAST(CAST(l_discount AS DECIMAL(12,2)) AS STRING),
+              'l_tax', CAST(CAST(l_tax AS DECIMAL(12,2)) AS STRING)) AS (col_name, v)""")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — the
+        // value itself closes the total order so the run count is
+        // deterministic in both engines
+        val w = Window.partitionBy("col_name").orderBy("l_orderkey", "l_linenumber", "v")
+        val runs = li
+          .withColumn("boundary",
+            when(lag(col("v"), 1).over(w).isNull
+              || lag(col("v"), 1).over(w) =!= col("v"), 1L).otherwise(0L))
+          .groupBy("col_name")
+          .agg(count(ONE).as("n_rows"),
+            countDistinct(col("v")).as("n_distinct"),
+            sum(col("boundary")).as("n_runs"))
+          .select(col("col_name"), col("n_rows"), col("n_distinct"), col("n_runs"),
+            expr("n_distinct * 1000000 div n_rows").as("distinct_micro"),
+            expr("n_runs * 1000000 div n_rows").as("runs_micro"))
+        runs
+          .withColumn("advice",
+            when(col("distinct_micro") < 100000L, "dictionary")
+              .when(col("runs_micro") < 500000L, "rle")
+              .otherwise("plain"))
+          .orderBy("col_name")
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_orderkey, l_linenumber, u.col_name, u.v
+          FROM lineitem, LATERAL (VALUES
+            ('l_orderkey', CAST(l_orderkey AS VARCHAR)),
+            ('l_partkey', CAST(l_partkey AS VARCHAR)),
+            ('l_suppkey', CAST(l_suppkey AS VARCHAR)),
+            ('l_quantity', CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR)),
+            ('l_discount', CAST(CAST(l_discount AS DECIMAL(12,2)) AS VARCHAR)),
+            ('l_tax', CAST(CAST(l_tax AS DECIMAL(12,2)) AS VARCHAR))) AS u(col_name, v)),
+        runs AS (
+          SELECT col_name,
+                 CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v THEN 1 ELSE 0 END
+                   AS boundary, v
+          FROM base
+          WINDOW w AS (PARTITION BY col_name ORDER BY l_orderkey, l_linenumber, v)),
+        g AS (
+          SELECT col_name, count(*) AS n_rows, count(DISTINCT v) AS n_distinct,
+                 CAST(sum(boundary) AS BIGINT) AS n_runs
+          FROM runs GROUP BY col_name)
+        SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_distinct AS BIGINT) AS n_distinct, n_runs,
+               CAST(n_distinct * 1000000 // n_rows AS BIGINT) AS distinct_micro,
+               CAST(n_runs * 1000000 // n_rows AS BIGINT) AS runs_micro,
+               CASE WHEN n_distinct * 1000000 // n_rows < 100000 THEN 'dictionary'
+                    WHEN n_runs * 1000000 // n_rows < 500000 THEN 'rle'
+                    ELSE 'plain' END AS advice
+        FROM g
+        ORDER BY col_name""")),
+
+    // -------------------------------------------------------------------
+    // Nearest-event as-of join (pandas merge_asof direction='nearest'):
+    // for each error event, the SAME user's nearest click in time —
+    // backward OR forward, absolute-distance winner, earlier event on
+    // ties. Spelled as the classic interleave: one window pass over
+    // the user's merged (click ∪ error) timeline carrying the last
+    // click backward (last_value IGNORE NULLS) and the next click
+    // forward, then an exact integer distance comparison — never a
+    // range join, never a cross product. Scale: one shuffle to the
+    // user key, two frame passes over the same sort.
+    QueryDef("q163_nearest_event",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val back = w.rowsBetween(Window.unboundedPreceding, -1)
+        val fwd = w.rowsBetween(1, Window.unboundedFollowing)
+        val marked = ev
+          .withColumn("click_id", when(col("event_type") === "click", col("event_id")))
+          .withColumn("click_us", when(col("event_type") === "click", col("us")))
+          .withColumn("prev_id", last(col("click_id"), ignoreNulls = true).over(back))
+          .withColumn("prev_us", last(col("click_us"), ignoreNulls = true).over(back))
+          .withColumn("next_id", first(col("click_id"), ignoreNulls = true).over(fwd))
+          .withColumn("next_us", first(col("click_us"), ignoreNulls = true).over(fwd))
+        marked.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("error_id"), col("us"),
+            expr("""CASE
+                WHEN prev_id IS NULL THEN next_id
+                WHEN next_id IS NULL THEN prev_id
+                WHEN us - prev_us <= next_us - us THEN prev_id
+                ELSE next_id END""").as("nearest_click_id"),
+            expr("""CASE
+                WHEN prev_id IS NULL THEN next_us - us
+                WHEN next_id IS NULL THEN us - prev_us
+                WHEN us - prev_us <= next_us - us THEN us - prev_us
+                ELSE next_us - us END""").as("gap_us"))
+          .orderBy("user_id", "error_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+          FROM events WHERE event_type IN ('click', 'error')),
+        marked AS (
+          SELECT user_id, event_id, event_type, us,
+                 last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                   OVER b AS prev_id,
+                 last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+                   OVER b AS prev_us,
+                 first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                   OVER f AS next_id,
+                 first_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+                   OVER f AS next_us
+          FROM ev
+          WINDOW b AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 f AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        SELECT user_id, event_id AS error_id, us,
+               CASE WHEN prev_id IS NULL THEN next_id
+                    WHEN next_id IS NULL THEN prev_id
+                    WHEN us - prev_us <= next_us - us THEN prev_id
+                    ELSE next_id END AS nearest_click_id,
+               CASE WHEN prev_id IS NULL THEN next_us - us
+                    WHEN next_id IS NULL THEN us - prev_us
+                    WHEN us - prev_us <= next_us - us THEN us - prev_us
+                    ELSE next_us - us END AS gap_us
+        FROM marked
+        WHERE event_type = 'error'
+        ORDER BY user_id, error_id"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
