@@ -7985,7 +7985,179 @@ object Relational {
                     ELSE next_us - us END AS gap_us
         FROM marked
         WHERE event_type = 'error'
-        ORDER BY user_id, error_id"""))
+        ORDER BY user_id, error_id""")),
+
+    // -------------------------------------------------------------------
+    // Share-of-parent rollup (RATIO_TO_REPORT at every level of the
+    // region→nation hierarchy): each nation's revenue as a share of
+    // its region AND of the world, plus each region's share of the
+    // world — the percent-of-parent tree a drill-down UI renders.
+    // Shares are exact micro floor divisions of integer cents; the
+    // hierarchy comes from ONE aggregation reused at three grains
+    // (window sums over the nation-grain table — never a re-scan of
+    // the fact table per level). Scale: one fact-table agg to ~25
+    // nation rows; everything above is window arithmetic on that.
+    QueryDef("q164_share_of_parent",
+      (s, d) => {
+        val rev = Tables.orders(s, d)
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey"), col("n_nationkey"))
+          .agg(expr("sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))")
+            .as("cents"))
+        val wr = Window.partitionBy("n_regionkey")
+        val ww = Window.partitionBy()
+        rev
+          .withColumn("region_cents", sum(col("cents")).over(wr))
+          .withColumn("world_cents", sum(col("cents")).over(ww))
+          .select(col("n_regionkey"), col("n_nationkey"), col("cents").as("nation_cents"),
+            col("region_cents"),
+            expr("cents * 1000000 div region_cents").as("share_of_region_micro"),
+            expr("cents * 1000000 div world_cents").as("share_of_world_micro"),
+            expr("region_cents * 1000000 div world_cents").as("region_share_micro"))
+          .orderBy("n_regionkey", "n_nationkey")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT n.n_regionkey, n.n_nationkey,
+                 CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_regionkey, n.n_nationkey),
+        w AS (
+          SELECT *,
+                 CAST(sum(cents) OVER (PARTITION BY n_regionkey) AS BIGINT) AS region_cents,
+                 CAST(sum(cents) OVER () AS BIGINT) AS world_cents
+          FROM rev)
+        SELECT n_regionkey, n_nationkey, cents AS nation_cents, region_cents,
+               CAST(cents * 1000000 // region_cents AS BIGINT) AS share_of_region_micro,
+               CAST(cents * 1000000 // world_cents AS BIGINT) AS share_of_world_micro,
+               CAST(region_cents * 1000000 // world_cents AS BIGINT) AS region_share_micro
+        FROM w
+        ORDER BY n_regionkey, n_nationkey""")),
+
+    // -------------------------------------------------------------------
+    // Cumulative-uniques curve: distinct users ever seen, by day — the
+    // growth chart every product dashboard opens with, computed the
+    // SCALABLE way: each user's FIRST-seen day (one user-grain min),
+    // then a day-grain count + running cumsum — never a per-day
+    // distinct over growing prefixes (which is quadratic in days and
+    // reshuffles the fact table per day). new/returning split per day
+    // comes from the same first-seen join. Scale: one user-grain agg,
+    // one day-grain agg, one ~30-row window.
+    QueryDef("q165_cumulative_uniques",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("CAST(CAST(ts AS DATE) AS STRING)").as("day"))
+        val firstSeen = ev.groupBy("user_id").agg(min(col("day")).as("first_day"))
+        val daily = ev.join(firstSeen, "user_id")
+          .groupBy("day")
+          .agg(countDistinct(col("user_id")).as("dau"),
+            countDistinct(when(col("day") === col("first_day"), col("user_id")))
+              .as("new_users"))
+        val wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("cumulative_uniques", sum(col("new_users")).over(wc))
+          .select(col("day"), col("dau"), col("new_users"),
+            (col("dau") - col("new_users")).as("returning_users"),
+            col("cumulative_uniques"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events),
+        fs AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id),
+        daily AS (
+          SELECT e.day, count(DISTINCT e.user_id) AS dau,
+                 count(DISTINCT CASE WHEN e.day = f.first_day THEN e.user_id END)
+                   AS new_users
+          FROM ev e JOIN fs f ON e.user_id = f.user_id
+          GROUP BY e.day)
+        SELECT day, CAST(dau AS BIGINT) AS dau, CAST(new_users AS BIGINT) AS new_users,
+               CAST(dau - new_users AS BIGINT) AS returning_users,
+               CAST(sum(new_users) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cumulative_uniques
+        FROM daily
+        ORDER BY day""")),
+
+    // -------------------------------------------------------------------
+    // Simpson's-paradox screen: does the (discount, quantity)
+    // association FLIP sign when lineitem is split by brand? The
+    // overall covariance sign vs each within-brand covariance sign,
+    // compared WITHOUT any division: sign(n·Σxy − Σx·Σy) is exact in
+    // DECIMAL(38,0)/HUGEINT centi-units, so "flipped" is a pure
+    // integer predicate — the aggregation-bias tripwire that says
+    // "don't quote the pooled trend". Output per brand, plus the
+    // pooled sign and flip count on every row. Scale: one fact agg
+    // per brand (the part join broadcasts), one pooled agg, a ~25-row
+    // compare.
+    QueryDef("q166_simpsons_screen",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"),
+            expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)").as("x"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)").as("y"))
+        def covSign(g: DataFrame, keys: Seq[String]): DataFrame = {
+          val grouped = if (keys.isEmpty) g.groupBy() else g.groupBy(keys.map(col): _*)
+          grouped.agg(count(ONE).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+            .withColumn("cov_num",
+              expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+            .withColumn("sign", expr("CASE WHEN cov_num > 0 THEN 1 WHEN cov_num < 0 THEN -1 ELSE 0 END"))
+        }
+        val pooled = covSign(li, Nil)
+          .select(col("sign").as("pooled_sign"))
+        val per = covSign(li, Seq("p_brand"))
+          .select(col("p_brand"), col("n").as("n_lines"), col("sign").as("brand_sign"))
+        val flips = per.crossJoin(broadcast(pooled))
+          .withColumn("flipped", col("brand_sign") =!= lit(0)
+            && col("pooled_sign") =!= lit(0) && col("brand_sign") =!= col("pooled_sign"))
+        val summary = flips.agg(sum(when(col("flipped"), 1L).otherwise(0L)).as("n_flipped"))
+        flips.crossJoin(broadcast(summary))
+          .select(col("p_brand"), col("n_lines"), col("brand_sign"),
+            col("pooled_sign"), col("flipped"), col("n_flipped"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        WITH li AS (
+          SELECT p.p_brand,
+                 CAST(CAST(l.l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+                 CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        pooled AS (
+          SELECT CASE WHEN CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+                           - CAST(sum(x) AS HUGEINT) * sum(y) > 0 THEN 1
+                      WHEN CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+                           - CAST(sum(x) AS HUGEINT) * sum(y) < 0 THEN -1
+                      ELSE 0 END AS pooled_sign
+          FROM li),
+        per AS (
+          SELECT p_brand, count(*) AS n_lines,
+                 CASE WHEN CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+                           - CAST(sum(x) AS HUGEINT) * sum(y) > 0 THEN 1
+                      WHEN CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+                           - CAST(sum(x) AS HUGEINT) * sum(y) < 0 THEN -1
+                      ELSE 0 END AS brand_sign
+          FROM li GROUP BY p_brand),
+        fl AS (
+          SELECT p.p_brand, p.n_lines, p.brand_sign, d.pooled_sign,
+                 p.brand_sign <> 0 AND d.pooled_sign <> 0
+                   AND p.brand_sign <> d.pooled_sign AS flipped
+          FROM per p CROSS JOIN pooled d),
+        su AS (SELECT CAST(sum(CASE WHEN flipped THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped
+               FROM fl)
+        SELECT p_brand, CAST(n_lines AS BIGINT) AS n_lines, brand_sign, pooled_sign,
+               flipped, n_flipped
+        FROM fl CROSS JOIN su
+        ORDER BY p_brand"""))
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text
