@@ -160,6 +160,38 @@ object Dedup {
                ${(0 until 32).map(p => s"CASE WHEN s$p > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(" + ")} AS simhash
                FROM s)"""
 
+  /** Connected-component labels of the d02 near-dup graph (est_jaccard
+    * >= 0.5): iterative label-min propagation, frontier-sized shuffles,
+    * convergence observed via `Observation` — shared by d06 and d16.
+    */
+  private def dupClusterLabels(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val pairs = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          (col("nbr_min") < col("cluster")).as("moved"))
+      val obs = org.apache.spark.sql.Observation()
+      val nextCk = next
+        .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+        .select("doc_id", "cluster")
+        .localCheckpoint(true)
+      changed = obs.get("n_moved").asInstanceOf[Long]
+      labels = nextCk
+    }
+    labels
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // -------------------------------------------------------------------
@@ -540,31 +572,7 @@ object Dedup {
     // reachability.
     QueryDef("d06_dup_clusters",
       (s, d) => {
-        val pairs = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
-          .select("doc_a", "doc_b")
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .localCheckpoint(true)
-        var labels = Tables.documents(s, d)
-          .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
-        var changed = 1L
-        while (changed > 0) {
-          val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
-            .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-          val next = labels
-            .join(nbrMin, col("doc_id") === col("src"), "left")
-            .select(col("doc_id"),
-              least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-              (col("nbr_min") < col("cluster")).as("moved"))
-          val obs = org.apache.spark.sql.Observation()
-          val nextCk = next
-            .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
-            .select("doc_id", "cluster")
-            .localCheckpoint(true)
-          changed = obs.get("n_moved").asInstanceOf[Long]
-          labels = nextCk
-        }
-        labels
+        dupClusterLabels(s, d)
           .withColumn("cluster_size",
             count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
           .orderBy("doc_id")
@@ -997,6 +1005,64 @@ object Dedup {
                     * 1000000 // (count(*) * CAST(sum(sz) AS BIGINT)) AS BIGINT) AS gini_micro
         FROM ranked
         GROUP BY band
-        ORDER BY band"""))
+        ORDER BY band""")),
+
+    // -------------------------------------------------------------------
+    // Transitive-inflation audit of the dup clusters: per multi-doc
+    // d06 component, how many of its C(size,2) implied duplicate pairs
+    // are backed by a DIRECT d02 candidate edge vs created purely by
+    // transitive chaining — the number that says whether
+    // cluster-level dedup (keep one per component) is deleting
+    // documents no evidence ever paired. A long chain a-b-c-d has 3
+    // direct edges but implies 6 pairs: inflation 50%. All integers
+    // (pair counts, micro share). Scale: one label-prop pass (shared
+    // with d06), one cluster-keyed edge count, arithmetic on
+    // component-sized rows.
+    QueryDef("d16_transitive_inflation",
+      (s, d) => {
+        val labels = dupClusterLabels(s, d).localCheckpoint()
+        val pairs = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+          .select("doc_a", "doc_b")
+        val direct = pairs
+          .join(labels.select(col("doc_id").as("doc_a"), col("cluster")), "doc_a")
+          .groupBy("cluster").agg(count(lit(1)).as("direct_edges"))
+        val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("size"))
+          .filter(col("size") >= 2)
+        sizes.join(direct, Seq("cluster"), "left")
+          .select(col("cluster"), col("size"),
+            coalesce(col("direct_edges"), lit(0L)).as("direct_edges"),
+            expr("size * (size - 1) div 2").as("implied_pairs"))
+          .withColumn("transitive_pairs", expr("implied_pairs - direct_edges"))
+          .withColumn("inflation_micro",
+            expr("(implied_pairs - direct_edges) * 1000000 div implied_pairs"))
+          .orderBy("cluster")
+      },
+      Some(s"""
+        WITH RECURSIVE $minhashPairsOracleCtes,
+        sel AS (SELECT doc_a, doc_b FROM mpairs WHERE est_jaccard >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM sel
+          UNION ALL
+          SELECT doc_b, doc_a FROM sel),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+        sizes AS (
+          SELECT cluster, count(*) AS size FROM comp GROUP BY cluster HAVING count(*) >= 2),
+        direct AS (
+          SELECT c.cluster, count(*) AS direct_edges
+          FROM sel p JOIN comp c ON p.doc_a = c.doc_id
+          GROUP BY c.cluster)
+        SELECT s.cluster, CAST(s.size AS BIGINT) AS size,
+               CAST(coalesce(d.direct_edges, 0) AS BIGINT) AS direct_edges,
+               CAST(s.size * (s.size - 1) // 2 AS BIGINT) AS implied_pairs,
+               CAST(s.size * (s.size - 1) // 2 - coalesce(d.direct_edges, 0) AS BIGINT)
+                 AS transitive_pairs,
+               CAST((s.size * (s.size - 1) // 2 - coalesce(d.direct_edges, 0)) * 1000000
+                    // (s.size * (s.size - 1) // 2) AS BIGINT) AS inflation_micro
+        FROM sizes s LEFT JOIN direct d ON s.cluster = d.cluster
+        ORDER BY s.cluster"""))
   )
 }
