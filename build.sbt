@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Two sbt defaults break that: the logger prefixes forked output
+// with "[info] ", and a trailing "[success] Total time" line follows it.
+// StdoutOutput passes the child's stdout through verbatim; showSuccess
+// drops the success banner — so Bench's final println IS the last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -89,7 +89,31 @@ object DumpPlans {
       "m21_phash_dct", "m22_rle_compressibility", "p23_budget_apportion",
       "p24_top_p_coverage", "p25_pack_efficiency", "t35_js_divergence",
       "t36_good_turing", "t37_entropy_rate", "t38_greedy_generate",
-      "c08_davies_bouldin", "c09_ari_stability")
+      "c08_davies_bouldin", "c09_ari_stability", "g19_knn_recall",
+      "d17_window_substring_dup", "t39_perplexity_filter",
+      "q167_bradley_terry", "c10_linkage_curve")
+
+    /** Measured performance-floor notes, injected under the query's plan so
+      * a future round doesn't re-derive them (kept here, not hand-edited in
+      * PLANS.md, because this generator overwrites the file).
+      */
+    val notes = Map(
+      "c03_dbscan_grid" -> ("Measured floor (r5): ~3.3-4.7 s, SCHEDULING-LATENCY-BOUND, " +
+        "not data-bound. The connected-components loop runs O(diameter) ~= 24 serial " +
+        "frontier stages through Iterate.checkpointFresh; per-stage task time is ~150 ms " +
+        "against ~17 s of un-fixed planning (the checkpoint-stats-reset bug documented in " +
+        "Iterate.scala:27). Pointer jumping was MEASURED useless here: it halves rounds " +
+        "but doubles per-round join width, and at sf0.1 the rounds are latency-, not " +
+        "work-, dominated, so wall time was unchanged. At 100 TB the same plan holds: " +
+        "stages grow with graph diameter (log-ish for the 3x3-blocked epsilon graph), " +
+        "work per stage stays frontier-sized."),
+      "d09_prefix_filter_join" -> ("Measured floor (r5): ~2.7 s at sf0.1, scale-SAFE. " +
+        "The bench pipeline_witness runs this query across sf0.001/0.01/0.1 and the " +
+        "shuffled bytes grow with the BLOCKED candidate pairs (0.8 -> 0.78 -> 6.2 MB), " +
+        "near-linearly with input at fixture densities -- an all-pairs plan would grow " +
+        "~100x per 10x step. The residual seconds are the prefix-explode + two " +
+        "broadcast-joined doc-stat arms visible below; nothing left to remove without " +
+        "weakening the filter (fewer prefixes = more candidate pairs)."))
     val sb = new StringBuilder
     sb.append("# Physical plans (generated; sf0.01, local[8])\n\n")
     sb.append("Evidence of plan-level scale properties: pushdown, broadcast dims,\n")
@@ -97,7 +121,9 @@ object DumpPlans {
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)
       df.collect() // finalize AQE
-      sb.append(s"\n## $n\n\n```\n")
+      sb.append(s"\n## $n\n\n")
+      notes.get(n).foreach(t => sb.append(t + "\n\n"))
+      sb.append("```\n")
       sb.append(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode).take(9000))
       sb.append("\n```\n")
     }

@@ -340,9 +340,14 @@ object Clustering {
           // positivity shift: b6 - a6 can be negative and Spark `div`
           // truncates where DuckDB `//` floors — shift by +g (|b6-a6| <= g)
           // so the quotient is computed on a nonnegative numerator (the
-          // q105 translation-equivariance trick)
+          // q105 translation-equivariance trick). Singleton clusters have
+          // no same-label pair so a6 is NULL: Rousseeuw's convention
+          // assigns s(i) = 0 to singletons, so coalesce rather than
+          // letting the NULL silently drop out of the cluster mean.
           .withColumn("s_ppm", expr(
-            "(1000000 * (b6 - a6 + greatest(a6, b6))) div greatest(a6, b6) - 1000000"))
+            """CASE WHEN a6 IS NULL THEN CAST(0 AS BIGINT)
+              |ELSE (1000000 * (b6 - a6 + greatest(a6, b6))) div greatest(a6, b6) - 1000000
+              |END""".stripMargin))
         ab.groupBy("label")
           .agg(count(lit(1)).as("n_vectors"),
             expr("CAST((sum(s_ppm) + 1000000 * count(1)) div count(1) - 1000000 AS BIGINT)")
@@ -370,7 +375,9 @@ object Clustering {
           FROM percluster GROUP BY vec_id, label),
         sil AS (
           SELECT vec_id, label,
-                 (1000000 * (b6 - a6 + greatest(a6, b6))) // greatest(a6, b6) - 1000000 AS s_ppm
+                 CASE WHEN a6 IS NULL THEN CAST(0 AS BIGINT)
+                 ELSE (1000000 * (b6 - a6 + greatest(a6, b6))) // greatest(a6, b6) - 1000000
+                 END AS s_ppm
           FROM ab)
         SELECT label, count(*) AS n_vectors,
                CAST((sum(s_ppm) + 1000000 * count(*)) // count(*) - 1000000 AS BIGINT) AS mean_silhouette_ppm,
@@ -720,6 +727,90 @@ object Clustering {
                CAST(((2 * c2n * s_ij - 2 * s_a * s_b) * 1000000
                      + 2000000 * (c2n * (s_a + s_b) - 2 * s_a * s_b))
                     // (c2n * (s_a + s_b) - 2 * s_a * s_b) AS BIGINT) - 2000000 AS ari_micro
-        FROM tot CROSS JOIN sij CROSS JOIN sa CROSS JOIN sb CROSS JOIN c2"""))
+        FROM tot CROSS JOIN sij CROSS JOIN sa CROSS JOIN sb CROSS JOIN c2""")),
+
+    // Single-linkage dendrogram curve over the near-dup graph: connected
+    // components of the MinHash candidate edges at three similarity
+    // cuts (est_jaccard >= 0.5 / 0.75 / 0.875 — exact 1/16-multiples of
+    // the K=16 signature, so the DOUBLE comparisons are exact in both
+    // engines). Single-link clusters at threshold t ARE the components
+    // of the t-filtered graph, so the curve (clusters / clustered docs /
+    // largest cluster vs t) is the dedup aggressiveness dial a curation
+    // run picks its operating point from. Scale: the pair table is the
+    // shared session-memoized LSH build; each cut runs the frontier-
+    // sized min-label sweep (c03/g16 shape) on a strictly smaller edge
+    // set — never all-pairs.
+    QueryDef("c10_linkage_curve",
+      (s, d) => {
+        val cuts = Seq(500000L, 750000L, 875000L)
+        val pairs = Dedup.minhashPairsShared(s, d)
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val perCut = cuts.map { t =>
+          val sel = pairs
+            .filter(expr(s"est_jaccard >= CAST($t AS DOUBLE) / CAST(1000000 AS DOUBLE)"))
+            .select(col("doc_a"), col("doc_b")).localCheckpoint()
+          val edges = sel.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .unionAll(sel.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+            .localCheckpoint(true)
+          var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+            .localCheckpoint(true)
+          var changed = 1L
+          while (changed > 0) {
+            val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
+              .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+            val next = labels.join(nbrMin, col("doc_id") === col("src"), "left")
+              .select(col("doc_id"),
+                least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+                (col("nbr_min") < col("cluster")).as("moved"))
+            val obs = org.apache.spark.sql.Observation()
+            val nextCk = next
+              .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+              .select("doc_id", "cluster")
+              .localCheckpoint(true)
+            changed = obs.get("n_moved").asInstanceOf[Long]
+            labels = nextCk
+          }
+          val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("size"))
+            .filter(col("size") >= 2)
+          sizes.agg(
+            coalesce(count(lit(1)), lit(0L)).as("n_dup_clusters"),
+            coalesce(sum(col("size")), lit(0L)).as("n_clustered_docs"),
+            coalesce(max(col("size")), lit(0L)).as("max_cluster"))
+            .select(lit(t).as("threshold_ppm"), col("n_dup_clusters"),
+              col("n_clustered_docs"), col("max_cluster"))
+        }
+        perCut.reduce(_ unionAll _).orderBy("threshold_ppm")
+      },
+      Some {
+        def arm(i: Int, t: Long) = s"""
+        sel$i AS (
+          SELECT doc_a, doc_b FROM mpairs
+          WHERE est_jaccard >= CAST($t AS DOUBLE) / CAST(1000000 AS DOUBLE)),
+        edges$i AS (
+          SELECT doc_a AS src, doc_b AS dst FROM sel$i
+          UNION ALL
+          SELECT doc_b, doc_a FROM sel$i),
+        reach$i(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach$i r JOIN edges$i e ON r.dst = e.src),
+        comp$i AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach$i GROUP BY src),
+        sizes$i AS (
+          SELECT cluster, count(*) AS size FROM comp$i GROUP BY cluster
+          HAVING count(*) >= 2),
+        out$i AS (
+          SELECT CAST($t AS BIGINT) AS threshold_ppm,
+                 CAST(coalesce(count(*), 0) AS BIGINT) AS n_dup_clusters,
+                 CAST(coalesce(sum(size), 0) AS BIGINT) AS n_clustered_docs,
+                 CAST(coalesce(max(size), 0) AS BIGINT) AS max_cluster
+          FROM sizes$i)"""
+        s"""
+        WITH RECURSIVE ${Dedup.minhashPairsOracleCtes},
+        ${arm(1, 500000L)},
+        ${arm(2, 750000L)},
+        ${arm(3, 875000L)}
+        SELECT * FROM out1 UNION ALL SELECT * FROM out2 UNION ALL SELECT * FROM out3
+        ORDER BY threshold_ppm"""
+      })
   )
 }

@@ -8157,7 +8157,106 @@ object Relational {
         SELECT p_brand, CAST(n_lines AS BIGINT) AS n_lines, brand_sign, pooled_sign,
                flipped, n_flipped
         FROM fl CROSS JOIN su
-        ORDER BY p_brand"""))
+        ORDER BY p_brand""")),
+
+    // Bradley-Terry preference aggregation (the RLHF / LLM-eval
+    // pairwise-comparison rollup: N matchups between K items -> one
+    // latent strength per item). Matchups are derived from orders: in
+    // every order whose priciest and cheapest lines carry different
+    // brands, the pricier brand "beats" the cheaper (min-brand
+    // tie-break at equal price, so the matchup is deterministic).
+    // Three Minorization-Maximization sweeps (Hunter 2004):
+    // p_i <- w_i / sum_j n_ij/(p_i+p_j), run entirely in micro-unit
+    // BIGINTs — each term n_ij*1e12 div (pm_i+pm_j) and each update
+    // wins*1e12 div denom is an exact floor both engines replay bit-
+    // for-bit (DECIMAL(38,0)/HUGEINT widening on the update product;
+    // the greatest(..,1) guard covers a 0-win item collapsing to
+    // strength 0). Scale: matchups aggregate to a K^2-bounded pair
+    // table BEFORE any iteration — the sweeps run on K rows, the one
+    // corpus-sized pass is the first groupBy(order).
+    QueryDef("q167_bradley_terry",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("l_extendedprice").as("price"), col("p_brand"))
+        val ext = li.groupBy("l_orderkey").agg(max("price").as("mx"), min("price").as("mn"))
+        val m = li.join(ext, "l_orderkey").groupBy("l_orderkey")
+          .agg(min(when(col("price") === col("mx"), col("p_brand"))).as("wb"),
+            min(when(col("price") === col("mn"), col("p_brand"))).as("lb"))
+          .filter(col("wb") =!= col("lb"))
+          .localCheckpoint()
+        val pd = m.select(col("wb").as("i"), col("lb").as("j"))
+          .unionAll(m.select(col("lb").as("i"), col("wb").as("j")))
+          .groupBy("i", "j").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val wins = m.groupBy(col("wb").as("wbr")).agg(count(lit(1)).as("w"))
+        var pm = pd.select(col("i").as("b")).distinct()
+          .join(wins, col("b") === col("wbr"), "left")
+          .select(col("b"), coalesce(col("w"), lit(0L)).as("wins"),
+            lit(1000000L).as("pm"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          val denom = pd
+            .join(pm.select(col("b").as("i"), col("pm").as("pm_i")), "i")
+            .join(pm.select(col("b").as("j"), col("pm").as("pm_j")), "j")
+            .groupBy("i")
+            .agg(sum(expr("n * 1000000000000 div greatest(pm_i + pm_j, 1)")).as("denom"))
+          pm = pm.join(denom, col("b") === col("i"))
+            .select(col("b"), col("wins"), expr(
+              """CAST(CAST(wins AS DECIMAL(38,0)) * 1000000000000
+                 div greatest(CAST(denom AS DECIMAL(38,0)), 1) AS BIGINT)""").as("pm"))
+            .localCheckpoint(true)
+        }
+        val mt = pd.groupBy(col("i")).agg(sum("n").as("matches"))
+        pm.join(mt, col("b") === col("i"))
+          .select(col("b").as("p_brand"), col("matches"), col("wins"),
+            col("pm").as("strength_micro"))
+          .withColumn("bt_rank", row_number().over(
+            Window.orderBy(col("strength_micro").desc, col("p_brand"))))
+          .orderBy("bt_rank")
+      },
+      Some {
+        def sweep(k: Int) = s"""
+        d$k AS (
+          SELECT pd.i AS b,
+                 sum(n * 1000000000000 // greatest(a.pm + c.pm, 1)) AS denom
+          FROM pd JOIN it${k - 1} a ON pd.i = a.b JOIN it${k - 1} c ON pd.j = c.b
+          GROUP BY pd.i),
+        it$k AS (
+          SELECT t.b, t.wins,
+                 CAST(CAST(t.wins AS HUGEINT) * 1000000000000
+                      // greatest(CAST(denom AS HUGEINT), 1) AS BIGINT) AS pm
+          FROM it${k - 1} t JOIN d$k ON t.b = d$k.b)"""
+        s"""
+        WITH li AS (
+          SELECT l_orderkey, l_extendedprice AS price, p_brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        ext AS (SELECT l_orderkey, max(price) AS mx, min(price) AS mn FROM li GROUP BY 1),
+        m0 AS (
+          SELECT l.l_orderkey,
+                 min(CASE WHEN price = mx THEN p_brand END) AS wb,
+                 min(CASE WHEN price = mn THEN p_brand END) AS lb
+          FROM li l JOIN ext e ON l.l_orderkey = e.l_orderkey GROUP BY 1),
+        m AS (SELECT * FROM m0 WHERE wb <> lb),
+        pd AS (
+          SELECT i, j, count(*) AS n
+          FROM (SELECT wb AS i, lb AS j FROM m UNION ALL SELECT lb, wb FROM m)
+          GROUP BY i, j),
+        wins AS (SELECT wb AS b, count(*) AS w FROM m GROUP BY 1),
+        it0 AS (
+          SELECT u.b, CAST(coalesce(w, 0) AS BIGINT) AS wins,
+                 CAST(1000000 AS BIGINT) AS pm
+          FROM (SELECT DISTINCT i AS b FROM pd) u LEFT JOIN wins ON u.b = wins.b),
+        ${sweep(1)},
+        ${sweep(2)},
+        ${sweep(3)},
+        mt AS (SELECT i AS b, sum(n) AS matches FROM pd GROUP BY 1)
+        SELECT it3.b AS p_brand, CAST(matches AS BIGINT) AS matches,
+               it3.wins, it3.pm AS strength_micro,
+               row_number() OVER (ORDER BY it3.pm DESC, it3.b) AS bt_rank
+        FROM it3 JOIN mt ON it3.b = mt.b
+        ORDER BY bt_rank"""
+      })
   )
 
   /** Shared per-level Hilbert xy2d step expressions — IDENTICAL SQL text

@@ -2125,22 +2125,16 @@ object Similarity {
     // m3_num/(m2_num·√m2_num) with the n-scaled integer central
     // moments — the only floats are one sqrt and one division; no
     // libm pow). Antihubs (N_3 = 0) appear as the occ = 0 row via an
-    // anti-join count. Scale: the directed kNN build is the g09
-    // shape (documented all-pairs on the fixed-size embeddings
-    // table; the 100 TB path blocks through s02/s04 first).
+    // anti-join count. Scale: the directed kNN lists come from the
+    // ONE shared blocked builder ([[Graph.knnDirectedBlocked]] —
+    // multi-probe LSH candidates + exact rerank, recall pinned by
+    // g19_knn_recall), so the audit never pays an all-pairs join.
     QueryDef("s28_hubness_audit",
       (s, d) => {
         Ns.registerFast(s)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
-          .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
-        val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-        val wK = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nb"))
-        val knn = q.join(e, col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nb"),
-            round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
-          .withColumn("rn", row_number().over(wK))
-          .filter(col("rn") <= 3)
+        val knn = Graph.knnDirectedShared(s, d)
         val occ = e.select(col("vec_id"))
           .join(knn.groupBy("nb").agg(count(lit(1)).as("k_occ")),
             col("vec_id") === col("nb"), "left")
@@ -2163,25 +2157,11 @@ object Similarity {
           .orderBy("occ")
       },
       Some(s"""
-        WITH e AS (
-          SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
-        n AS (
-          SELECT vec_id, v,
-                 sqrt(${Ns.oDot("v", "v")}) AS nrm
-          FROM e),
-        scored AS (
-          SELECT q.vec_id AS qid, t.vec_id AS nb,
-                 round(${Ns.oDot("q.v", "t.v")} / (q.nrm * t.nrm), 6) AS cosine
-          FROM n q JOIN n t ON t.vec_id <> q.vec_id),
-        knn AS (
-          SELECT qid, nb FROM (
-            SELECT qid, nb,
-                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nb) AS rn
-            FROM scored) WHERE rn <= 3),
+        WITH ${Graph.knnDirOracleCtes},
         occ AS (
-          SELECT e.vec_id, CAST(coalesce(k.k_occ, 0) AS BIGINT) AS occ
-          FROM e LEFT JOIN (SELECT nb, count(*) AS k_occ FROM knn GROUP BY nb) k
-            ON e.vec_id = k.nb),
+          SELECT v.vec_id, CAST(coalesce(k.k_occ, 0) AS BIGINT) AS occ
+          FROM v LEFT JOIN (SELECT nb, count(*) AS k_occ FROM knn GROUP BY nb) k
+            ON v.vec_id = k.nb),
         hist AS (SELECT occ, count(*) AS n_vectors FROM occ GROUP BY occ),
         mom AS (
           SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(occ) AS HUGEINT) AS so,

@@ -1912,7 +1912,65 @@ object TextAnalysis {
         SELECT seed, n_tokens, gen AS generated FROM (
           SELECT *, row_number() OVER (PARTITION BY seed ORDER BY step DESC) AS rn
           FROM walk) WHERE rn = 1
-        ORDER BY seed"""))
+        ORDER BY seed""")),
+
+    // Perplexity-based quality filtering (the CCNet / Gopher curation
+    // step): score every document by its mean per-token surprisal under
+    // the corpus's own unigram LM, then bucket the corpus into quintiles
+    // — the pipeline keeps the low-perplexity buckets and drops or
+    // down-weights the tail. Determinism: surprisal ln(N/c_t) is
+    // quantized to micro-nats ONCE per distinct token (the t22/g17
+    // recipe), per-doc sums are exact BIGINT, the mean is round-half-up
+    // exact integer division ((2a+n) div 2n), and the quintile ntile
+    // runs over the total order (score, doc_id). Scale: one token
+    // explode + groupBy (partial agg), the LM join keys on token, the
+    // one-row corpus total broadcasts; the ntile's global sort is on
+    // doc-granularity rows (at 100 TB: swap ntile for fixed score
+    // thresholds learned on a sample — noted, not needed at fixture SF).
+    QueryDef("t39_perplexity_filter",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val lm = tok.groupBy("token").agg(count(lit(1)).as("c"))
+        val n = lm.agg(sum(col("c")).as("n_total"))
+        val sur = lm.crossJoin(n).select(col("token"),
+          expr("CAST(round(ln(CAST(n_total AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)")
+            .as("s_micro"))
+        val perdoc = tok.join(sur, "token").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum(col("s_micro")).as("s_sum"))
+          .select(col("doc_id"),
+            expr("(2 * s_sum + n_toks) div (2 * n_toks)").as("mean_surprisal_micro"))
+        val bucketed = perdoc.withColumn("bucket",
+          ntile(5).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("mean_surprisal_micro"), col("doc_id"))))
+        bucketed.groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("mean_surprisal_micro")).as("min_score"),
+            max(col("mean_surprisal_micro")).as("max_score"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        lm AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        n AS (SELECT sum(c) AS n_total FROM lm),
+        sur AS (
+          SELECT token,
+                 CAST(round(ln(CAST(n_total AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS s_micro
+          FROM lm CROSS JOIN n),
+        perdoc AS (
+          SELECT doc_id,
+                 CAST((2 * sum(s_micro) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS mean_surprisal_micro
+          FROM tok JOIN sur USING (token) GROUP BY doc_id),
+        bucketed AS (
+          SELECT doc_id, mean_surprisal_micro,
+                 ntile(5) OVER (ORDER BY mean_surprisal_micro, doc_id) AS bucket
+          FROM perdoc)
+        SELECT bucket, count(*) AS n_docs,
+               min(mean_surprisal_micro) AS min_score,
+               max(mean_surprisal_micro) AS max_score
+        FROM bucketed GROUP BY bucket ORDER BY bucket"""))
   )
 
   /** Shared lang-id model + per-doc prediction (the t01 pipeline minus

@@ -1794,7 +1794,13 @@ class DecayProcessor
       val score =
         if (s.cnt == 0) 1L
         else {
-          val gap = day - s.lastDay
+          // Clamp: an out-of-order arrival across micro-batches (input
+          // contract is in-order per item, but TimeMode.None enforces no
+          // watermark) would make the raw gap negative, and Java's shift
+          // masking (gap & 63) would then produce garbage that also
+          // diverges from the batch twin's `div shiftleft(...)` spelling.
+          // A clamped gap of 0 means "same-day replay": score unchanged.
+          val gap = math.max(0, day - s.lastDay)
           (if (gap > 62) 0L else s.score >> gap) + 1L
         }
       s = Streams.DcState(day, score, s.cnt + 1)

@@ -252,4 +252,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("kNN builder: candidates come from a bucket equi-join, never all-pairs") {
+    // the round-5 verdict's scale-killer: g09/g10/g11/g12/g14/s28 all ran
+    // on an n^2 theta-join kNN build. Since round 6 they share the
+    // multi-probe-LSH blocked builder — pin its plan shape directly
+    // (consumers localCheckpoint the edge set, which would truncate the
+    // builder out of their own plans).
+    val p = Graph.knnDirectedBlocked(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("probe"), p) // the bucket-probe equi-join is the only join
+  }
+
+  test("s28: the hubness audit shares the blocked kNN build (no cartesian)") {
+    // the one-row moments combine is a broadcast cross join by design;
+    // the corpus-sized paths must never be.
+    val p = plan("s28_hubness_audit")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

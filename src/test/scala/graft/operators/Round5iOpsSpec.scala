@@ -56,23 +56,8 @@ class Round5iOpsSpec extends SparkSpec {
   }
 
   test("g09: candidates equal a scalar wedge sweep; no candidate is an edge") {
-    // rebuild the k=3 kNN graph exactly as the query does
-    val rows = graft.Tables.embeddings(spark, sf0001)
-      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    val nrm = rows.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
-    val byId = rows.toMap
-    val knn = rows.flatMap { case (qid, qv) =>
-      rows.filter(_._1 != qid)
-        .map { case (id, v) => (id, round6(dot(qv, v) / (nrm(qid) * nrm(id)))) }
-        .sortBy { case (id, c) => (-c, id) }.take(3).map(n => (qid, n._1))
-    }
-    val und = knn.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    // scalar replay of the BLOCKED kNN builder (round-6 contract)
+    val und = KnnGraphFixture.und(spark, sf0001)
     val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val deg = adj.view.mapValues(_.size.toLong).toMap

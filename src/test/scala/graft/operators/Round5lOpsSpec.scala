@@ -31,24 +31,10 @@ class Round5lOpsSpec extends SparkSpec {
   }
 
   test("g10: assortativity equals the scalar Newman estimator over the kNN graph") {
-    // rebuild the k=3 kNN graph exactly as g09/g10 do
-    val rows = graft.Tables.embeddings(spark, sf0001)
-      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
+    // scalar replay of the BLOCKED kNN builder (round-6 contract)
     def round6(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
-    val nrm = rows.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
-    val knn = rows.flatMap { case (qid, qv) =>
-      rows.filter(_._1 != qid)
-        .map { case (id, v) => (id, round6(dot(qv, v) / (nrm(qid) * nrm(id)))) }
-        .sortBy { case (id, c) => (-c, id) }.take(3).map(n => (qid, n._1))
-    }
-    val und = knn.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val und = KnnGraphFixture.und(spark, sf0001)
     val dirEdges = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val deg = dirEdges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     val ends = dirEdges.map { case (s, d2) => (deg(s), deg(d2)) }

@@ -36,25 +36,11 @@ class Round5sOpsSpec extends SparkSpec {
   }
 
   test("g12: modularity contributions equal a scalar count; total Q matches sign of structure") {
-    // rebuild the kNN graph (the g09/g10/g11 scalar recipe)
+    // scalar replay of the BLOCKED kNN builder (round-6 contract)
     val rows = graft.Tables.embeddings(spark, sf0001)
-      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    def round6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
-    val nrm = rows.map { case (id, _, v) => id -> math.sqrt(dot(v, v)) }.toMap
-    val byId = rows.map(r => r._1 -> r).toMap
-    val knn = rows.flatMap { case (qid, _, qv) =>
-      rows.filter(_._1 != qid)
-        .map { case (id, _, v) => (id, round6(dot(qv, v) / (nrm(qid) * nrm(id)))) }
-        .sortBy { case (id, c) => (-c, id) }.take(3).map(n => (qid, n._1))
-    }
-    val und = knn.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      .selectExpr("vec_id", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val und = KnnGraphFixture.und(spark, sf0001)
     val m = und.size.toLong
     val deg = und.toSeq.flatMap { case (a, b) => Seq(a, b) }
       .groupBy(identity).view.mapValues(_.length.toLong).toMap

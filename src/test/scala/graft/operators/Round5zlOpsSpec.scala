@@ -73,12 +73,11 @@ class Round5zlOpsSpec extends SparkSpec {
 
   test("g16: mutual graph equals a scalar replay; mutuality prunes one-way links") {
     val vs = vecs
-    val norms = vs.map(v => v._1 -> math.sqrt(dot(v._3, v._3))).toMap
-    val knn = vs.map { case (qid, _, qv) =>
-      qid -> vs.filter(_._1 != qid)
-        .map(v => (r6(dot(qv, v._3) / (norms(qid) * norms(v._1))), v._1))
-        .sortBy(x => (-x._1, x._2)).take(3).map(_._2).toSet
-    }.toMap
+    // since round 6 the product builds the directed lists with the BLOCKED
+    // builder (multi-probe LSH + exact rerank) — replay that, not all-pairs
+    val knn = KnnGraphFixture.knnDirected(spark, sf0001)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty[Long])
     val mutual = (for {
       (q, nbs) <- knn.toSeq; nb <- nbs if q < nb && knn(nb)(q)
     } yield (q, nb)).toSet

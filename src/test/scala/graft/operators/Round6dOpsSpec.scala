@@ -61,7 +61,7 @@ class Round6dOpsSpec extends SparkSpec {
         val r12 = sumIf(r => r._2 == rk && months(r._3) <= 12)
         val td = (BigInt(rfc) * n12 / r12).toLong
         (nk, rk, own, rfc, td, own - td)
-      }
+      }.toSeq
     val got = run("q158_forecast_reconcile").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
