@@ -1142,12 +1142,20 @@ object Graph {
           .select(col("u").as("a0"), col("v").as("b0"), col("support").as("support0"))
           .localCheckpoint()
         var live = e0
-        for (_ <- 1 to TRUSS_ROUNDS) {
+        // early exit at the fixpoint: the peel only REMOVES edges, so an
+        // unchanged count means an identical edge set and every remaining
+        // round is a no-op — same result (the spec asserts the fixpoint is
+        // reached inside TRUSS_ROUNDS), ~2 s/round of wedge joins saved.
+        var prevN = e0.count()
+        var fixed = false
+        for (_ <- 1 to TRUSS_ROUNDS if !fixed) {
           val sup = supportOf(live)
           live = live
             .join(sup, col("a") === col("u") && col("b") === col("v"), "left")
             .filter(coalesce(col("support"), lit(0L)) >= TRUSS_K - 2)
             .select("a", "b").localCheckpoint()
+          val n = live.count()
+          if (n == prevN) fixed = true else prevN = n
         }
         val supF = supportOf(live)
         e0.join(sup0, col("a") === col("a0") && col("b") === col("b0"), "left")

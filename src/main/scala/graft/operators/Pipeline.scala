@@ -1461,6 +1461,44 @@ object Pipeline {
                  AS gap_micro
         FROM nk n JOIN dpfin d ON n.source = d.source
         JOIN gfin g ON n.source = g.source
-        ORDER BY n.source"""))
+        ORDER BY n.source""")),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006 —
+    // the one-pass distributed algorithm every quality-weighted corpus
+    // subsample uses): each doc draws u = hash52/2^52 (deterministic
+    // uniform, exactly representable) and is ranked by the exponential
+    // key ln(u)/w with w = n_chars; the top-100 keys ARE a weighted
+    // sample without replacement. The key is floor-quantized to
+    // nano-units (floor, not round — ln is irrational, the q112 recipe)
+    // with doc_id tie-break, so the ranking is engine-independent.
+    // Scale: a pure projection + one TakeOrdered top-k — no shuffle
+    // wider than k rows; on a cluster this is exactly how you draw a
+    // 1M-doc mixture from 100 TB in one pass.
+    QueryDef("p26_weighted_sample",
+      (s, d) => {
+        val k = 100
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            expr(s"${Ns.hash52("CAST(doc_id AS STRING)")} / CAST(4503599627370496 AS DOUBLE)").as("u"))
+          .select(col("doc_id"), col("n_chars"),
+            expr("CAST(floor(1000000000 * ln(u) / CAST(n_chars AS DOUBLE)) AS BIGINT)").as("key_nano"))
+          .orderBy(col("key_nano").desc, col("doc_id"))
+          .limit(k)
+          .withColumn("draw_rank", row_number().over(
+            Window.orderBy(col("key_nano").desc, col("doc_id"))))
+          .orderBy("draw_rank")
+      },
+      Some(s"""
+        WITH keys AS (
+          SELECT doc_id, n_chars,
+                 CAST(floor(1000000000 * ln(${Ns.oHash52("CAST(doc_id AS VARCHAR)")}
+                        / CAST(4503599627370496 AS DOUBLE))
+                      / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_nano
+          FROM documents)
+        SELECT doc_id, n_chars, key_nano,
+               row_number() OVER (ORDER BY key_nano DESC, doc_id) AS draw_rank
+        FROM keys
+        ORDER BY key_nano DESC, doc_id
+        LIMIT 100"""))
   )
 }

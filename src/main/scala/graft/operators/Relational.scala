@@ -8256,6 +8256,155 @@ object Relational {
                row_number() OVER (ORDER BY it3.pm DESC, it3.b) AS bt_rank
         FROM it3 JOIN mt ON it3.b = mt.b
         ORDER BY bt_rank"""
+      }),
+
+    // Markov-chain removal-effect attribution (Anderl et al. 2014 — the
+    // data-driven multi-touch model that replaced last-touch heuristics):
+    // user journeys become a first-order chain over event types with
+    // START / CONV (absorb on first purchase) / END (journey ends
+    // unconverted) states; a channel's credit is how much the chain's
+    // START->CONV absorption mass drops when that channel is removed
+    // (its inbound edges redirected to END). Absorption is evaluated at
+    // a FIXED 8-sweep horizon: v_i <- sum_j n_ij * v_j div row_n_i runs
+    // entirely in micro-unit BIGINTs, so every sweep is an exact floor
+    // both engines and the scalar spec replay reproduce bit-for-bit.
+    // Scale: ONE corpus pass builds the (states+2)^2-bounded transition
+    // matrix; the 5 chains x 8 sweeps run on that K-row table (collected
+    // driver-side — the bounded-collect pattern of the s08 shortlist /
+    // c01 centroids), so cost is the journey groupBy, not the algebra.
+    QueryDef("q168_markov_attribution",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val seq0 = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+            col("event_type"))
+          .withColumn("pos", row_number().over(w))
+        val firstp = seq0.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("fu")).agg(min(col("pos")).as("fpos"))
+        val kept = seq0.join(firstp, col("user_id") === col("fu"), "left")
+          .filter(col("fpos").isNull || col("pos") <= col("fpos"))
+          .withColumn("state",
+            when(col("event_type") === "purchase", lit("CONV")).otherwise(col("event_type")))
+        val wk = Window.partitionBy("user_id").orderBy(col("pos"))
+        val steps = kept
+          .withColumn("from_state", coalesce(lag(col("state"), 1).over(wk), lit("START")))
+          .withColumn("is_last", lead(col("state"), 1).over(wk).isNull)
+          .select(col("from_state"), col("state").as("to_state"),
+            col("is_last"), col("state"))
+        // journey edges: every (prev -> cur) pair, plus a terminal
+        // cur -> END edge when the journey ends unconverted
+        val edges = steps.select(col("from_state"), col("to_state"))
+          .unionAll(steps
+            .filter(col("is_last") && col("state") =!= "CONV")
+            .select(col("state").as("from_state"), lit("END").as("to_state")))
+        val trans = edges.groupBy("from_state", "to_state")
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // exact integer 8-sweep absorption on the collected K^2 matrix
+        def absorb(t: Seq[(String, String, Long)]): Long = {
+          val rowN = t.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+          val states = t.map(_._1).distinct
+          var v = Map("CONV" -> 1000000L, "END" -> 0L).withDefaultValue(0L)
+          for (_ <- 1 to 8) {
+            val nv = states.map { st =>
+              st -> t.collect { case (f, to, n) if f == st => n * v(to) }.sum / rowN(st)
+            }.toMap
+            v = (nv + ("CONV" -> 1000000L) + ("END" -> 0L)).withDefaultValue(0L)
+          }
+          v("START")
+        }
+        def removed(c: String): Seq[(String, String, Long)] = trans.toSeq
+          .filter(_._1 != c)
+          .map { case (f, to, n) => (f, if (to == c) "END" else to, n) }
+          .groupBy(t => (t._1, t._2)).map { case ((f, to), xs) => (f, to, xs.map(_._3).sum) }
+          .toSeq
+        val base = absorb(trans.toSeq)
+        val channels = trans.map(_._1).filter(c => c != "START").distinct.sorted
+        val rows = channels.map { c =>
+          val r = absorb(removed(c))
+          (c, base, r, if (base == 0) 0L else (base - r) * 1000000L / base)
+        }
+        rows.toSeq
+          .toDF("channel", "base_cvr_micro", "removed_cvr_micro", "removal_effect_ppm")
+          .orderBy("channel")
+      },
+      Some {
+        // unrolled sweeps: vterm pins the absorbing states, each sweep is
+        // the same exact integer contraction the Spark side runs
+        def sweeps(tag: String, transCte: String): String = {
+          val chain = (1 to 8).map { k =>
+            s"""v${tag}_$k AS (
+              SELECT rn.from_state AS state,
+                     CAST(sum(t.n * coalesce(v.v, CASE WHEN t.to_state = 'CONV' THEN 1000000 ELSE 0 END))
+                          // rn.row_n AS BIGINT) AS v
+              FROM $transCte t
+              JOIN rown_$tag rn ON t.from_state = rn.from_state
+              LEFT JOIN v${tag}_${k - 1} v ON t.to_state = v.state
+              GROUP BY rn.from_state, rn.row_n)"""
+          }.mkString(",\n        ")
+          s"""rown_$tag AS (
+            SELECT from_state, CAST(sum(n) AS BIGINT) AS row_n
+            FROM $transCte GROUP BY from_state),
+        v${tag}_0 AS (
+          SELECT 'CONV' AS state, CAST(1000000 AS BIGINT) AS v
+          UNION ALL SELECT 'END', CAST(0 AS BIGINT)),
+        $chain"""
+        }
+        // NOTE on v_{k-1} lookup: non-terminal states missing from the
+        // previous sweep's output contribute 0; CONV/END are pinned via
+        // the coalesce CASE (CONV never appears as a from_state).
+        s"""
+        WITH seq0 AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS pos
+          FROM events),
+        firstp AS (
+          SELECT user_id AS fu, min(pos) AS fpos FROM seq0
+          WHERE event_type = 'purchase' GROUP BY user_id),
+        kept AS (
+          SELECT user_id, pos,
+                 CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS state
+          FROM seq0 LEFT JOIN firstp ON user_id = fu
+          WHERE fpos IS NULL OR pos <= fpos),
+        steps AS (
+          SELECT coalesce(lag(state, 1) OVER (PARTITION BY user_id ORDER BY pos), 'START')
+                   AS from_state,
+                 state AS to_state,
+                 lead(state, 1) OVER (PARTITION BY user_id ORDER BY pos) IS NULL AS is_last,
+                 state
+          FROM kept),
+        edges AS (
+          SELECT from_state, to_state FROM steps
+          UNION ALL
+          SELECT state, 'END' FROM steps WHERE is_last AND state <> 'CONV'),
+        trans AS (
+          SELECT from_state, to_state, count(*) AS n
+          FROM edges GROUP BY from_state, to_state),
+        chans AS (
+          SELECT DISTINCT from_state AS c FROM trans WHERE from_state <> 'START'),
+        ${sweeps("b", "trans")},
+        base AS (SELECT v AS base_v FROM vb_8 WHERE state = 'START'),
+        ${Seq("click", "error", "signup", "view").map { c =>
+          val tag = c.take(2)
+          s"""tr_$tag AS (
+            SELECT from_state,
+                   CASE WHEN to_state = '$c' THEN 'END' ELSE to_state END AS to_state,
+                   CAST(sum(n) AS BIGINT) AS n
+            FROM trans WHERE from_state <> '$c'
+            GROUP BY from_state, CASE WHEN to_state = '$c' THEN 'END' ELSE to_state END),
+        ${sweeps(tag, s"tr_$tag")},
+        out_$tag AS (
+          SELECT '$c' AS channel, base_v AS base_cvr_micro, v AS removed_cvr_micro,
+                 CASE WHEN base_v = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST((base_v - v) * 1000000 // base_v AS BIGINT) END
+                   AS removal_effect_ppm
+          FROM v${tag}_8 CROSS JOIN base WHERE state = 'START')"""
+        }.mkString(",\n        ")}
+        SELECT * FROM out_cl UNION ALL SELECT * FROM out_er
+        UNION ALL SELECT * FROM out_si UNION ALL SELECT * FROM out_vi
+        ORDER BY channel"""
       })
   )
 

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Differentials for the round-6 second wave (q168 Markov removal-effect
+  * attribution, p26 Efraimidis-Spirakis weighted sampling): scalar
+  * replays at sf0.001 plus structural properties.
+  */
+class Round6jOpsSpec extends SparkSpec {
+
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf0001)
+
+  test("q168: removal effects equal a scalar replay of journeys + 8 exact sweeps") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // journeys: per user ordered by (us, event_id), cut at first purchase
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { rows =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      val cut = ordered.indexOf("purchase") match {
+        case -1 => ordered
+        case i  => ordered.take(i + 1)
+      }
+      val states = cut.map(t => if (t == "purchase") "CONV" else t)
+      ("START" +: states).sliding(2).foreach {
+        case Seq(a, b) => trans((a, b)) += 1L
+        case _ =>
+      }
+      if (states.last != "CONV") trans((states.last, "END")) += 1L
+    }
+    def absorb(t: Map[(String, String), Long]): Long = {
+      val rowN = t.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val states = rowN.keys.toSeq
+      var v = Map("CONV" -> 1000000L, "END" -> 0L).withDefaultValue(0L)
+      for (_ <- 1 to 8) {
+        val nv = states.map { st =>
+          st -> t.collect { case ((f, to), n) if f == st => n * v(to) }.sum / rowN(st)
+        }.toMap
+        v = (nv + ("CONV" -> 1000000L) + ("END" -> 0L)).withDefaultValue(0L)
+      }
+      v("START")
+    }
+    val base = absorb(trans.toMap)
+    val channels = trans.keys.map(_._1).filter(_ != "START").toSeq.distinct.sorted
+    val want = channels.map { c =>
+      val rt = trans.toSeq.filter(_._1._1 != c)
+        .map { case ((f, to), n) => ((f, if (to == c) "END" else to), n) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val r = absorb(rt)
+      (c, base, r, if (base == 0L) 0L else (base - r) * 1000000L / base)
+    }
+    val got = run("q168_markov_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"q168 mismatch: got $got want $want")
+    // removing a channel can only LOSE conversion mass at a fixed horizon
+    got.foreach { case (_, b, r, eff) =>
+      assert(r <= b && eff >= 0L && eff <= 1000000L)
+    }
+    assert(got.exists(_._4 > 0L), "no channel carries any removal effect?")
+  }
+
+  test("p26: weighted sample equals a scalar replay; keys are sorted and ranks dense") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = docs.map { case (id, w) =>
+      val u = java.lang.Long.parseLong(md5hex(id.toString).take(13), 16) /
+        4503599627370496.0
+      val key = math.floor(1e9 * math.log(u) / w.toDouble).toLong
+      (id, w, key)
+    }.sortBy(x => (-x._3, x._1)).take(100)
+      .zipWithIndex.map { case ((id, w, k), i) => (id, w, k, i + 1) }
+    val got = run("p26_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == want, s"p26 mismatch: got ${got.take(3)} want ${want.take(3)}")
+    assert(got.map(_._4) == (1 to 100), "ranks not dense 1..100")
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse, "keys not non-increasing")
+    // E-S property on this draw: the sample's mean weight should exceed the
+    // corpus mean (heavier docs are proportionally more likely in-sample)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.size
+    val sampleMean = got.map(_._2).sum.toDouble / got.size
+    assert(sampleMean > corpusMean * 0.9,
+      s"sample mean weight $sampleMean improbably below corpus mean $corpusMean")
+  }
+}
