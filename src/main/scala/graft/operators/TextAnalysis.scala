@@ -1970,7 +1970,81 @@ object TextAnalysis {
         SELECT bucket, count(*) AS n_docs,
                min(mean_surprisal_micro) AS min_score,
                max(mean_surprisal_micro) AS max_score
-        FROM bucketed GROUP BY bucket ORDER BY bucket"""))
+        FROM bucketed GROUP BY bucket ORDER BY bucket""")),
+
+    // Dunning log-likelihood keyness (G2) per source: which tokens are
+    // statistically OVER/UNDER-represented in each source vs the rest of
+    // the corpus — the corpus-linguistics test behind boilerplate and
+    // domain-signature detection (more robust than PMI at low counts,
+    // unlike the chi-square it is safe when expected counts are small).
+    // G2 = 2*(a·ln(a/Ea) + b·ln(b/Eb)) with a/b the in/out counts and
+    // Ea/Eb the source-size-proportional expectations; zero cells
+    // contribute zero. Every factor of every ln argument is a BIGINT
+    // cast to double (exact below 2^53), the whole score is ONE
+    // expression with identical text in both engines, micro-quantized
+    // once, and ranked with a token tie-break. Scale: one token explode
+    // + two partial-agg groupBys; the per-source top-5 is a bounded
+    // window over (sources x vocab) rows.
+    QueryDef("t40_llr_keyness",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        val st = tok.groupBy("source", "token").agg(count(lit(1)).as("a"))
+        val tt = tok.groupBy("token").agg(count(lit(1)).as("ab"))
+        val ss = tok.groupBy(col("source").as("src")).agg(count(lit(1)).as("ra"))
+        val n = tok.agg(count(lit(1)).as("nn"))
+        val g2 =
+          """CAST(round(2000000 * (
+            |  CASE WHEN a = 0 THEN CAST(0 AS DOUBLE)
+            |       ELSE CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) * CAST(nn AS DOUBLE)
+            |              / (CAST(ra AS DOUBLE) * CAST(ab AS DOUBLE))) END
+            |  +
+            |  CASE WHEN ab - a = 0 THEN CAST(0 AS DOUBLE)
+            |       ELSE CAST(ab - a AS DOUBLE) * ln(CAST(ab - a AS DOUBLE) * CAST(nn AS DOUBLE)
+            |              / (CAST(nn - ra AS DOUBLE) * CAST(ab AS DOUBLE))) END
+            |  ), 0) AS BIGINT)""".stripMargin
+        val scored = st
+          .join(tt, "token")
+          .join(ss, col("source") === col("src"))
+          .crossJoin(n)
+          .select(col("source"), col("token"), col("a").as("cnt_in"),
+            (col("ab") - col("a")).as("cnt_out"),
+            expr(g2).as("g2_micro"),
+            expr("a * (nn - ra) > (ab - a) * ra").as("overrepresented"))
+        scored.withColumn("key_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("g2_micro").desc, col("token"))))
+          .filter(col("key_rank") <= 5)
+          .orderBy("source", "key_rank")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        st AS (SELECT source, token, count(*) AS a FROM tok GROUP BY source, token),
+        tt AS (SELECT token, count(*) AS ab FROM tok GROUP BY token),
+        ss AS (SELECT source AS src, count(*) AS ra FROM tok GROUP BY source),
+        n AS (SELECT count(*) AS nn FROM tok),
+        scored AS (
+          SELECT source, token, a AS cnt_in, ab - a AS cnt_out,
+                 CAST(round(2000000 * (
+                   CASE WHEN a = 0 THEN CAST(0 AS DOUBLE)
+                        ELSE CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) * CAST(nn AS DOUBLE)
+                               / (CAST(ra AS DOUBLE) * CAST(ab AS DOUBLE))) END
+                   +
+                   CASE WHEN ab - a = 0 THEN CAST(0 AS DOUBLE)
+                        ELSE CAST(ab - a AS DOUBLE) * ln(CAST(ab - a AS DOUBLE) * CAST(nn AS DOUBLE)
+                               / (CAST(nn - ra AS DOUBLE) * CAST(ab AS DOUBLE))) END
+                   ), 0) AS BIGINT) AS g2_micro,
+                 a * (nn - ra) > (ab - a) * ra AS overrepresented
+          FROM st JOIN tt USING (token) JOIN ss ON source = src CROSS JOIN n)
+        SELECT source, token, cnt_in, cnt_out, g2_micro, overrepresented,
+               key_rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY g2_micro DESC, token) AS key_rank
+          FROM scored)
+        WHERE key_rank <= 5
+        ORDER BY source, key_rank"""))
   )
 
   /** Shared lang-id model + per-doc prediction (the t01 pipeline minus

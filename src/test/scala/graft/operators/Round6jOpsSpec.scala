@@ -62,6 +62,37 @@ class Round6jOpsSpec extends SparkSpec {
     assert(got.exists(_._4 > 0L), "no channel carries any removal effect?")
   }
 
+  test("t40: per-source keyness equals a scalar G2 replay; keyness flags match raw ratios") {
+    val tok = graft.Tables.documents(spark, sf0001)
+      .selectExpr("source", "explode(split(text, ' ')) AS token").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val nn = tok.size.toLong
+    val ra = tok.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ab = tok.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val a = tok.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = a.keys.toSeq.map { case (src, t) =>
+      val ai = a((src, t)); val bi = ab(t) - ai
+      val ta = if (ai == 0) 0.0
+               else ai.toDouble * math.log(ai.toDouble * nn.toDouble / (ra(src).toDouble * ab(t).toDouble))
+      val tb = if (bi == 0) 0.0
+               else bi.toDouble * math.log(bi.toDouble * nn.toDouble / ((nn - ra(src)).toDouble * ab(t).toDouble))
+      (src, t, ai, bi, halfUp(2000000.0 * (ta + tb)), ai * (nn - ra(src)) > bi * ra(src))
+    }.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(x => (-x._5, x._2)).take(5).zipWithIndex
+        .map { case ((s2, t, ai, bi, g, o), i) => (s2, t, ai, bi, g, o, i + 1) }
+    }.sortBy(x => (x._1, x._7))
+    val got = run("t40_llr_keyness").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getInt(6))).toSeq
+    assert(got == want, s"t40 mismatch: got ${got.take(3)} want ${want.take(3)}")
+    // a top-keyness token must have nonnegative G2 and a well-defined flag
+    got.foreach { case (_, _, ai, bi, g, _, _) =>
+      assert(g >= 0L || ai == 0L || bi == 0L)
+    }
+  }
+
   test("p26: weighted sample equals a scalar replay; keys are sorted and ranks dense") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
