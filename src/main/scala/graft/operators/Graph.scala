@@ -1138,26 +1138,32 @@ object Graph {
             .join(live.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_semi")
             .groupBy("u", "v").agg(count(lit(1)).as("support"))
         }
-        val sup0 = supportOf(e0)
+        // `sup` is kept in sync with `live` (support of the CURRENT edge
+        // set), so each wedge join is computed exactly once: round 1
+        // reuses sup0, the fixpoint round reuses the previous support
+        // (identical edge set => identical support), and the final
+        // support is whatever the loop last computed. Early exit at the
+        // fixpoint: the peel only REMOVES edges, so an unchanged count
+        // means every remaining round is a no-op — same result (the spec
+        // asserts the fixpoint is reached inside TRUSS_ROUNDS), and the
+        // wedge-join count drops from ROUNDS+2 to changing-rounds+1.
+        val sup0raw = supportOf(e0).localCheckpoint()
+        val sup0 = sup0raw
           .select(col("u").as("a0"), col("v").as("b0"), col("support").as("support0"))
-          .localCheckpoint()
         var live = e0
-        // early exit at the fixpoint: the peel only REMOVES edges, so an
-        // unchanged count means an identical edge set and every remaining
-        // round is a no-op — same result (the spec asserts the fixpoint is
-        // reached inside TRUSS_ROUNDS), ~2 s/round of wedge joins saved.
+        var sup = sup0raw
         var prevN = e0.count()
         var fixed = false
         for (_ <- 1 to TRUSS_ROUNDS if !fixed) {
-          val sup = supportOf(live)
           live = live
             .join(sup, col("a") === col("u") && col("b") === col("v"), "left")
             .filter(coalesce(col("support"), lit(0L)) >= TRUSS_K - 2)
             .select("a", "b").localCheckpoint()
           val n = live.count()
-          if (n == prevN) fixed = true else prevN = n
+          if (n == prevN) fixed = true
+          else { prevN = n; sup = supportOf(live).localCheckpoint() }
         }
-        val supF = supportOf(live)
+        val supF = sup
         e0.join(sup0, col("a") === col("a0") && col("b") === col("b0"), "left")
           .join(live.select(col("a").as("la"), col("b").as("lb"), lit(true).as("in_truss")),
             col("a") === col("la") && col("b") === col("lb"), "left")
