@@ -92,7 +92,8 @@ object DumpPlans {
       "c08_davies_bouldin", "c09_ari_stability", "g19_knn_recall",
       "d17_window_substring_dup", "t39_perplexity_filter",
       "q167_bradley_terry", "c10_linkage_curve",
-      "q168_markov_attribution", "p26_weighted_sample", "t40_llr_keyness")
+      "q168_markov_attribution", "p26_weighted_sample", "t40_llr_keyness",
+      "d18_blocking_quality")
 
     /** Measured performance-floor notes, injected under the query's plan so
       * a future round doesn't re-derive them (kept here, not hand-edited in

@@ -1152,6 +1152,90 @@ object Dedup {
                     ELSE coalesce(dup_windows, 0) * 1000000 // n_windows END AS BIGINT) AS dup_ppm
         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         ORDER BY d.doc_id"""
-      })
+      }),
+
+    // Blocking-quality card (the Christen entity-resolution evaluation
+    // pair): REDUCTION RATIO — how much of the all-pairs space the LSH
+    // banding never scores — and PAIR COMPLETENESS — what fraction of
+    // the ground-truth duplicate pairs the banding still catches. Truth
+    // = pairs whose EXACT 3-shingle Jaccard is >= 0.5 (the d04 scoring;
+    // its shared-shingle equi-join blocking is LOSSLESS for j >= 0.5,
+    // any such pair shares a shingle, so the truth set is complete
+    // without an all-pairs join; the integer condition 2*|I| >= |U|
+    // keeps floats out of the cut). Completeness here is the honest
+    // MinHash-LSH S-curve sample — with 4 bands of 4 rows the catch
+    // probability at j is 1-(1-j^4)^4, ~0.23 at the j=0.5 edge and
+    // ->1 near j=1 — measured and hash-pinned, NOT assumed: a banding
+    // regression moves this number and fails the gate. Scale: both
+    // pair sets come from equi-join blocking; counts and ratios are
+    // one-row arithmetic.
+    QueryDef("d18_blocking_quality",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(expr(
+              "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("s"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val truth = sh.select(col("doc_id").as("ta"), col("lang"), col("s"))
+          .join(sh.select(col("doc_id").as("tb"), col("lang").as("lang_b"), col("s").as("s_b")),
+            col("s") === col("s_b") && col("lang") === col("lang_b") &&
+              col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("n_common"))
+          .join(sizes.select(col("doc_id").as("ta"), col("n").as("na")), "ta")
+          .join(sizes.select(col("doc_id").as("tb"), col("n").as("nb")), "tb")
+          .filter(expr("2 * n_common >= na + nb - n_common"))
+          .select(col("ta"), col("tb")).localCheckpoint()
+        val cands = Dedup.minhashPairsShared(s, d).select(col("doc_a"), col("doc_b"))
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val nCand = cands.agg(count(lit(1)).as("candidate_pairs"))
+        val nTruth = truth.agg(count(lit(1)).as("dup_pairs"))
+        val nHit = truth.join(cands,
+            col("ta") === col("doc_a") && col("tb") === col("doc_b"), "left_semi")
+          .agg(count(lit(1)).as("dup_pairs_blocked"))
+        nDocs.crossJoin(nCand).crossJoin(nTruth).crossJoin(nHit)
+          .select(col("n_docs"),
+            expr("n_docs * (n_docs - 1) div 2").as("all_pairs"),
+            col("candidate_pairs"), col("dup_pairs"), col("dup_pairs_blocked"))
+          .withColumn("pair_completeness_ppm", expr(
+            "CASE WHEN dup_pairs = 0 THEN CAST(1000000 AS BIGINT) ELSE dup_pairs_blocked * 1000000 div dup_pairs END"))
+          .withColumn("reduction_ratio_ppm", expr(
+            "(all_pairs - candidate_pairs) * 1000000 div all_pairs"))
+      },
+      Some(s"""
+        WITH $minhashPairsOracleCtes,
+        td18 AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        shd AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+          FROM td18 WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+        truth AS (
+          SELECT ta, tb FROM (
+            SELECT a.doc_id AS ta, b.doc_id AS tb, count(*) AS n_common
+            FROM shd a JOIN shd b
+              ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id) c
+          JOIN sizes sa ON c.ta = sa.doc_id
+          JOIN sizes sb ON c.tb = sb.doc_id
+          WHERE 2 * n_common >= sa.n + sb.n - n_common),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        nc AS (SELECT count(*) AS candidate_pairs FROM mpairs),
+        nt AS (SELECT count(*) AS dup_pairs FROM truth),
+        nh AS (
+          SELECT count(*) AS dup_pairs_blocked
+          FROM truth t WHERE EXISTS (
+            SELECT 1 FROM mpairs m WHERE m.doc_a = t.ta AND m.doc_b = t.tb))
+        SELECT n_docs,
+               CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS all_pairs,
+               candidate_pairs, dup_pairs, dup_pairs_blocked,
+               CAST(CASE WHEN dup_pairs = 0 THEN 1000000
+                    ELSE dup_pairs_blocked * 1000000 // dup_pairs END AS BIGINT)
+                 AS pair_completeness_ppm,
+               CAST((n_docs * (n_docs - 1) // 2 - candidate_pairs) * 1000000
+                    // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS reduction_ratio_ppm
+        FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN nh"""))
   )
 }

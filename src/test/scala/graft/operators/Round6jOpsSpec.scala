@@ -62,6 +62,42 @@ class Round6jOpsSpec extends SparkSpec {
     assert(got.exists(_._4 > 0L), "no channel carries any removal effect?")
   }
 
+  test("d18: blocking card equals a scalar all-pairs replay of the j>=0.5 truth") {
+    val sh = graft.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "lang", "split(text, ' ')").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toArray))
+      .filter(_._3.length >= 3)
+      .map { case (id, lang, toks) =>
+        (id, lang, (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet)
+      }
+    // ALL same-lang pairs scored exactly — independent of the product's
+    // shared-shingle blocking (which must be lossless for j >= 0.5)
+    val truth = (for {
+      a <- sh; b <- sh
+      if a._1 < b._1 && a._2 == b._2
+      inter = (a._3 & b._3).size
+      if 2 * inter >= a._3.size + b._3.size - inter
+    } yield (a._1, b._1)).toSet
+    val cands = Dedup.minhashPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = truth.count(cands.contains).toLong
+    val n = graft.Tables.documents(spark, sf0001).count()
+    val all = n * (n - 1) / 2
+    val want = (n, all, cands.size.toLong, truth.size.toLong, hit,
+      if (truth.isEmpty) 1000000L else hit * 1000000L / truth.size,
+      (all - cands.size) * 1000000L / all)
+    val got = run("d18_blocking_quality").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).head
+    assert(got == want, s"d18 mismatch: got $got want $want")
+    assert(got._4 > 0L, "fixture has no j>=0.5 pairs — the card is vacuous")
+    // the 4x4-band S-curve catches >= ~23% at the j=0.5 edge; a measured
+    // completeness of zero or a full miss of the reduction goal is a bug
+    assert(got._6 > 0L && got._6 <= 1000000L)
+    assert(got._7 > 900000L, "blocking explores >10% of the all-pairs space?!")
+  }
+
   test("t40: per-source keyness equals a scalar G2 replay; keyness flags match raw ratios") {
     val tok = graft.Tables.documents(spark, sf0001)
       .selectExpr("source", "explode(split(text, ' ')) AS token").collect()
