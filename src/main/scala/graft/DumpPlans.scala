@@ -109,6 +109,15 @@ object DumpPlans {
         "work-, dominated, so wall time was unchanged. At 100 TB the same plan holds: " +
         "stages grow with graph diameter (log-ish for the 3x3-blocked epsilon graph), " +
         "work per stage stays frontier-sized."),
+      "g15_ktruss" -> ("Measured floor (r6): ~8.3 s at sf0.1 — the slowest query, and " +
+        "genuinely work-bound, not wasteful. The simhash near-dup graph at sf0.1 has " +
+        "~83k edges in near-clique dup families, so each per-round wedge join (support " +
+        "recount) costs ~2.1 s, and the peel MEASURABLY shrinks the live set for 3+ " +
+        "rounds before the fixpoint (the r6 early-exit + support-reuse already removed " +
+        "the redundant recounts: round 1 reuses the initial support, the final column " +
+        "reuses the loop's last). Remaining headroom would need degree-ordered oriented " +
+        "wedge enumeration; at 100 TB the same plan holds because every round is an " +
+        "equi-join on the shared endpoint, frontier-sized by the shrinking live set."),
       "d09_prefix_filter_join" -> ("Measured floor (r5): ~2.7 s at sf0.1, scale-SAFE. " +
         "The bench pipeline_witness runs this query across sf0.001/0.01/0.1 and the " +
         "shuffled bytes grow with the BLOCKED candidate pairs (0.8 -> 0.78 -> 6.2 MB), " +
