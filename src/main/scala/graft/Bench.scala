@@ -112,9 +112,13 @@ object Bench {
     // sequential kernel), c03 (iterative min-label CC through
     // checkpointFresh — the loop a skeptic would most expect to depend
     // on partitioning)
+    // r6 additions: d17 (high-cardinality window-hash explode), q168
+    // (bounded driver-side collect + exact integer sweeps — the collect
+    // order must not leak into the result)
     val reps = Seq("q01_pricing_summary", "d02_minhash_lsh", "s01_cosine_topk",
       "t01_lang_id", "g01_pagerank",
-      "p14_bin_packing", "st17_stream_cusum", "m08_shot_boundary", "c03_dbscan_grid")
+      "p14_bin_packing", "st17_stream_cusum", "m08_shot_boundary", "c03_dbscan_grid",
+      "d17_window_substring_dup", "q168_markov_attribution")
     val parts = Seq(5, 13, 32)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     def contentHash(name: String): String = {

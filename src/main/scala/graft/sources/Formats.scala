@@ -44,4 +44,16 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** XML — built into Spark since 4.0 (no external package): the
+    * interchange format feeds/catalogs still arrive in. Row tag is
+    * explicit; schema supplied on read for the same
+    * no-inference-double-scan reason as CSV.
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.option("rowTag", rowTag).mode(SaveMode.Overwrite).format("xml").save(path)
+
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+      schema: StructType): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema).format("xml").load(path)
 }

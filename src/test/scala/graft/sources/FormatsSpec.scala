@@ -83,6 +83,15 @@ class FormatsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(n_chars)"), plan)
   }
 
+  test("XML round-trip with explicit schema preserves all rows (built-in since Spark 4)") {
+    val dir = Files.createTempDirectory("graft-xml").toString
+    Formats.writeXml(docs, dir, rowTag = "doc")
+    val back = Formats.readXml(spark, dir, rowTag = "doc", docs.schema)
+    assert(back.schema == docs.schema)
+    assert(back.orderBy("doc_id").collect()
+      .sameElements(docs.orderBy("doc_id").collect()))
+  }
+
   test("z-order clustered write: per-file zval ranges are disjoint (skippable)") {
     // the write pattern q25_zorder's scale note promises: range-partition
     // on the interleaved key + sort within partitions, then prove the
