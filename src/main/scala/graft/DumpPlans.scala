@@ -93,7 +93,7 @@ object DumpPlans {
       "d17_window_substring_dup", "t39_perplexity_filter",
       "q167_bradley_terry", "c10_linkage_curve",
       "q168_markov_attribution", "p26_weighted_sample", "t40_llr_keyness",
-      "d18_blocking_quality")
+      "d18_blocking_quality", "m23_ssim_frames")
 
     /** Measured performance-floor notes, injected under the query's plan so
       * a future round doesn't re-derive them (kept here, not hand-edited in

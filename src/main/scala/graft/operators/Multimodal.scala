@@ -1512,6 +1512,97 @@ object Multimodal {
                sum(boundary) * 2 < count(*) AS rle_wins
         FROM m
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // SSIM between consecutive 64-pixel frames (Wang et al. 2004 — the
+    // perceptual structural-similarity metric; complements m08's
+    // histogram-L1 cut detector with the luminance/contrast/structure
+    // decomposition real video dedup uses). Every moment is an exact
+    // integer sum; the /64 normalizations are DYADIC, so mu/var/cov are
+    // EXACT doubles, and the one SSIM combination is a single
+    // identically-spelled expression in both engines (the K1/K2
+    // stabilizers 6.5025/58.5225 cast from the same decimal literal to
+    // the same double), floor-quantized once. Scale: pixel rows explode
+    // to docs x frames x 64 with partial-agg moment sums; the
+    // consecutive-frame pairing is an equi-join on (doc, pixel index).
+    QueryDef("m23_ssim_frames", {
+      val mu = (sv: String) => s"(CAST($sv AS DOUBLE) / CAST(64 AS DOUBLE))"
+      val vr = (svv: String, sv: String) =>
+        s"(CAST($svv AS DOUBLE) / CAST(64 AS DOUBLE) - ${mu(sv)} * ${mu(sv)})"
+      val ssim = "CAST(floor(1000000 * (" +
+        s"((2 * ${mu("sx")} * ${mu("sy")} + CAST(6.5025 AS DOUBLE))" +
+        s" * (2 * (CAST(sxy AS DOUBLE) / CAST(64 AS DOUBLE) - ${mu("sx")} * ${mu("sy")}) + CAST(58.5225 AS DOUBLE)))" +
+        s" / ((${mu("sx")} * ${mu("sx")} + ${mu("sy")} * ${mu("sy")} + CAST(6.5025 AS DOUBLE))" +
+        s" * (${vr("sxx", "sx")} + ${vr("syy", "sy")} + CAST(58.5225 AS DOUBLE)))" +
+        ")) AS BIGINT)"
+      (s: SparkSession, d: String) => {
+        val pix = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            expr("CAST(length(text) div 64 AS INT)").as("nf"))
+          .filter(col("nf") >= 2)
+          .select(col("doc_id"), col("text"), col("nf"),
+            explode(expr("sequence(0, nf - 1)")).as("f"))
+          .select(col("doc_id"), col("f"),
+            explode(expr("sequence(0, 63)")).as("i"), col("text"))
+          .select(col("doc_id"), col("f"), col("i"),
+            expr("ascii(substring(text, f * 64 + i + 1, 1))").as("v"))
+        val mom = pix.groupBy("doc_id", "f")
+          .agg(sum(col("v")).as("sv"), sum(expr("v * v")).as("svv"))
+        val sxy = pix.select(col("doc_id"), col("f"), col("i"), col("v"))
+          .join(pix.select(col("doc_id").as("d2"), (col("f") - 1).as("f2"),
+              col("i").as("i2"), col("v").as("v2")),
+            col("doc_id") === col("d2") && col("f") === col("f2") && col("i") === col("i2"))
+          .groupBy("doc_id", "f").agg(sum(expr("v * v2")).as("sxy"))
+        mom.select(col("doc_id"), col("f"), col("sv").as("sx"), col("svv").as("sxx"))
+          .join(mom.select(col("doc_id").as("dy"), (col("f") - 1).as("fy"),
+            col("sv").as("sy"), col("svv").as("syy")),
+            col("doc_id") === col("dy") && col("f") === col("fy"))
+          .join(sxy, Seq("doc_id", "f"))
+          .select(col("doc_id"), col("f").as("frame_pair"),
+            expr(ssim).as("ssim_micro"))
+          .withColumn("is_cut", col("ssim_micro") < 300000L)
+          .orderBy("doc_id", "frame_pair")
+      }
+    },
+      Some {
+        val mu = (sv: String) => s"(CAST($sv AS DOUBLE) / CAST(64 AS DOUBLE))"
+        val vr = (svv: String, sv: String) =>
+          s"(CAST($svv AS DOUBLE) / CAST(64 AS DOUBLE) - ${mu(sv)} * ${mu(sv)})"
+        val ssim = "CAST(floor(1000000 * (" +
+          s"((2 * ${mu("sx")} * ${mu("sy")} + CAST(6.5025 AS DOUBLE))" +
+          s" * (2 * (CAST(sxy AS DOUBLE) / CAST(64 AS DOUBLE) - ${mu("sx")} * ${mu("sy")}) + CAST(58.5225 AS DOUBLE)))" +
+          s" / ((${mu("sx")} * ${mu("sx")} + ${mu("sy")} * ${mu("sy")} + CAST(6.5025 AS DOUBLE))" +
+          s" * (${vr("sxx", "sx")} + ${vr("syy", "sy")} + CAST(58.5225 AS DOUBLE)))" +
+          ")) AS BIGINT)"
+        s"""
+        WITH frames AS (
+          SELECT doc_id, text, CAST(length(text) // 64 AS INT) AS nf
+          FROM documents WHERE length(text) // 64 >= 2),
+        pix AS (
+          SELECT doc_id, CAST(uf.f AS INT) AS f, CAST(ui.i AS INT) AS i,
+                 ascii(substring(text, CAST(uf.f * 64 + ui.i + 1 AS INT), 1)) AS v
+          FROM frames,
+               unnest(generate_series(0, nf - 1)) AS uf(f),
+               unnest(generate_series(0, 63)) AS ui(i)),
+        mom AS (
+          SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS sv,
+                 CAST(sum(v * v) AS BIGINT) AS svv
+          FROM pix GROUP BY doc_id, f),
+        sxyt AS (
+          SELECT a.doc_id, a.f, CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+          FROM pix a JOIN pix b
+            ON a.doc_id = b.doc_id AND a.f = b.f - 1 AND a.i = b.i
+          GROUP BY a.doc_id, a.f),
+        paired AS (
+          SELECT x.doc_id, x.f AS frame_pair,
+                 x.sv AS sx, x.svv AS sxx, y.sv AS sy, y.svv AS syy, s.sxy
+          FROM mom x
+          JOIN mom y ON x.doc_id = y.doc_id AND y.f = x.f + 1
+          JOIN sxyt s ON x.doc_id = s.doc_id AND x.f = s.f)
+        SELECT doc_id, frame_pair, $ssim AS ssim_micro,
+               $ssim < 300000 AS is_cut
+        FROM paired
+        ORDER BY doc_id, frame_pair"""
+      })
   )
 }

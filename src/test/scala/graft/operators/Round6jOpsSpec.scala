@@ -129,6 +129,40 @@ class Round6jOpsSpec extends SparkSpec {
     }
   }
 
+  test("m23: frame-pair SSIM equals a scalar replay; identical frames score exactly 1.0") {
+    val texts = graft.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = texts.flatMap { case (id, t) =>
+      val nf = t.length / 64
+      if (nf < 2) Seq.empty
+      else (0 until nf - 1).map { f =>
+        val x = (0 until 64).map(i => t.charAt(f * 64 + i).toInt.toDouble)
+        val y = (0 until 64).map(i => t.charAt((f + 1) * 64 + i).toInt.toDouble)
+        val (mx, my) = (x.sum / 64.0, y.sum / 64.0)
+        val vx = x.map(v => v * v).sum / 64.0 - mx * mx
+        val vy = y.map(v => v * v).sum / 64.0 - my * my
+        val cov = x.zip(y).map { case (a, b) => a * b }.sum / 64.0 - mx * my
+        val ssim = ((2 * mx * my + 6.5025) * (2 * cov + 58.5225)) /
+          ((mx * mx + my * my + 6.5025) * (vx + vy + 58.5225))
+        val micro = math.floor(1000000 * ssim).toLong
+        (id, f, micro, micro < 300000L)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = run("m23_ssim_frames").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == want, s"m23 mismatch: got ${got.take(3)} want ${want.take(3)}")
+    assert(got.nonEmpty && got.exists(!_._4), "every frame pair a cut?")
+    // SSIM self-test: a frame against itself is exactly 1.0 (floor(1e6*1.0))
+    val t0 = texts.find(_._2.length >= 64).get._2
+    val x = (0 until 64).map(i => t0.charAt(i).toInt.toDouble)
+    val mx = x.sum / 64.0
+    val vx = x.map(v => v * v).sum / 64.0 - mx * mx
+    val self = ((2 * mx * mx + 6.5025) * (2 * vx + 58.5225)) /
+      ((mx * mx + mx * mx + 6.5025) * (vx + vx + 58.5225))
+    assert(math.floor(1000000 * self).toLong == 1000000L)
+  }
+
   test("p26: weighted sample equals a scalar replay; keys are sorted and ranks dense") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
