@@ -113,9 +113,13 @@ object CellSolver {
         // per-loop analysis/codegen than the saved job launch; the block
         // solver is the throughput path.
         val obs = org.apache.spark.sql.Observation()
+        val prev = grid
         grid = sweep(sweep(grid, 0, n, om), 1, n, om)
           .observe(obs, max(col("d")).as("maxd"))
           .localCheckpoint(true)
+        // the superseded iteration's checkpoint blocks would otherwise stay
+        // pinned for the life of the process — one per iteration
+        graft.operators.Iterate.release(prev)
         maxDiff = obs.get("maxd").asInstanceOf[Double]
         history += maxDiff
         iterations += 1

@@ -240,8 +240,9 @@ object Clustering {
               least(col("cluster"), coalesce(col("m1"), col("cluster"))).as("cluster"),
               (coalesce(col("m1"), col("cluster")) < col("cluster")).as("moved"))
         }
-        var labels = Iterate.checkpointFresh(
+        var labelsCk = Iterate.checkpointFresh(
           core.select(col("vec_id"), col("vec_id").as("cluster")))
+        var labels = labelsCk
         var changed = 1L
         while (changed > 0) {
           // TWO propagation steps per materialized round: plan depth
@@ -255,6 +256,8 @@ object Clustering {
           val next = prop(prop(labels).select("vec_id", "cluster"))
           val nextCk = Iterate.checkpointFresh(next)
           changed = nextCk.filter(col("moved")).count()
+          Iterate.release(labelsCk) // superseded round's checkpoint blocks
+          labelsCk = nextCk
           labels = nextCk.select("vec_id", "cluster")
         }
         val comp = labels.select(col("vec_id").as("coreid"), col("cluster"))
@@ -746,29 +749,36 @@ object Clustering {
         val pairs = Dedup.minhashPairsShared(s, d)
         val docs = Tables.documents(s, d).select(col("doc_id"))
         val perCut = cuts.map { t =>
-          val sel = pairs
-            .filter(expr(s"est_jaccard >= CAST($t AS DOUBLE) / CAST(1000000 AS DOUBLE)"))
-            .select(col("doc_a"), col("doc_b")).localCheckpoint()
-          val edges = sel.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-            .unionAll(sel.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-            .localCheckpoint(true)
-          var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
-            .localCheckpoint(true)
-          var changed = 1L
-          while (changed > 0) {
-            val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
-              .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-            val next = labels.join(nbrMin, col("doc_id") === col("src"), "left")
-              .select(col("doc_id"),
-                least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-                (col("nbr_min") < col("cluster")).as("moved"))
-            val obs = org.apache.spark.sql.Observation()
-            val nextCk = next
-              .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
-              .select("doc_id", "cluster")
+          // the 0.5 cut IS the d06 component labeling — reuse the memoized
+          // converged labels instead of re-running an identical loop
+          val labels = if (t == 500000L) Dedup.dupClusterLabelsShared(s, d) else {
+            val edges0 = pairs
+              .filter(expr(s"est_jaccard >= CAST($t AS DOUBLE) / CAST(1000000 AS DOUBLE)"))
+              .select(col("doc_a"), col("doc_b"))
+            val edges = edges0.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+              .unionAll(edges0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
               .localCheckpoint(true)
-            changed = obs.get("n_moved").asInstanceOf[Long]
-            labels = nextCk
+            var lbl = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+              .localCheckpoint(true)
+            var changed = 1L
+            while (changed > 0) {
+              val nbrMin = edges.join(lbl, col("dst") === col("doc_id"))
+                .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+              val next = lbl.join(nbrMin, col("doc_id") === col("src"), "left")
+                .select(col("doc_id"),
+                  least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+                  (col("nbr_min") < col("cluster")).as("moved"))
+              val obs = org.apache.spark.sql.Observation()
+              val nextCk = next
+                .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+                .select("doc_id", "cluster")
+                .localCheckpoint(true)
+              changed = obs.get("n_moved").asInstanceOf[Long]
+              Iterate.release(lbl) // superseded round's checkpoint blocks
+              lbl = nextCk
+            }
+            Iterate.release(edges)
+            lbl
           }
           val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("size"))
             .filter(col("size") >= 2)

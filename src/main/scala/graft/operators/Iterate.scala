@@ -27,4 +27,33 @@ object Iterate {
     val ck = df.localCheckpoint(true)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
+
+  /** Unpersist the checkpoint blocks behind a SUPERSEDED loop state.
+    *
+    * A fixpoint loop that assigns `state = nextCheckpoint` each round
+    * leaves every prior round's `localCheckpoint(true)` blocks pinned in
+    * the block manager for the life of the process — in a 361-query
+    * bench JVM the dead rounds accumulate into real memory pressure (the
+    * r7 adjudication's median-above-first signature on g16/d16). Call
+    * this on the round's PREVIOUS state right after the new one is
+    * materialized; never on state still referenced (the edge list, the
+    * final result).
+    *
+    * Works on both checkpoint spellings: a plain `localCheckpoint` result
+    * (LogicalRDD over the persisted internal RDD) and a
+    * [[checkpointFresh]] result (LogicalRDD over a row-conversion RDD a
+    * few narrow dependencies above the persisted one) — it walks the RDD
+    * dependency chain to the first persisted ancestor. A non-RDD-backed
+    * plan is a no-op, so calling it on a never-checkpointed frame is safe.
+    */
+  def release(df: DataFrame): Unit = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        r.unpersist(blocking = false)
+      else r.dependencies.foreach(dep => walk(dep.rdd))
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => walk(l.rdd)
+      case _ => ()
+    }
+  }
 }

@@ -1088,30 +1088,9 @@ object Pipeline {
     // one per-cluster aggregate.
     QueryDef("p22_best_survivor",
       (s, d) => {
-        val pairs = Dedup.minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
-          .select("doc_a", "doc_b")
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .localCheckpoint(true)
-        var labels = Tables.documents(s, d)
-          .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
-        var changed = 1L
-        while (changed > 0) {
-          val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
-            .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-          val next = labels
-            .join(nbrMin, col("doc_id") === col("src"), "left")
-            .select(col("doc_id"),
-              least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-              (col("nbr_min") < col("cluster")).as("moved"))
-          val obs = org.apache.spark.sql.Observation()
-          val nextCk = next
-            .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
-            .select("doc_id", "cluster")
-            .localCheckpoint(true)
-          changed = obs.get("n_moved").asInstanceOf[Long]
-          labels = nextCk
-        }
+        // the converged d06 component labels, through the session memo —
+        // this used to inline its own copy of the label-prop loop
+        val labels = Dedup.dupClusterLabelsShared(s, d)
         val docs = Tables.documents(s, d)
           .select(col("doc_id").as("did"), col("n_chars"), expr(NTOK).as("n_tokens"))
         labels.join(docs, col("doc_id") === col("did"))
@@ -1477,9 +1456,13 @@ object Pipeline {
     QueryDef("p26_weighted_sample",
       (s, d) => {
         val k = 100
+        // greatest(h, 1): hash52 CAN be exactly 0 (p = 2^-52 per doc, a
+        // certainty over a 100 TB corpus), and ln(0) = -Infinity diverges
+        // between engines once it meets the floor quantization — clamp to
+        // the smallest positive lattice point instead (u = 2^-52).
         Tables.documents(s, d)
           .select(col("doc_id"), col("n_chars"),
-            expr(s"${Ns.hash52("CAST(doc_id AS STRING)")} / CAST(4503599627370496 AS DOUBLE)").as("u"))
+            expr(s"greatest(${Ns.hash52("CAST(doc_id AS STRING)")}, CAST(1 AS BIGINT)) / CAST(4503599627370496 AS DOUBLE)").as("u"))
           .select(col("doc_id"), col("n_chars"),
             expr("CAST(floor(1000000000 * ln(u) / CAST(n_chars AS DOUBLE)) AS BIGINT)").as("key_nano"))
           .orderBy(col("key_nano").desc, col("doc_id"))
@@ -1491,7 +1474,7 @@ object Pipeline {
       Some(s"""
         WITH keys AS (
           SELECT doc_id, n_chars,
-                 CAST(floor(1000000000 * ln(${Ns.oHash52("CAST(doc_id AS VARCHAR)")}
+                 CAST(floor(1000000000 * ln(greatest(${Ns.oHash52("CAST(doc_id AS VARCHAR)")}, 1)
                         / CAST(4503599627370496 AS DOUBLE))
                       / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_nano
           FROM documents)

@@ -27,6 +27,14 @@ object Relational {
 
   private val ONE = lit(1)
 
+  /** The event-type channels q168's unrolled DuckDB oracle enumerates one
+    * removed-channel sweep chain for. Single source of truth: the Spark
+    * side `require`s that the channels it observes in the data equal this
+    * list, so a fixture drift fails with a readable message instead of a
+    * silent oracle hash mismatch.
+    */
+  private val Q168_CHANNELS = Seq("click", "error", "signup", "view")
+
   def defs: Seq[QueryDef] = Seq(
 
     // -------------------------------------------------------------------
@@ -8196,11 +8204,18 @@ object Relational {
             lit(1000000L).as("pm"))
           .localCheckpoint(true)
         for (_ <- 1 to 3) {
+          // n is a corpus-sized matchup count: widen the *1e12 product to
+          // DECIMAL(38,0) (HUGEINT on the oracle side) BEFORE multiplying —
+          // plain BIGINT wraps at n > ~9.2e6 where DuckDB's HUGEINT doesn't,
+          // a silent cross-engine divergence at 100 TB matchup volumes. The
+          // per-term quotient is back under 2^63 (n * 1e12 / ~2e6 micro).
           val denom = pd
             .join(pm.select(col("b").as("i"), col("pm").as("pm_i")), "i")
             .join(pm.select(col("b").as("j"), col("pm").as("pm_j")), "j")
             .groupBy("i")
-            .agg(sum(expr("n * 1000000000000 div greatest(pm_i + pm_j, 1)")).as("denom"))
+            .agg(sum(expr(
+              """CAST(CAST(n AS DECIMAL(38,0)) * 1000000000000
+                 div greatest(pm_i + pm_j, 1) AS BIGINT)""")).as("denom"))
           pm = pm.join(denom, col("b") === col("i"))
             .select(col("b"), col("wins"), expr(
               """CAST(CAST(wins AS DECIMAL(38,0)) * 1000000000000
@@ -8219,7 +8234,8 @@ object Relational {
         def sweep(k: Int) = s"""
         d$k AS (
           SELECT pd.i AS b,
-                 sum(n * 1000000000000 // greatest(a.pm + c.pm, 1)) AS denom
+                 sum(CAST(CAST(n AS HUGEINT) * 1000000000000
+                     // greatest(a.pm + c.pm, 1) AS BIGINT)) AS denom
           FROM pd JOIN it${k - 1} a ON pd.i = a.b JOIN it${k - 1} c ON pd.j = c.b
           GROUP BY pd.i),
         it$k AS (
@@ -8321,6 +8337,13 @@ object Relational {
           .toSeq
         val base = absorb(trans.toSeq)
         val channels = trans.map(_._1).filter(c => c != "START").distinct.sorted
+        // The unrolled DuckDB oracle enumerates one removed-channel chain
+        // per member of Q168_CHANNELS — a fixture gaining or losing an
+        // event type would silently desynchronize the two sides. Fail
+        // LOUDLY with the drifted set instead of hash-mismatching.
+        require(channels.toSeq == Q168_CHANNELS,
+          s"q168: observed channels ${channels.toSeq} != oracle's unrolled list " +
+            s"$Q168_CHANNELS - regenerate the oracle's per-channel chains")
         val rows = channels.map { c =>
           val r = absorb(removed(c))
           (c, base, r, if (base == 0) 0L else (base - r) * 1000000L / base)
@@ -8386,7 +8409,7 @@ object Relational {
           SELECT DISTINCT from_state AS c FROM trans WHERE from_state <> 'START'),
         ${sweeps("b", "trans")},
         base AS (SELECT v AS base_v FROM vb_8 WHERE state = 'START'),
-        ${Seq("click", "error", "signup", "view").map { c =>
+        ${Q168_CHANNELS.map { c =>
           val tag = c.take(2)
           s"""tr_$tag AS (
             SELECT from_state,
