@@ -548,8 +548,8 @@ object Graph {
     * cosine is the rounded s01 fold — DuckDB replays the identical
     * chain ([[knnDirOracleCtes]]). Recall vs the exact all-pairs build
     * is ORACLE-PINNED by g19_knn_recall (the d05/d05b two-tier
-    * pattern); [[knnDirectedExact]] survives only as that recall
-    * oracle's arm.
+    * pattern); [[knnDirectedExactSampled]] survives only as that recall
+    * oracle's arm, itself bounded to a 1-in-10 query sample.
     */
   private[graft] def knnDirectedBlocked(s: SparkSession, d: String): DataFrame = {
     Ns.registerFast(s)
@@ -603,17 +603,27 @@ object Graph {
       .filter(col("rn") <= 3).select(col("qid"), col("nb"))
   }
 
-  /** The exact all-pairs directed kNN — the RECALL ORACLE arm only
-    * (g19_knn_recall); no graph query consumes it anymore. O(n²) by
-    * construction: documented, bounded to the fixed embeddings fixture.
+  /** The exact directed kNN of a deterministic 1-in-10 QUERY SAMPLE
+    * (`vec_id % 10 = 0`, the s14 audit recipe) — the RECALL ORACLE arm
+    * only (g19_knn_recall); no graph query consumes it. Sampling is what
+    * makes the arm survive scale: cost is O(sample·n) — one broadcast of
+    * the sampled query vectors streamed against the corpus scan — not
+    * the O(n²) all-pairs join the pre-round-8 arm ran. Estimating recall
+    * on a fixed-rate deterministic sample is the standard production
+    * recipe for ANN quality monitoring; the sample is hash-style (id
+    * residue), so both engines and the scalar spec replay pick the
+    * identical query set.
     */
-  private[graft] def knnDirectedExact(s: SparkSession, d: String): DataFrame = {
+  private[graft] def knnDirectedExactSampled(s: SparkSession, d: String): DataFrame = {
     Ns.registerFast(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
       .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
-    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val scoredAll = q.join(e, col("vec_id") =!= col("qid"))
+    val q = e.filter(expr("vec_id % 10 = 0"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    // broadcast the 1-in-10 sample; the corpus side streams — a bounded
+    // BroadcastNestedLoopJoin, never a shuffled cartesian
+    val scoredAll = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nb"),
         round(expr(Ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
     val wK = org.apache.spark.sql.expressions.Window
@@ -1459,23 +1469,23 @@ object Graph {
     // -----------------------------------------------------------------
     // Recall pin of the BLOCKED kNN edge builder (the d05/d05b two-tier
     // contract): the multi-probe-LSH builder every kNN-graph query
-    // (g09/g10/g11/g12/g14, s28) now runs on is compared edge-for-edge
-    // against the exact all-pairs build, and the undirected-edge recall
+    // (g09/g10/g11/g12/g14, s28) now runs on is compared list-for-list
+    // against an EXACT build over a deterministic 1-in-10 query sample
+    // (vec_id % 10 = 0 — the s14 recipe), and the directed-edge recall
     // and precision land as ORACLE-CHECKED ppm columns — a recall
     // regression (fixture drift, LSH parameter change) fails the
-    // correctness gate, not just a bench eyeball. The exact arm is the
-    // only remaining all-pairs join in the graph family, and it exists
-    // solely here, as the oracle (bounded to the fixed embeddings
-    // fixture; at 100 TB this query runs on a sampled query subset).
+    // correctness gate, not just a bench eyeball. Since round 8 the
+    // exact arm is SAMPLED, O(sample·n) via one broadcast of the sample
+    // — the repo's last all-pairs join is gone; the pin is an unbiased
+    // fixed-rate estimate of the same recall, exactly how a production
+    // ANN rollout monitors itself at 100 TB.
     QueryDef("g19_knn_recall",
       (s, d) => {
-        val bl = knnUndirectedEdges(s, d)
-        val ex = knnDirectedExact(s, d)
-          .select(least(col("qid"), col("nb")).as("a"),
-            greatest(col("qid"), col("nb")).as("b")).distinct()
+        val bl = knnDirectedShared(s, d).filter(expr("qid % 10 = 0"))
+        val ex = knnDirectedExactSampled(s, d)
         val nb = bl.agg(count(lit(1)).as("n_blocked"))
         val ne = ex.agg(count(lit(1)).as("n_exact"))
-        val nc = bl.join(ex, Seq("a", "b"), "left_semi")
+        val nc = bl.join(ex, Seq("qid", "nb"), "left_semi")
           .agg(count(lit(1)).as("n_common"))
         ne.crossJoin(nb).crossJoin(nc)
           .select(col("n_exact"), col("n_blocked"), col("n_common"),
@@ -1483,23 +1493,23 @@ object Graph {
             expr("1000000 * n_common div n_blocked").as("precision_ppm"))
       },
       Some(s"""
-        WITH ${knnUndOracleCtes},
+        WITH ${knnDirOracleCtes},
+        bl AS (SELECT qid, nb FROM knn WHERE qid % 10 = 0),
         escored AS (
           SELECT q.vec_id AS qid, t.vec_id AS nb,
                  round(${Ns.oDot("q.v", "t.v")} / (q.nrm * t.nrm), 6) AS cosine
-          FROM n q JOIN n t ON t.vec_id <> q.vec_id),
+          FROM n q JOIN n t ON t.vec_id <> q.vec_id
+          WHERE q.vec_id % 10 = 0),
         eknn AS (
           SELECT qid, nb FROM (
             SELECT qid, nb,
                    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nb) AS rn
             FROM escored) WHERE rn <= 3),
-        eund AS (
-          SELECT DISTINCT least(qid, nb) AS a, greatest(qid, nb) AS b FROM eknn),
         cnts AS (
-          SELECT (SELECT count(*) FROM eund) AS n_exact,
-                 (SELECT count(*) FROM und) AS n_blocked,
-                 (SELECT count(*) FROM und u JOIN eund e
-                    ON u.a = e.a AND u.b = e.b) AS n_common)
+          SELECT (SELECT count(*) FROM eknn) AS n_exact,
+                 (SELECT count(*) FROM bl) AS n_blocked,
+                 (SELECT count(*) FROM bl b JOIN eknn e
+                    ON b.qid = e.qid AND b.nb = e.nb) AS n_common)
         SELECT n_exact, n_blocked, n_common,
                1000000 * n_common // n_exact AS recall_ppm,
                1000000 * n_common // n_blocked AS precision_ppm

@@ -14,7 +14,8 @@ class Round6fOpsSpec extends SparkSpec {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("g19: recall pin equals a scalar two-arm replay; recall is high") {
-    // exact arm: scalar all-pairs kNN (the pre-round-6 builder recipe)
+    // exact arm: scalar exact kNN of the deterministic 1-in-10 query
+    // sample (vec_id % 10 = 0) — the round-8 sampled arm, O(sample·n)
     val rows = graft.Tables.embeddings(spark, sf0001)
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -24,23 +25,29 @@ class Round6fOpsSpec extends SparkSpec {
       acc
     }
     val nrm = rows.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
-    val exKnn = rows.flatMap { case (qid, qv) =>
+    val exKnn = rows.filter(_._1 % 10 == 0).flatMap { case (qid, qv) =>
       rows.filter(_._1 != qid)
         .map { case (id, v) => (id, round6(dot(qv, v) / (nrm(qid) * nrm(id)))) }
         .sortBy { case (id, c) => (-c, id) }.take(3).map(n => (qid, n._1))
-    }
-    val exUnd = exKnn.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
-    // blocked arm: the shared scalar replay
-    val blUnd = KnnGraphFixture.und(spark, sf0001)
-    val common = (exUnd & blUnd).size.toLong
-    val want = (exUnd.size.toLong, blUnd.size.toLong, common,
-      1000000L * common / exUnd.size, 1000000L * common / blUnd.size)
+    }.toSet
+    // blocked arm: the shared scalar replay, restricted to the sample
+    val blKnn = KnnGraphFixture.knnDirected(spark, sf0001)
+      .filter(_._1 % 10 == 0).toSet
+    val common = (exKnn & blKnn).size.toLong
+    val want = (exKnn.size.toLong, blKnn.size.toLong, common,
+      1000000L * common / exKnn.size, 1000000L * common / blKnn.size)
     val g = run("g19_knn_recall").collect().head
     val got = (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4))
     assert(got == want, s"recall pin mismatch: got $got want $want")
     // the pinned floor: LSH blocking keeps at least 70% of the exact
-    // edges on this fixture — a parameter/fixture drift that sinks
-    // recall below this is a product regression, not noise
+    // sampled lists on this fixture — a parameter/fixture drift that
+    // sinks recall below this is a product regression, not noise
     assert(got._4 >= 700000L, s"blocked-builder recall ${got._4} ppm below floor")
+    // the sampled exact arm must never degenerate to all-pairs: the plan
+    // may only contain the bounded broadcast nested loop of the sample
+    val plan = graft.operators.Graph
+      .knnDirectedExactSampled(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "sampled exact arm plan contains a CartesianProduct")
   }
 }
