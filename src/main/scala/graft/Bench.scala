@@ -56,7 +56,7 @@ object Bench {
     val nFailed = results.count(!_._4)
     val witness = if (sys.env.contains("SPARK_GRAFT_SKIP_WITNESS")) ""
       else "," + solverWitness(spark) + "," + pipelineWitness(spark) +
-        "," + invarianceWitness(spark, sfDir)
+        "," + knnLadderWitness(spark) + "," + invarianceWitness(spark, sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"first":$firsts$witness,"sf":"$sfDir"}""")
     // The full line above can exceed the driver's tail-truncation window,
     // leaving BENCH_r*.json unparseable. Repeat the headline as ONE compact
@@ -149,9 +149,12 @@ object Bench {
     * densities), not with the all-pairs cross product — if it were
     * all-pairs, bytes would grow ~100x per 10x step.
     */
-  private def pipelineWitness(spark: SparkSession): String = {
-    val fn = SparkEntry.queries("d09_prefix_filter_join")
-    val entries = Seq("sf0.001", "sf0.01", "sf0.1").map { sf =>
+  /** Run `build(dir).count()` once warm then once metered, reporting wall
+    * seconds + shuffle-write MB per fixture scale (listener-measured).
+    */
+  private def scaleLadder(spark: SparkSession)(
+      build: String => org.apache.spark.sql.DataFrame): Seq[String] =
+    Seq("sf0.001", "sf0.01", "sf0.1").map { sf =>
       val dir = s"/root/testdata/$sf"
       val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
       val listener = new org.apache.spark.scheduler.SparkListener {
@@ -160,14 +163,32 @@ object Bench {
           if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
       }
-      fn(spark, dir).count() // warm (plan/codegen), unmetered
+      build(dir).count() // warm (plan/codegen), unmetered
       spark.sparkContext.addSparkListener(listener)
-      val sec = time(fn(spark, dir).count())
+      val sec = time(build(dir).count())
       Thread.sleep(1000) // listener bus drains asynchronously
       spark.sparkContext.removeSparkListener(listener)
       s""""$sf":{"sec":$sec,"shuffle_mb":${shuffleBytes.get / 1e6}}"""
     }
+
+  private def pipelineWitness(spark: SparkSession): String = {
+    val fn = SparkEntry.queries("d09_prefix_filter_join")
+    val entries = scaleLadder(spark)(dir => fn(spark, dir))
     s""""pipeline_witness":{"query":"d09_prefix_filter_join",${entries.mkString(",")}}"""
+  }
+
+  /** Scale ladder for the blocked kNN-graph builder (multi-probe sign-LSH
+    * + exact rerank — Graph.knnDirectedBlocked, the build behind ten
+    * g/s-family queries). The claim witnessed: wall time and shuffled
+    * bytes grow with the probed-bucket CANDIDATE pairs (near-linearly at
+    * fixture densities), not with the n² cross product — if the builder
+    * were all-pairs, shuffle bytes would grow ~100x per 10x input step.
+    * The RAW builder is measured (not the session memo the queries read).
+    */
+  private def knnLadderWitness(spark: SparkSession): String = {
+    val entries = scaleLadder(spark)(dir =>
+      graft.operators.Graph.knnDirectedBlocked(spark, dir))
+    s""""knn_ladder_witness":{"query":"knnDirectedBlocked",${entries.mkString(",")}}"""
   }
 
   /** Large-N solver witness: the temporal-blocking design claims argued in

@@ -89,6 +89,52 @@ object Clustering {
       .select(col("vec_id"), col("cl").as("cluster"), col("d2"))
       .orderBy("vec_id")
 
+  /** Final (ktag, vec_id, cl, d2) assignments for SEVERAL k values in one
+    * shared scan per Lloyd sweep: the per-k centroid tables are unioned
+    * under a `ktag` column (2+3+4 = 9 broadcast rows for the c06 elbow),
+    * each vector takes its argmin WITHIN each ktag, and the per-(ktag,
+    * cl, dim) decimal means update all runs together — so the elbow's
+    * three Lloyd runs cost ITERS+1 = 4 corpus scans instead of 3·4 = 12.
+    * Math is bit-identical to [[kmeansAssign]] per k (same seeds, same
+    * rounded argmin with cluster-id tie-break, same exact DECIMAL(28,12)
+    * mean — the groupBy key merely gains the ktag column), so the c06
+    * oracle's three independent CTE chains replay it unchanged.
+    */
+  private def kmeansMultiAssign(s: SparkSession, d: String, ks: Seq[Int]): DataFrame = {
+    Ns.registerFast(s)
+    // materialize the decoded vectors once: every sweep reads e twice
+    // (assign + update) and the final assignment once more — 8 parquet
+    // scans + float->double transforms collapse into one
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
+      .localCheckpoint()
+    val sp = s
+    import sp.implicits._
+    def toDf(rows: Seq[(Int, Int, Array[Double])]) =
+      rows.toDF("ktag", "cl", "cv")
+    def assignAll(cent: org.apache.spark.sql.DataFrame) =
+      e.crossJoin(broadcast(cent))
+        .select(col("ktag"), col("vec_id"),
+          struct(round(expr("vec_l2sq(v, cv)"), 6).as("d2"), col("cl")).as("dc"))
+        .groupBy("ktag", "vec_id").agg(min(col("dc")).as("m"))
+        .select(col("ktag"), col("vec_id"), col("m.cl").as("cl"), col("m.d2").as("d2"))
+    val seeds = e.filter(col("vec_id") < ks.max)
+      .select(col("vec_id").cast("int").as("cl"), col("v").as("cv"))
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    var cent = toDf(for { k <- ks; (cl, cv) <- seeds if cl < k } yield (k, cl, cv))
+    for (_ <- 1 to ITERS) {
+      val rows = assignAll(cent).drop("d2").join(e, "vec_id")
+        .select(col("ktag"), col("cl"), posexplode(col("v")))
+        .groupBy(col("ktag"), col("cl"), col("pos"))
+        .agg((sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("c"))
+        .groupBy("ktag", "cl")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS cv"))
+        .as[(Int, Int, Array[Double])].collect().sortBy(r => (r._1, r._2))
+      cent = toDf(rows.toSeq)
+    }
+    assignAll(cent)
+  }
+
   /** The same ITERS sweeps unrolled as chained CTEs for DuckDB, ending
     * in `afin(vec_id, v, cluster, d2)` — shared by the c01 and c02
     * oracles.
@@ -469,18 +515,19 @@ object Clustering {
     // corpus-clustering pipeline runs before committing to a K for
     // SemDeDup/mixture buckets. drop_vs_prev is the exact decimal
     // inertia decrease vs the previous k (NULL at k=2); the "elbow" is
-    // where it collapses. Scale: three bounded Lloyd runs (per-sweep
-    // shuffle O(k·dim·partitions), see kmeansAssign) — nothing here
-    // grows faster than c01 itself.
+    // where it collapses. Scale: ONE shared Lloyd driver for all three
+    // k values (kmeansMultiAssign — the per-k centroid tables union
+    // under a ktag and every sweep is a single corpus scan with a
+    // 9-row broadcast), so the elbow costs ITERS+1 scans total instead
+    // of one full Lloyd run per k; per-sweep shuffle stays
+    // O(sum(k)·dim·partitions).
     QueryDef("c06_elbow_inertia",
       (s, d) => {
-        val runs = Seq(2, 3, 4).map { k =>
-          kmeansAssign(s, d, k)
-            .agg(count(lit(1)).as("n_vectors"),
-              sum(col("d2").cast("decimal(20,6)")).as("inertia_dec"))
-            .select(lit(k).cast("int").as("k"), col("n_vectors"), col("inertia_dec"))
-        }
-        runs.reduce(_ unionAll _)
+        kmeansMultiAssign(s, d, Seq(2, 3, 4))
+          .groupBy(col("ktag"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(col("d2").cast("decimal(20,6)")).as("inertia_dec"))
+          .select(col("ktag").cast("int").as("k"), col("n_vectors"), col("inertia_dec"))
           .withColumn("drop_vs_prev",
             expr("CAST(lag(inertia_dec, 1) OVER (ORDER BY k) - inertia_dec AS DOUBLE)"))
           .select(col("k"), col("n_vectors"),
