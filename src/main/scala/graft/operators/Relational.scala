@@ -4323,25 +4323,55 @@ object Relational {
     // drawing n-with-replacement resamples (a global operation), each
     // row independently receives a Poisson(1) multiplicity per replica
     // (Chamandy et al. 2012), so 16 replicas are one narrow projection
-    // + one partial agg. Multiplicities are md5-derived: the 52-bit
-    // uniform hash (exact in a double, the q84 contract) is pushed
-    // through the Poisson(1) CDF as EXACT INTEGER thresholds
-    // (floor(CDF(k) * 2^52) literals — no float comparison), so every
-    // replica is deterministic cross-engine. Replica means are
-    // round-half-up micro-cents (the q107 recipe); the CI is the
-    // 2nd/15th ranked replica mean (~90%). The spec checks conservation
-    // and that the interval brackets the point estimate.
+    // + one partial agg. Multiplicities are md5-derived: TWO md5s per
+    // row yield 16 disjoint 16-bit lanes (one per replica — substr of
+    // the hex, no per-replica hashing: 2 digest evals instead of 16),
+    // and each lane is pushed through the Poisson(1) CDF as EXACT
+    // INTEGER thresholds (floor(CDF(k) * 2^16) literals — no float
+    // comparison), so every replica is deterministic cross-engine.
+    // Replica means are round-half-up micro-cents (the q107 recipe);
+    // the CI is the 2nd/15th ranked replica mean (~90%). The spec
+    // checks conservation and that the interval brackets the point
+    // estimate.
     QueryDef("q110_poisson_bootstrap",
       (s, d) => {
-        val reps = s.sql("SELECT explode(sequence(0, 15)) AS rep")
         val base = Tables.orders(s, d)
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment"), col("o_orderkey"),
-            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
-        val weighted = base.crossJoin(broadcast(reps))
-          .withColumn("h", expr(
-            "CAST(conv(substr(md5(concat('boot:', CAST(rep AS STRING), ':', CAST(o_orderkey AS STRING))), 1, 13), 16, 10) AS BIGINT)"))
-          .withColumn("w", expr("CASE WHEN h < 1656781714176974 THEN 0 WHEN h < 3313563428353948 THEN 1 WHEN h < 4141954285442435 THEN 2 WHEN h < 4418084571138597 THEN 3 WHEN h < 4487117142562638 THEN 4 WHEN h < 4500923656847446 THEN 5 ELSE 6 END"))
+            expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"),
+            expr("md5(concat('boot:a:', CAST(o_orderkey AS STRING)))").as("h1"),
+            expr("md5(concat('boot:b:', CAST(o_orderkey AS STRING)))").as("h2"))
+        // all 16 multiplicities in ONE per-row projection (each md5
+        // evaluated exactly once, 8 lanes each), fanned out by posexplode
+        // — no replica join at all; pos IS the replica id
+        // the 32 hex chars of each md5 parse as three BIGINT chunks
+        // (48+48+32 bits); the 16-bit lanes then slice out with shifts —
+        // 6 conv()s per row total, everything whole-stage-codegen'd (an
+        // HOF spelling of the same array ran ~30% slower: lambda
+        // interpretation off the codegen path)
+        def lane(chunk: String, shift: Int) =
+          if (shift == 0) s"($chunk & 65535)" else s"(shiftright($chunk, $shift) & 65535)"
+        val lanes = for {
+          (h, cs) <- Seq("h1" -> Seq("cA", "cB", "cC"), "h2" -> Seq("cD", "cE", "cF"))
+          l <- Seq(lane(cs(0), 32), lane(cs(0), 16), lane(cs(0), 0),
+            lane(cs(1), 32), lane(cs(1), 16), lane(cs(1), 0),
+            lane(cs(2), 16), lane(cs(2), 0))
+        } yield l
+        val wArr = lanes.map(l =>
+          s"""CASE WHEN $l < 24109 THEN 0 WHEN $l < 48218 THEN 1
+              WHEN $l < 60273 THEN 2 WHEN $l < 64291 THEN 3
+              WHEN $l < 65296 THEN 4 WHEN $l < 65497 THEN 5
+              ELSE 6 END""").mkString("array(", ", ", ")")
+        val weighted = base
+          .withColumn("cA", expr("CAST(conv(substr(h1, 1, 12), 16, 10) AS BIGINT)"))
+          .withColumn("cB", expr("CAST(conv(substr(h1, 13, 12), 16, 10) AS BIGINT)"))
+          .withColumn("cC", expr("CAST(conv(substr(h1, 25, 8), 16, 10) AS BIGINT)"))
+          .withColumn("cD", expr("CAST(conv(substr(h2, 1, 12), 16, 10) AS BIGINT)"))
+          .withColumn("cE", expr("CAST(conv(substr(h2, 13, 12), 16, 10) AS BIGINT)"))
+          .withColumn("cF", expr("CAST(conv(substr(h2, 25, 8), 16, 10) AS BIGINT)"))
+          .select(col("c_mktsegment"), col("o_orderkey"), col("cents"),
+            posexplode(expr(wArr)))
+          .withColumnRenamed("pos", "rep").withColumnRenamed("col", "w")
         val repMeans = weighted.groupBy("c_mktsegment", "rep")
           .agg(sum(col("w") * col("cents")).as("wsum"), sum(col("w")).as("wn"))
           .filter(col("wn") > 0)
@@ -4366,13 +4396,20 @@ object Relational {
       Some("""
         WITH base AS (
           SELECT c_mktsegment, o_orderkey,
-                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+                 md5('boot:a:' || CAST(o_orderkey AS VARCHAR)) AS h1,
+                 md5('boot:b:' || CAST(o_orderkey AS VARCHAR)) AS h2
           FROM orders JOIN customer ON o_custkey = c_custkey),
         reps AS (SELECT unnest(generate_series(0, 15)) AS rep),
+        lanes AS (
+          SELECT c_mktsegment, o_orderkey, cents, rep,
+                 CAST('0x' || CASE WHEN rep < 8 THEN substr(h1, 4 * rep + 1, 4)
+                                   ELSE substr(h2, 4 * (rep - 8) + 1, 4) END AS BIGINT) AS h
+          FROM base CROSS JOIN reps),
         weighted AS (
           SELECT c_mktsegment, o_orderkey, cents, rep,
-                 CASE WHEN CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) < 1656781714176974 THEN 0 WHEN CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) < 3313563428353948 THEN 1 WHEN CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) < 4141954285442435 THEN 2 WHEN CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) < 4418084571138597 THEN 3 WHEN CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) < 4487117142562638 THEN 4 WHEN CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT) < 4500923656847446 THEN 5 ELSE 6 END AS w
-          FROM base CROSS JOIN reps),
+                 CASE WHEN h < 24109 THEN 0 WHEN h < 48218 THEN 1 WHEN h < 60273 THEN 2 WHEN h < 64291 THEN 3 WHEN h < 65296 THEN 4 WHEN h < 65497 THEN 5 ELSE 6 END AS w
+          FROM lanes),
         repmeans AS (
           SELECT c_mktsegment, rep,
                  CAST((2 * sum(w * cents) * 10000 + sum(w)) // (2 * sum(w)) AS BIGINT) AS mean6

@@ -9,8 +9,8 @@ class Round5pOpsSpec extends SparkSpec {
 
   private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf0001)
 
-  private val T = Seq(1656781714176974L, 3313563428353948L, 4141954285442435L,
-    4418084571138597L, 4487117142562638L, 4500923656847446L)
+  // floor(PoissonCDF(k) * 2^16) for k = 0..5 — the 16-bit lane thresholds
+  private val T = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L)
 
   test("q110: replica means equal a scalar Poisson-bootstrap replay; CI brackets the mean") {
     val o = graft.Tables.orders(spark, sf0001)
@@ -19,16 +19,22 @@ class Round5pOpsSpec extends SparkSpec {
       .selectExpr("c_mktsegment", "o_orderkey",
         "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    def h52(s2: String): Long =
-      java.lang.Long.parseLong(
-        java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(13), 16)
+    def md5hex(s2: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s2.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // replica rep reads 16-bit lane rep%8 of md5("boot:a:<id>") (rep < 8)
+    // or md5("boot:b:<id>") (rep >= 8) — the two-digest lane scheme
+    def lane(id: Long, rep: Int): Long = {
+      val hex = if (rep < 8) md5hex(s"boot:a:$id") else md5hex(s"boot:b:$id")
+      val off = 4 * (rep % 8)
+      java.lang.Long.parseLong(hex.substring(off, off + 4), 16)
+    }
     def pois(h: Long): Long = T.indexWhere(h < _) match { case -1 => 6L; case k => k.toLong }
     val want = base.groupBy(_._1).toSeq.sortBy(_._1).map { case (seg, rows) =>
       val means = (0 until 16).flatMap { rep =>
         var wsum = BigInt(0); var wn = 0L
         rows.foreach { case (_, id, cents) =>
-          val w = pois(h52(s"boot:$rep:$id"))
+          val w = pois(lane(id, rep))
           wsum += BigInt(w) * cents; wn += w
         }
         if (wn == 0) None
