@@ -1139,13 +1139,41 @@ object Graph {
       (s, d) => {
         val e0 = Dedup.simhashPairsShared(s, d)
           .select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint()
+        // Edge support via DEGREE-ORDERED ORIENTATION (the classic
+        // triangle-enumeration trick, e.g. Chiba-Nishizeki / Latapy):
+        // orient every live edge from its lower-(degree, id) endpoint to
+        // the higher, enumerate wedges only among each center's
+        // OUT-neighbors — so each triangle is found exactly ONCE, from
+        // its lowest-ordered vertex — and credit all three edges with an
+        // explode + partial-agg count. On this near-clique dup graph the
+        // wedge join shrinks ~3x vs the undirected spelling (a clique of
+        // size c has ~c^3/2 undirected wedges but only ~c^3/6 oriented
+        // ones = its triangle count); support values are identical, so
+        // the peel sequence, the final output and the unrolled DuckDB
+        // oracle are all unchanged. Measured at sf0.1: 9.9 s -> see
+        // SURVEY §8 (the per-round join is the whole cost of g15).
         def supportOf(live: org.apache.spark.sql.DataFrame) = {
-          val dir = live.select(col("a").as("src"), col("b").as("dst"))
-            .union(live.select(col("b").as("src"), col("a").as("dst")))
-          dir.select(col("src").as("w"), col("dst").as("u"))
-            .join(dir.select(col("src").as("w2"), col("dst").as("v")),
+          val deg = live.select(col("a").as("n")).unionAll(live.select(col("b").as("n")))
+            .groupBy("n").agg(count(lit(1)).as("dg"))
+          val o = live
+            .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+            .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+            .select(
+              when(col("da") < col("db") ||
+                (col("da") === col("db") && col("a") < col("b")), col("a"))
+                .otherwise(col("b")).as("src"),
+              when(col("da") < col("db") ||
+                (col("da") === col("db") && col("a") < col("b")), col("b"))
+                .otherwise(col("a")).as("dst"))
+          val tri = o.select(col("src").as("w"), col("dst").as("u"))
+            .join(o.select(col("src").as("w2"), col("dst").as("v")),
               col("w") === col("w2") && col("u") < col("v"))
             .join(live.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_semi")
+          tri.select(explode(array(
+              struct(least(col("w"), col("u")).as("u"), greatest(col("w"), col("u")).as("v")),
+              struct(least(col("w"), col("v")).as("u"), greatest(col("w"), col("v")).as("v")),
+              struct(col("u"), col("v")))).as("e"))
+            .select(col("e.u").as("u"), col("e.v").as("v"))
             .groupBy("u", "v").agg(count(lit(1)).as("support"))
         }
         // `sup` is kept in sync with `live` (support of the CURRENT edge
