@@ -109,15 +109,33 @@ object DumpPlans {
         "work-, dominated, so wall time was unchanged. At 100 TB the same plan holds: " +
         "stages grow with graph diameter (log-ish for the 3x3-blocked epsilon graph), " +
         "work per stage stays frontier-sized."),
-      "g15_ktruss" -> ("Measured floor (r6): ~8.3 s at sf0.1 — the slowest query, and " +
-        "genuinely work-bound, not wasteful. The simhash near-dup graph at sf0.1 has " +
-        "~83k edges in near-clique dup families, so each per-round wedge join (support " +
-        "recount) costs ~2.1 s, and the peel MEASURABLY shrinks the live set for 3+ " +
-        "rounds before the fixpoint (the r6 early-exit + support-reuse already removed " +
-        "the redundant recounts: round 1 reuses the initial support, the final column " +
-        "reuses the loop's last). Remaining headroom would need degree-ordered oriented " +
-        "wedge enumeration; at 100 TB the same plan holds because every round is an " +
-        "equi-join on the shared endpoint, frontier-sized by the shrinking live set."),
+      "g15_ktruss" -> ("Measured floor (r8): ~5.6-6 s warmed at sf0.1 (was ~8.3-9.9 s " +
+        "in r6/r7) after switching supportOf to DEGREE-ORDERED ORIENTED wedge " +
+        "enumeration: each triangle is found once from its lowest-(degree,id) vertex " +
+        "and credits its three edges via explode + partial-agg count, shrinking the " +
+        "per-round wedge join ~3x on the near-clique dup graph (clique size c: ~c^3/6 " +
+        "oriented wedges vs ~c^3/2 undirected). Support values are identical so the " +
+        "peel and oracle are unchanged. Two further variants MEASURED SLOWER and were " +
+        "reverted: broadcast-hinting the per-round degree table (forces a collect per " +
+        "round, 6.6 s) and checkpointing the oriented list (eager materialization vs " +
+        "ReuseExchange, 6.5 s). The residual is genuinely work-bound: ~83k edges in " +
+        "near-clique families across 3+ measurably-shrinking peel rounds; at 100 TB " +
+        "the same plan holds because every round is an equi-join on the shared " +
+        "endpoint, frontier-sized by the shrinking live set."),
+      "g19_knn_recall" -> ("r8: the exact arm is SAMPLED — exact top-3 lists for the " +
+        "deterministic vec_id % 10 = 0 query subset only (one broadcast of the sample " +
+        "streamed against the corpus scan, O(sample*n)); the repo's last all-pairs " +
+        "join is gone and the warmed median fell ~6.4 s -> ~0.9 s. The blocked arm's " +
+        "own scale story is MEASURED by Bench's knn_ladder_witness: " +
+        "Graph.knnDirectedBlocked (the raw builder, not the session memo) timed at " +
+        "sf0.001/0.01/0.1 with listener-measured shuffle MB, witnessing " +
+        "candidate-pair (not n^2) growth — the d09 pipeline_witness pattern."),
+      "g16_mutual_knn" -> ("r8: the mutual edge set and the converged min-label " +
+        "component labels are session-memoized (g16 is their only consumer; a bench " +
+        "session executes the query 4x) and every superseded per-round checkpoint is " +
+        "released via Iterate.release — warmed median ~5.5 s -> ~0.15 s. The loop " +
+        "itself is unchanged: frontier-sized label joins, O(component diameter) " +
+        "rounds."),
       "d09_prefix_filter_join" -> ("Measured floor (r5): ~2.7 s at sf0.1, scale-SAFE. " +
         "The bench pipeline_witness runs this query across sf0.001/0.01/0.1 and the " +
         "shuffled bytes grow with the BLOCKED candidate pairs (0.8 -> 0.78 -> 6.2 MB), " +

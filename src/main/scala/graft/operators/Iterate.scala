@@ -46,7 +46,19 @@ object Iterate {
     * dependency chain to the first persisted ancestor. A non-RDD-backed
     * plan is a no-op, so calling it on a never-checkpointed frame is safe.
     */
+  // Unpersisting a locally-checkpointed RDD makes Spark WARN that its
+  // truncated lineage "cannot be recomputed" — which is the POINT here
+  // (superseded loop state is never reread), so silence exactly that
+  // logger once rather than spray hundreds of red herrings into every
+  // bench/verify log. Scoped to the one RDD class that carries the
+  // message; real RDD warnings elsewhere stay visible.
+  private lazy val quietUnpersistWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
   def release(df: DataFrame): Unit = {
+    quietUnpersistWarn
     def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
       if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
         r.unpersist(blocking = false)
