@@ -70,7 +70,20 @@ object Dedup {
       kind: String)(build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions")
     val key = s"${sessionId(s)}|$d|$parts|$kind"
-    sharedMemo.computeIfAbsent(key, _ => build.localCheckpoint())
+    // NOT computeIfAbsent: a build may itself consult the memo (the
+    // converged-label build reads the shared pair table), and a
+    // recursive computeIfAbsent on one ConcurrentHashMap throws
+    // "Recursive update" whenever the two keys land in the same bin.
+    // get + putIfAbsent never holds a bin lock across the build; the
+    // worst case is two threads building the same frame once each,
+    // with one checkpoint discarded (benign — queries run serially).
+    val cached = sharedMemo.get(key)
+    if (cached != null) cached
+    else {
+      val built = build.localCheckpoint()
+      val prev = sharedMemo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** [[minhashPairs]] / [[simhashPairs]] through the session memo — what
