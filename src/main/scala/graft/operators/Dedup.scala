@@ -1286,6 +1286,74 @@ object Dedup {
                  AS pair_completeness_ppm,
                CAST((n_docs * (n_docs - 1) // 2 - candidate_pairs) * 1000000
                     // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS reduction_ratio_ppm
-        FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN nh"""))
+        FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN nh""")),
+
+    // -------------------------------------------------------------------
+    // Cross-partition duplicate-leakage card: every d02 near-dup pair
+    // (est_jaccard >= 0.5, the shared memo) is tagged under THREE ways a
+    // 100 TB dedup run might be sharded — by language, by source, and by
+    // a 16-way doc-id hash shard (the md5 scheme a naive "dedup each
+    // shard independently" design would use) — and counted per
+    // (dim, key_a, key_b) cell with its share of the dim's pair total.
+    // is_cross rows are exactly the duplicate pairs shard-local dedup
+    // would MISS: the number that decides whether per-partition dedup is
+    // safe (lang/source partitions, where cross traffic may be near
+    // zero) or provably lossy (random hash shards, where ~15/16 of all
+    // dup pairs are cross-shard by construction). Scale: the pair table
+    // is the memoized LSH build; the metadata attach is one narrow
+    // (doc_id, lang, source) projection joined pair-bounded; everything
+    // after is cell-sized. All integers; ppm by exact floor division.
+    QueryDef("d19_cross_partition_leakage",
+      (s, d) => {
+        val pairs = minhashPairsShared(s, d).filter(col("est_jaccard") >= 0.5)
+          .select("doc_a", "doc_b")
+        val meta = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+          expr(s"lpad(CAST(${Ns.hash32("CAST(doc_id AS STRING)")} % 16 AS STRING), 2, '0')")
+            .as("shard"))
+        val j = pairs
+          .join(meta.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+            col("source").as("sa"), col("shard").as("ha")), "doc_a")
+          .join(meta.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+            col("source").as("sb"), col("shard").as("hb")), "doc_b")
+        val tagged = j.select(lit("lang").as("dim"),
+            least(col("la"), col("lb")).as("key_a"), greatest(col("la"), col("lb")).as("key_b"))
+          .unionAll(j.select(lit("source").as("dim"),
+            least(col("sa"), col("sb")).as("key_a"), greatest(col("sa"), col("sb")).as("key_b")))
+          .unionAll(j.select(lit("shard16").as("dim"),
+            least(col("ha"), col("hb")).as("key_a"), greatest(col("ha"), col("hb")).as("key_b")))
+        tagged.groupBy("dim", "key_a", "key_b").agg(count(lit(1)).as("n_pairs"))
+          .withColumn("is_cross", col("key_a") =!= col("key_b"))
+          .withColumn("share_ppm", expr(
+            "1000000 * n_pairs div sum(n_pairs) OVER (PARTITION BY dim)"))
+          .select("dim", "key_a", "key_b", "n_pairs", "is_cross", "share_ppm")
+          .orderBy("dim", "key_a", "key_b")
+      },
+      Some(s"""
+        WITH $minhashPairsOracleCtes,
+        sel19 AS (SELECT doc_a, doc_b FROM mpairs WHERE est_jaccard >= 0.5),
+        meta AS (
+          SELECT doc_id, lang, source,
+                 lpad(CAST(${Ns.oHash32("CAST(doc_id AS VARCHAR)")} % 16 AS VARCHAR), 2, '0')
+                   AS shard
+          FROM documents),
+        j AS (
+          SELECT a.lang AS la, b.lang AS lb, a.source AS sa, b.source AS sb,
+                 a.shard AS ha, b.shard AS hb
+          FROM sel19 JOIN meta a ON doc_a = a.doc_id JOIN meta b ON doc_b = b.doc_id),
+        tagged AS (
+          SELECT 'lang' AS dim, least(la, lb) AS key_a, greatest(la, lb) AS key_b FROM j
+          UNION ALL
+          SELECT 'source', least(sa, sb), greatest(sa, sb) FROM j
+          UNION ALL
+          SELECT 'shard16', least(ha, hb), greatest(ha, hb) FROM j),
+        g19 AS (
+          SELECT dim, key_a, key_b, count(*) AS n_pairs
+          FROM tagged GROUP BY dim, key_a, key_b)
+        SELECT dim, key_a, key_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+               key_a <> key_b AS is_cross,
+               CAST(1000000 * n_pairs // sum(n_pairs) OVER (PARTITION BY dim) AS BIGINT)
+                 AS share_ppm
+        FROM g19
+        ORDER BY dim, key_a, key_b"""))
   )
 }
