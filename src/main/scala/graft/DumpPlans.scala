@@ -93,12 +93,21 @@ object DumpPlans {
       "d17_window_substring_dup", "t39_perplexity_filter",
       "q167_bradley_terry", "c10_linkage_curve",
       "q168_markov_attribution", "p26_weighted_sample", "t40_llr_keyness",
-      "d18_blocking_quality", "m23_ssim_frames")
+      "d18_blocking_quality", "m23_ssim_frames", "d05_embedding_neardup")
 
     /** Measured performance-floor notes, injected under the query's plan so
       * a future round doesn't re-derive them (kept here, not hand-edited in
       * PLANS.md, because this generator overwrites the file).
       */
+    val prefixNote: String =
+      "r9: the global rank/cumulative-share spelling is Prefix.orderStats — a " +
+      "range-partitioned two-pass prefix scan (distributed sort of n/P rows per " +
+      "task, per-partition subtotals collected as <=P tiny rows, offsets broadcast " +
+      "back into a streaming per-partition pass). Replaces the unpartitioned " +
+      "Window.orderBy that Spark executes in ONE task; results are bit-identical " +
+      "(exact integer arithmetic regroups losslessly) and partition-count/AQE " +
+      "invariant (PrefixSpec + ContractSpec). The remaining Window.orderBy sites " +
+      "are declared bounded intermediates, gated by a source-scan spec."
     val notes = Map(
       "c03_dbscan_grid" -> ("Measured floor (r5): ~3.3-4.7 s, SCHEDULING-LATENCY-BOUND, " +
         "not data-bound. The connected-components loop runs O(diameter) ~= 24 serial " +
@@ -122,14 +131,29 @@ object DumpPlans {
         "near-clique families across 3+ measurably-shrinking peel rounds; at 100 TB " +
         "the same plan holds because every round is an equi-join on the shared " +
         "endpoint, frontier-sized by the shrinking live set."),
-      "g19_knn_recall" -> ("r8: the exact arm is SAMPLED — exact top-3 lists for the " +
-        "deterministic vec_id % 10 = 0 query subset only (one broadcast of the sample " +
-        "streamed against the corpus scan, O(sample*n)); the repo's last all-pairs " +
-        "join is gone and the warmed median fell ~6.4 s -> ~0.9 s. The blocked arm's " +
-        "own scale story is MEASURED by Bench's knn_ladder_witness: " +
-        "Graph.knnDirectedBlocked (the raw builder, not the session memo) timed at " +
-        "sf0.001/0.01/0.1 with listener-measured shuffle MB, witnessing " +
-        "candidate-pair (not n^2) growth — the d09 pipeline_witness pattern."),
+      "g19_knn_recall" -> ("r9: the exact arm's sample is FIXED-COUNT — the Ns.SampleK " +
+        "= 64 vec_ids of smallest md5 rank (r8 used the fixed-rate vec_id % 10 = 0, " +
+        "which kept an O(n^2/10) quadratic term; an absolute query budget makes the " +
+        "arm O(K*n) = linear, the production ANN-monitoring recipe). One 64-row " +
+        "broadcast streamed against the corpus scan, no CartesianProduct " +
+        "(Round6fOpsSpec asserts). The blocked arm's own scale story is MEASURED by " +
+        "Bench's knn_ladder_witness: Graph.knnDirectedBlocked (the raw builder, not " +
+        "the session memo) timed at sf0.001/0.01/0.1 with listener-measured shuffle " +
+        "MB, witnessing candidate-pair (not n^2) growth."),
+      "d05_embedding_neardup" -> ("r9: SAMPLE-BOUND like g19 — exact cosine >= 0.35 " +
+        "for every pair touching the deterministic 64-id md5-rank sample (one " +
+        "bounded BroadcastNestedLoopJoin of the K-row sample against the corpus, " +
+        "O(K*n); PlanSpec asserts no CartesianProduct). This was the repo's LAST " +
+        "all-pairs product plan; the repo now contains zero all-pairs joins " +
+        "anywhere. d05b (LSH bucket equi-join) is the product path for the full " +
+        "pair set; the n^2 ground truth survives only as a scalar 500-row replay " +
+        "in NsOperatorsSpec."),
+      "q139_rfm_segmentation" -> prefixNote, "q113_abc_analysis" -> prefixNote,
+      "q155_abc_xyz" -> prefixNote, "s26_lift_gains" -> prefixNote,
+      "p17_length_buckets" -> prefixNote, "q95_gini" -> prefixNote,
+      "q124_peak_concurrency" -> prefixNote, "q135_quantile_sketch" -> prefixNote,
+      "q130_time_to_convert" -> prefixNote, "q153_eb_shrinkage" -> prefixNote,
+      "t31_heaps_law" -> prefixNote,
       "g16_mutual_knn" -> ("r8: the mutual edge set and the converged min-label " +
         "component labels are session-memoized (g16 is their only consumer; a bench " +
         "session executes the query 4x) and every superseded per-round checkpoint is " +

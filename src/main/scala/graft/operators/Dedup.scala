@@ -42,32 +42,79 @@ object Dedup {
     * the bench's partitioning-invariance witness (which re-runs reps
     * under 3 partition counts) still rebuilds — the witness stays honest.
     */
-  private val sharedMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]
+  // Memo values are (schema, row RDD), NOT DataFrames: a DataFrame
+  // strongly references its SparkSession, so caching one in a static map
+  // would pin every session (and its checkpoint blocks) for the life of
+  // the process — in a long-lived context with many short-lived
+  // newSession()s that's an unbounded leak. The row RDD references only
+  // the shared SparkContext; the DataFrame is rebuilt against the
+  // CALLING session on each hit (a per-action row conversion, the same
+  // cost class as Iterate.checkpointFresh).
+  private val sharedMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])]
   // Session identity for memo keys: a UUID handed out once per session via
   // a WeakHashMap (values are plain strings, so the map never pins the
   // session). System.identityHashCode was the old key and is WRONG twice
   // over: hash codes can be reused after a session is collected (a stale
   // entry would then serve another session's checkpoints), and nothing
-  // ever evicted dead sessions' entries. Entries are dropped when the
-  // session's SparkContext ends (listener registered on first touch).
+  // ever evicted dead sessions' entries. Eviction is two-tier: a
+  // WeakReference + ReferenceQueue drops a session's entries (and
+  // unpersists their checkpoint blocks) as soon as the session itself is
+  // collected — possible precisely BECAUSE the memo no longer holds the
+  // session — and an application-end listener clears the remainder.
   private val sessionIds =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]
+  private val evictionQueue =
+    new java.lang.ref.ReferenceQueue[org.apache.spark.sql.SparkSession]
+  private final class SessRef(s: org.apache.spark.sql.SparkSession, val id: String)
+    extends java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession](s, evictionQueue)
+  // keeps the SessRefs themselves reachable until their session dies
+  private val sessRefs =
+    new java.util.concurrent.ConcurrentHashMap[String, SessRef]
+  private def unpersistAncestors(r: org.apache.spark.rdd.RDD[_]): Unit =
+    try {
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        r.unpersist(blocking = false)
+      else r.dependencies.foreach(dep => unpersistAncestors(dep.rdd))
+    } catch { case _: Throwable => () } // context may already be stopped
+  private def evictSession(id: String): Unit = {
+    val it = sharedMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(id + "|")) {
+        unpersistAncestors(e.getValue._2)
+        it.remove()
+      }
+    }
+  }
+  private def drainEvictions(): Unit = {
+    var ref = evictionQueue.poll()
+    while (ref != null) {
+      val id = ref.asInstanceOf[SessRef].id
+      sessRefs.remove(id)
+      evictSession(id)
+      ref = evictionQueue.poll()
+    }
+  }
   private def sessionId(s: org.apache.spark.sql.SparkSession): String =
     sessionIds.synchronized {
       Option(sessionIds.get(s)).getOrElse {
         val id = java.util.UUID.randomUUID().toString
         sessionIds.put(s, id)
+        sessRefs.put(id, new SessRef(s, id))
         s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            sharedMemo.keySet.removeIf(_.startsWith(id + "|"))
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            sessRefs.remove(id)
+            evictSession(id)
+          }
         })
         id
       }
     }
   private[operators] def shared(s: org.apache.spark.sql.SparkSession, d: String,
       kind: String)(build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    drainEvictions()
     val parts = s.conf.get("spark.sql.shuffle.partitions")
     val key = s"${sessionId(s)}|$d|$parts|$kind"
     // NOT computeIfAbsent: a build may itself consult the memo (the
@@ -78,11 +125,12 @@ object Dedup {
     // worst case is two threads building the same frame once each,
     // with one checkpoint discarded (benign — queries run serially).
     val cached = sharedMemo.get(key)
-    if (cached != null) cached
+    if (cached != null) s.createDataFrame(cached._2, cached._1)
     else {
       val built = build.localCheckpoint()
-      val prev = sharedMemo.putIfAbsent(key, built)
-      if (prev != null) prev else built
+      val entry = (built.schema, built.rdd)
+      val prev = sharedMemo.putIfAbsent(key, entry)
+      if (prev != null) s.createDataFrame(prev._2, prev._1) else built
     }
   }
 
@@ -547,32 +595,49 @@ object Dedup {
         ORDER BY doc_a, doc_b""")),
 
     // -------------------------------------------------------------------
-    // Embedding-cosine near-dup: exact all-pairs cosine >= 0.35. The dot
-    // product is a sequential fold over doubles (bit-identical across
-    // engines and partitionings); ranking keys are rounded to 6 decimals.
+    // Embedding-cosine near-dup GROUND-TRUTH arm: exact cosine >= 0.35
+    // for every pair touching a deterministic FIXED-COUNT doc sample
+    // (the Ns.SampleK = 64 vec_ids of smallest md5 rank — the g19
+    // recipe). The sample is what makes the exact arm survive scale:
+    // one K-row broadcast streamed against the corpus scan is O(K·n) =
+    // linear; the pre-round-9 all-pairs self-join was the repo's last
+    // O(n²) product plan and flatly cannot run at 100×. d05b (the LSH
+    // bucket join) is the PRODUCT path for the full pair set; this arm
+    // is its recall oracle on the sampled stratum (NsOperatorsSpec pins
+    // d05b against a scalar all-pairs replay besides). The dot product
+    // is a sequential fold over doubles (bit-identical across engines,
+    // partitionings and pair orientation — products commute per lane).
     QueryDef("d05_embedding_neardup",
       (s, d) => {
         Ns.registerFast(s)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
           .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
-        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-        a.join(b, col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"),
-            round(expr(Ns.dot("va", "vb")) / (col("na") * col("nb")), 6).as("cosine"))
+        val smp = e.orderBy(expr(Ns.sampleRank("vec_id")), col("vec_id")).limit(Ns.SampleK)
+          .select(col("vec_id").as("sid"), col("v").as("sv"), col("nrm").as("sn"))
+        e.join(broadcast(smp), col("vec_id") =!= col("sid"))
+          .select(least(col("vec_id"), col("sid")).as("vec_a"),
+            greatest(col("vec_id"), col("sid")).as("vec_b"),
+            round(expr(Ns.dot("v", "sv")) / (col("nrm") * col("sn")), 6).as("cosine"))
           .filter(col("cosine") >= 0.35)
+          // a pair with BOTH ends sampled arrives once per direction;
+          // the cosine is orientation-invariant, so distinct dedupes it
+          .distinct()
           .orderBy("vec_a", "vec_b")
       },
       Some(s"""
         WITH v AS (
           SELECT vec_id, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
         n AS (
-          SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
-        WHERE round(${Ns.oDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.35
+          SELECT vec_id, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
+        smp AS (
+          SELECT vec_id, v, nrm FROM n
+          ORDER BY ${Ns.oSampleRank("vec_id")}, vec_id LIMIT ${Ns.SampleK})
+        SELECT DISTINCT least(a.vec_id, s.vec_id) AS vec_a,
+               greatest(a.vec_id, s.vec_id) AS vec_b,
+               round(${Ns.oDot("a.v", "s.v")} / (a.nrm * s.nrm), 6) AS cosine
+        FROM n a JOIN smp s ON a.vec_id <> s.vec_id
+        WHERE round(${Ns.oDot("a.v", "s.v")} / (a.nrm * s.nrm), 6) >= 0.35
         ORDER BY vec_a, vec_b""")),
 
     // -------------------------------------------------------------------
@@ -583,10 +648,11 @@ object Dedup {
     // equi-join, shuffle-parallel, never all-pairs); exact cosine then
     // filters at 0.35. On this synthetic corpus the embeddings are
     // near-orthogonal noise (max pair cosine ~0.51), the adversarial
-    // case for SRP-LSH — recall vs the exact d05 is still ~0.94
-    // (pinned in NsOperatorsSpec); on real clustered near-dup data the
-    // same config prunes to ~T/2^H of pairs because true dups sit at
-    // cosine >= 0.9. d05 stays as the exactness/recall oracle.
+    // case for SRP-LSH — recall vs the exact all-pairs truth is still
+    // ~0.94 (pinned in NsOperatorsSpec against a scalar replay); on
+    // real clustered near-dup data the same config prunes to ~T/2^H of
+    // pairs because true dups sit at cosine >= 0.9. d05 (the sampled
+    // exact arm) stays as the at-scale recall oracle.
     QueryDef("d05b_embedding_neardup_lsh",
       (s, d) => {
         Ns.registerFast(s)

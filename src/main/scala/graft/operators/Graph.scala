@@ -603,23 +603,23 @@ object Graph {
       .filter(col("rn") <= 3).select(col("qid"), col("nb"))
   }
 
-  /** The exact directed kNN of a deterministic 1-in-10 QUERY SAMPLE
-    * (`vec_id % 10 = 0`, the s14 audit recipe) — the RECALL ORACLE arm
-    * only (g19_knn_recall); no graph query consumes it. Sampling is what
-    * makes the arm survive scale: cost is O(sample·n) — one broadcast of
-    * the sampled query vectors streamed against the corpus scan — not
-    * the O(n²) all-pairs join the pre-round-8 arm ran. Estimating recall
-    * on a fixed-rate deterministic sample is the standard production
-    * recipe for ANN quality monitoring; the sample is hash-style (id
-    * residue), so both engines and the scalar spec replay pick the
-    * identical query set.
+  /** The exact directed kNN of a deterministic FIXED-COUNT query sample
+    * — the [[Ns.SampleK]] vec_ids of smallest md5 rank — the RECALL
+    * ORACLE arm only (g19_knn_recall); no graph query consumes it.
+    * Fixed COUNT (not the round-8 fixed RATE `vec_id % 10 = 0`) is what
+    * makes the arm truly linear: cost is O(K·n) — one broadcast of K
+    * query vectors streamed against the corpus scan — where a 1-in-10
+    * rate kept an O(n²/10) quadratic term. Capping a quality-monitoring
+    * probe at an absolute query budget is the standard production ANN
+    * recipe; the sample is an md5 rank (a deterministic hash order), so
+    * both engines and the scalar spec replay pick the identical set.
     */
   private[graft] def knnDirectedExactSampled(s: SparkSession, d: String): DataFrame = {
     Ns.registerFast(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
       .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
-    val q = e.filter(expr("vec_id % 10 = 0"))
+    val q = e.orderBy(expr(Ns.sampleRank("vec_id")), col("vec_id")).limit(Ns.SampleK)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     // broadcast the 1-in-10 sample; the corpus side streams — a bounded
     // BroadcastNestedLoopJoin, never a shuffled cartesian
@@ -1498,18 +1498,21 @@ object Graph {
     // Recall pin of the BLOCKED kNN edge builder (the d05/d05b two-tier
     // contract): the multi-probe-LSH builder every kNN-graph query
     // (g09/g10/g11/g12/g14, s28) now runs on is compared list-for-list
-    // against an EXACT build over a deterministic 1-in-10 query sample
-    // (vec_id % 10 = 0 — the s14 recipe), and the directed-edge recall
-    // and precision land as ORACLE-CHECKED ppm columns — a recall
-    // regression (fixture drift, LSH parameter change) fails the
-    // correctness gate, not just a bench eyeball. Since round 8 the
-    // exact arm is SAMPLED, O(sample·n) via one broadcast of the sample
-    // — the repo's last all-pairs join is gone; the pin is an unbiased
-    // fixed-rate estimate of the same recall, exactly how a production
-    // ANN rollout monitors itself at 100 TB.
+    // against an EXACT build over a deterministic FIXED-COUNT query
+    // sample (the Ns.SampleK = 64 vec_ids of smallest md5 rank), and
+    // the directed-edge recall and precision land as ORACLE-CHECKED ppm
+    // columns — a recall regression (fixture drift, LSH parameter
+    // change) fails the correctness gate, not just a bench eyeball.
+    // Since round 9 the sample is an ABSOLUTE count, so the arm is
+    // O(K·n) = linear (one K-row broadcast streamed against the corpus)
+    // at every scale — exactly how a production ANN rollout monitors
+    // itself at 100 TB: a fixed query budget, not a fixed fraction.
     QueryDef("g19_knn_recall",
       (s, d) => {
-        val bl = knnDirectedShared(s, d).filter(expr("qid % 10 = 0"))
+        val smp = Tables.embeddings(s, d)
+          .orderBy(expr(Ns.sampleRank("vec_id")), col("vec_id")).limit(Ns.SampleK)
+          .select(col("vec_id").as("qid"))
+        val bl = knnDirectedShared(s, d).join(broadcast(smp), Seq("qid"), "left_semi")
         val ex = knnDirectedExactSampled(s, d)
         val nb = bl.agg(count(lit(1)).as("n_blocked"))
         val ne = ex.agg(count(lit(1)).as("n_exact"))
@@ -1522,12 +1525,15 @@ object Graph {
       },
       Some(s"""
         WITH ${knnDirOracleCtes},
-        bl AS (SELECT qid, nb FROM knn WHERE qid % 10 = 0),
+        smp AS (
+          SELECT vec_id FROM v
+          ORDER BY ${Ns.oSampleRank("vec_id")}, vec_id LIMIT ${Ns.SampleK}),
+        bl AS (SELECT qid, nb FROM knn WHERE qid IN (SELECT vec_id FROM smp)),
         escored AS (
           SELECT q.vec_id AS qid, t.vec_id AS nb,
                  round(${Ns.oDot("q.v", "t.v")} / (q.nrm * t.nrm), 6) AS cosine
           FROM n q JOIN n t ON t.vec_id <> q.vec_id
-          WHERE q.vec_id % 10 = 0),
+          WHERE q.vec_id IN (SELECT vec_id FROM smp)),
         eknn AS (
           SELECT qid, nb FROM (
             SELECT qid, nb,

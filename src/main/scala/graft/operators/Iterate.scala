@@ -48,24 +48,61 @@ object Iterate {
     */
   // Unpersisting a locally-checkpointed RDD makes Spark WARN that its
   // truncated lineage "cannot be recomputed" — which is the POINT here
-  // (superseded loop state is never reread), so silence exactly that
-  // logger once rather than spray hundreds of red herrings into every
-  // bench/verify log. Scoped to the one RDD class that carries the
-  // message; real RDD warnings elsewhere stay visible.
+  // (superseded loop state is never reread). Silence EXACTLY that
+  // message with a log4j2 filter on the emitting logger; every other
+  // WARN from that class (and everything else) stays visible — the r8
+  // spelling raised the whole class logger to ERROR, muting unrelated
+  // warnings process-wide.
   private lazy val quietUnpersistWarn: Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () }
+    try {
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      val ctx = org.apache.logging.log4j.LogManager
+        .getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val name = "org.apache.spark.rdd.MapPartitionsRDD"
+      val lc = cfg.getLoggerConfig(name) match {
+        case exact if exact.getName == name => exact
+        case parent =>
+          val nc = new LoggerConfig(name, parent.getLevel, true)
+          cfg.addLogger(name, nc)
+          nc
+      }
+      lc.addFilter(new org.apache.logging.log4j.core.filter.AbstractFilter() {
+        override def filter(event: org.apache.logging.log4j.core.LogEvent)
+            : org.apache.logging.log4j.core.Filter.Result = {
+          val msg = if (event.getMessage == null) null
+            else event.getMessage.getFormattedMessage
+          if (msg != null && msg.contains("cannot be recomputed after unpersisting"))
+            org.apache.logging.log4j.core.Filter.Result.DENY
+          else org.apache.logging.log4j.core.Filter.Result.NEUTRAL
+        }
+      })
+      ctx.updateLoggers()
+    } catch { case _: Throwable => () }
 
-  def release(df: DataFrame): Unit = {
+  /** True when at least one persisted ancestor block set was released —
+    * exposed so loops (and Round8OpsSpec) can ASSERT the release took,
+    * instead of the call failing open.
+    */
+  def release(df: DataFrame): Boolean = {
     quietUnpersistWarn
+    var released = false
     def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
-      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
         r.unpersist(blocking = false)
-      else r.dependencies.foreach(dep => walk(dep.rdd))
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => walk(l.rdd)
-      case _ => ()
-    }
+        released = true
+      } else r.dependencies.foreach(dep => walk(dep.rdd))
+    // collect EVERY RDD-backed leaf (handles a .select/.filter layered
+    // over the checkpoint — the r8 spelling matched only a BARE
+    // LogicalRDD root and silently no-opped otherwise)
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.foreach(l => walk(l.rdd))
+    if (!released)
+      org.apache.logging.log4j.LogManager.getLogger("graft.operators.Iterate")
+        .warn("Iterate.release: no persisted ancestor found — the frame was " +
+          "not checkpointed (or already released); checkpoint blocks may leak")
+    released
   }
 }

@@ -74,4 +74,15 @@ object Ns {
   /** Cast a float array to doubles, Spark / DuckDB. */
   def toDouble(a: String): String = s"transform($a, x -> CAST(x AS DOUBLE))"
   def oToDouble(a: String): String = s"list_transform($a, x -> CAST(x AS DOUBLE))"
+
+  /** Fixed-COUNT deterministic sampling for exact oracle arms (g19's
+    * recall pin, d05's near-dup ground truth): the K ids of smallest
+    * md5 rank. An absolute count keeps the exact arm O(K·n) — linear —
+    * at every scale; a fixed RATE (`id % 10 = 0`) keeps a quadratic
+    * O(n²/rate) term. md5 hex is lowercase in both engines and string
+    * order is plain byte order, so both pick the identical sample.
+    */
+  val SampleK = 64
+  def sampleRank(idExpr: String): String = s"md5(CAST($idExpr AS STRING))"
+  def oSampleRank(idExpr: String): String = s"md5(CAST($idExpr AS VARCHAR))"
 }

@@ -765,15 +765,16 @@ object Pipeline {
     // training pipelines length-bucket before batching; the output
     // quantifies the win (waste_ppm per bucket vs the global row
     // bucket=-1). All exact integers: counts, token sums, one ppm
-    // division. Scale: ntile needs a total order — at 100 TB the
-    // edges come from approx quantiles instead, same downstream shape;
-    // the exact spelling is the oracle-able contract.
+    // division. Scale: the exact ntile runs as Prefix.orderStats —
+    // a range-partitioned two-pass rank, every task sorting n/P docs —
+    // not a single-task global window; same results, no straggler.
     QueryDef("p17_length_buckets",
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), expr(NTOK).as("n_tokens"))
-        val bucketed = docs.withColumn("bucket",
-          ntile(4).over(Window.orderBy(col("n_tokens"), col("doc_id"))) - 1)
+        val bucketed = Prefix.orderStats(docs,
+            Seq(col("n_tokens"), col("doc_id")), ntiles = Seq((4, "nt4")))
+          .withColumn("bucket", col("nt4") - 1)
         val per = bucketed.groupBy("bucket")
           .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
             sum(col("n_tokens")).as("sum_tokens"))
@@ -1164,6 +1165,7 @@ object Pipeline {
             expr(s"$B * toks div total").as("base_alloc"),
             expr(s"$B * toks % total").as("remainder"),
             col("total"), col("n_sources"))
+        // bounded: one row per SOURCE (a handful of corpus sources), never doc-sized
         val wR = Window.orderBy(col("remainder").desc, col("source"))
         based
           .withColumn("rem_rank", row_number().over(wR).cast("long"))
@@ -1468,6 +1470,7 @@ object Pipeline {
           .orderBy(col("key_nano").desc, col("doc_id"))
           .limit(k)
           .withColumn("draw_rank", row_number().over(
+            // bounded: post-limit rank over the k=100-row TakeOrdered shortlist
             Window.orderBy(col("key_nano").desc, col("doc_id"))))
           .orderBy("draw_rank")
       },

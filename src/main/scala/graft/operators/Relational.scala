@@ -2490,6 +2490,7 @@ object Relational {
         val pp = Tables.orders(s, d)
           .groupBy(col("o_totalprice").as("p")).agg(min("o_orderdate").as("md"))
           .withColumn("band", expr("CAST(floor(p / 10000) AS BIGINT)"))
+        // bounded: one row per price BAND (~60 bands), never lineitem-sized
         val wBand = Window.orderBy(col("band").desc)
           .rowsBetween(Window.unboundedPreceding, -1)
         val bandSuffix = pp.groupBy("band").agg(min("md").as("bmd"))
@@ -2622,6 +2623,7 @@ object Relational {
           .join(sk.groupBy("grp")
             .agg(count(ONE).as("n_sketch"), max("h").as("kth")), "grp")
         val union = sk.select("h").distinct()
+          // bounded: the union sketch ranks at most |groups|*k = 1280 rows
           .withColumn("rn", row_number().over(Window.orderBy("h")))
           .filter(col("rn") <= k)
           .agg(count(ONE).as("n_sketch"), max("h").as("kth"))
@@ -2676,10 +2678,12 @@ object Relational {
         val k = 256
         val kthNum = 255L * 4503599627370496L // (k-1) * 2^52, exact
         val aKeys = Tables.orders(s, d).select(col("o_custkey")).distinct()
+        // bottom-k of the hashed key set = a distributed top-k
+        // (TakeOrderedAndProject), never a global rank window: only the
+        // k smallest VALUES matter, so sort+limit is value-identical
         val aSk = aKeys
           .withColumn("h", expr(Ns.hash52("CAST(o_custkey AS STRING)")))
-          .withColumn("rn", row_number().over(Window.orderBy("h")))
-          .filter(col("rn") <= k).select("h")
+          .select("h").orderBy("h").limit(k)
         val bKeys = Tables.customer(s, d)
           .select(col("c_mktsegment").as("grp"), col("c_custkey"))
           // KMV sketches are over DISTINCT keys: without this dedup a
@@ -3348,12 +3352,16 @@ object Relational {
     // the segment key for the rank window, then a partial aggregate.
     QueryDef("q95_gini",
       (s, d) => {
-        val w = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("o_orderkey"))
-        Tables.orders(s, d)
+        // 5 segments, each ORDER-table-sized: the per-segment Lorenz rank
+        // runs as Prefix.orderStats (grouped two-pass range-partitioned
+        // rank) — a plain partitionBy window would sort each whole
+        // segment in ONE task
+        val j = Tables.orders(s, d)
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment"), col("o_orderkey"),
             expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
-          .withColumn("i", row_number().over(w))
+        Prefix.orderStats(j, Seq(col("cents"), col("o_orderkey")),
+            group = Seq("c_mktsegment"), rn = Some("i"))
           .groupBy("c_mktsegment")
           .agg(count(ONE).as("n_orders"),
             sum(col("cents").cast("decimal(38,0)")).as("sx"),
@@ -4462,6 +4470,7 @@ object Relational {
         val based = stats.crossJoin(tot)
           .withColumn("base", expr(s"(CAST($BUDGET AS DECIMAL(38,0)) * w6) div wtot"))
           .withColumn("rem", expr(s"CAST((CAST($BUDGET AS DECIMAL(38,0)) * w6) % wtot AS BIGINT)"))
+        // bounded: one row per market segment (5), never customer-sized
         val wR = Window.orderBy(col("rem").desc, col("c_mktsegment"))
         based
           .withColumn("leftover", lit(BUDGET) - sum(col("base")).over(Window.partitionBy()))
@@ -4605,11 +4614,14 @@ object Relational {
           .groupBy("l_partkey")
           .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
             .as("rev_cents"))
-        val wOrd = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = rev.agg(sum(col("rev_cents")).as("total"))
-        rev.crossJoin(tot)
-          .withColumn("cum", sum(col("rev_cents")).over(wOrd))
+        // cumulative revenue over the PART dimension: a two-pass
+        // range-partitioned prefix sum (Prefix.orderStats), not a
+        // single-task global window — exact longs, so regrouping is
+        // lossless and the class boundaries are unchanged
+        Prefix.orderStats(rev, Seq(col("rev_cents").desc, col("l_partkey")),
+            cumSums = Seq(("rev_cents", "cum")))
+          .crossJoin(tot)
           .withColumn("cum_ppm", expr("1000000 * cum div total"))
           .withColumn("abc_class",
             when(col("cum_ppm") <= 800000, "A")
@@ -5244,10 +5256,12 @@ object Relational {
           .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
         val bounds = sessions.select(col("s_us").as("us"), lit(1L).as("delta"))
           .unionByName(sessions.select((col("e_us") + 1L).as("us"), lit(-1L).as("delta")))
-        val curve = bounds.groupBy("us", "delta").agg(sum(col("delta")).as("dsum"))
-          .withColumn("conc",
-            sum(col("dsum")).over(Window.orderBy(col("us"), col("delta"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // the sweep-line prefix sum over 2*n_sessions boundary rows runs
+        // as Prefix.orderStats (range-partitioned two-phase scan with
+        // per-partition totals broadcast back as offsets) — exact longs
+        val curve = Prefix.orderStats(
+          bounds.groupBy("us", "delta").agg(sum(col("delta")).as("dsum")),
+          Seq(col("us"), col("delta")), cumSums = Seq(("dsum", "conc")))
         val nSess = sessions.agg(count(ONE).as("n_sessions"))
         curve.agg(min(struct((col("conc") * -1).as("nc"), col("us"))).as("p"))
           .select((col("p.nc") * -1).as("peak_concurrency"), col("p.us").as("first_peak_us"))
@@ -5434,6 +5448,7 @@ object Relational {
           .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
             .cast("long").as("rev_cents"))
           .withColumn("dow", expr("CAST(datediff(day, DATE'1970-01-01') % 7 AS INT)"))
+        // bounded: one row per calendar DAY of the fixture window
         val w7 = Window.orderBy("day").rowsBetween(-3, 3)
         val trended = daily
           .withColumn("cnt7", count(ONE).over(w7))
@@ -5624,9 +5639,13 @@ object Relational {
             last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
           .filter(col("event_type") === "purchase" && col("v_us").isNotNull)
           .select(col("event_id"), (col("us") - col("v_us")).as("lat_us"))
-        val ranked = lat.withColumn("rn", row_number().over(
-            Window.orderBy(col("lat_us"), col("event_id"))))
-          .withColumn("n", count(ONE).over(Window.partitionBy()))
+        // conversions scale with the corpus: the nearest-rank picks run
+        // on a Prefix.orderStats global row number (two-pass, range-
+        // partitioned) with the total joined in as one broadcast scalar
+        // — no single-task sort, no all-rows count window
+        val ranked = Prefix.orderStats(lat,
+            Seq(col("lat_us"), col("event_id")), rn = Some("rn"))
+          .crossJoin(broadcast(lat.agg(count(ONE).as("n"))))
         val picks = ranked
           .filter(expr("rn = (n + 1) div 2 OR rn = (9 * n + 9) div 10"))
           .groupBy()
@@ -5935,15 +5954,15 @@ object Relational {
             Window.partitionBy("bkt").orderBy(col("cents"), col("o_orderkey"))))
           .filter(expr("brn % 8 = 1"))
           .select(col("cents"), lit(8L).as("w"), col("o_orderkey"))
-        val cum = kept
-          .withColumn("cw", sum(col("w")).over(
-            Window.orderBy(col("cents"), col("o_orderkey"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("tw", sum(col("w")).over(Window.partitionBy()))
-        val exact = base
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("cents"), col("o_orderkey"))))
-          .withColumn("n", count(ONE).over(Window.partitionBy()))
+        // both rank walks are order-table-sized (survivors are n/8), so
+        // they run as Prefix.orderStats two-pass prefix scans with the
+        // totals broadcast as scalars — no single-task global windows
+        val cum = Prefix.orderStats(kept,
+            Seq(col("cents"), col("o_orderkey")), cumSums = Seq(("w", "cw")))
+          .crossJoin(broadcast(kept.agg(sum(col("w")).as("tw"))))
+        val exact = Prefix.orderStats(base,
+            Seq(col("cents"), col("o_orderkey")), rn = Some("rn"))
+          .crossJoin(broadcast(base.agg(count(ONE).as("n"))))
         val qs = Seq(25, 50, 90, 99)
         val est = qs.map { q =>
           cum.filter(expr(s"cw >= ($q * tw + 99) div 100"))
@@ -6237,13 +6256,15 @@ object Relational {
           .select(col("o_custkey").as("custkey"),
             expr("CAST(datediff(anchor, last_order) AS BIGINT)").as("recency_days"),
             col("frequency"), col("monetary_cents"))
-        val wr = Window.orderBy(col("recency_days").desc, col("custkey"))
-        val wf = Window.orderBy(col("frequency").asc, col("custkey"))
-        val wm = Window.orderBy(col("monetary_cents").asc, col("custkey"))
-        per
-          .withColumn("r", ntile(5).over(wr).cast("int"))
-          .withColumn("f", ntile(5).over(wf).cast("int"))
-          .withColumn("m", ntile(5).over(wm).cast("int"))
+        // three global quintiles over the CUSTOMER dimension — each a
+        // Prefix.orderStats two-pass rank (range-partitioned, no
+        // single-task global sort even when customers are billions)
+        val r1 = Prefix.orderStats(per,
+          Seq(col("recency_days").desc, col("custkey")), ntiles = Seq((5, "r")))
+        val r2 = Prefix.orderStats(r1,
+          Seq(col("frequency").asc, col("custkey")), ntiles = Seq((5, "f")))
+        Prefix.orderStats(r2,
+          Seq(col("monetary_cents").asc, col("custkey")), ntiles = Seq((5, "m")))
           .withColumn("segment", expr(
             """CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
                     WHEN r >= 4 AND f <= 2 THEN 'new'
@@ -6472,6 +6493,7 @@ object Relational {
               .as("parent_score_micro12"))
         cand
           .withColumn("rn", row_number().over(
+            // bounded: one row per whole-unit value bucket (~561), never event-sized
             Window.orderBy(col("split_score_micro12").desc, col("threshold"))))
           .filter(col("rn") === 1)
           .select(col("threshold"), col("nl").as("n_left"), col("nr").as("n_right"),
@@ -6904,6 +6926,7 @@ object Relational {
                     AS DECIMAL(38,0))""").as("den"))
           .withColumn("z2_micro", expr("CAST(num * 1000000 div den AS BIGINT)"))
           .withColumn("rank", row_number().over(
+            // bounded: one row per nation (25), never customer-sized
             Window.orderBy(col("z2_micro").desc, col("c_nationkey"))).cast("long"))
         val m = scored.agg(count(ONE).as("m"))
         val flagged = scored.crossJoin(broadcast(m))
@@ -6977,6 +7000,7 @@ object Relational {
             when(col("event_type") === "view", 1L).otherwise(0L).as("xv"),
             when(col("event_type") === "purchase", 1L).otherwise(0L).as("yv"))
           .groupBy("b").agg(sum(col("xv")).as("x"), sum(col("yv")).as("y"))
+        // bounded: one row per month bucket, never order-sized
         val w = Window.orderBy("b").rangeBetween(-23, 0)
         hourly
           .withColumn("sx", sum(col("x")).over(w))
@@ -7281,11 +7305,12 @@ object Relational {
           .select(col("user_id"), col("n_events"), col("n_conv"),
             expr("n_conv * 1000000 div n_events").as("raw_micro"),
             expr("(n_conv + 10) * 1000000 div (n_events + 20)").as("shrunk_micro"))
-        per
-          .withColumn("raw_rank", row_number().over(
-            Window.orderBy(col("raw_micro").desc, col("user_id"))).cast("long"))
-          .withColumn("shrunk_rank", row_number().over(
-            Window.orderBy(col("shrunk_micro").desc, col("user_id"))).cast("long"))
+        // both ranks span the full USER dimension — Prefix.orderStats
+        // two-pass ranks (range-partitioned), no single-task sort
+        val rr = Prefix.orderStats(per,
+          Seq(col("raw_micro").desc, col("user_id")), rn = Some("raw_rank"))
+        Prefix.orderStats(rr,
+            Seq(col("shrunk_micro").desc, col("user_id")), rn = Some("shrunk_rank"))
           .withColumn("rank_moved", col("raw_rank") - col("shrunk_rank"))
           .orderBy("user_id")
       },
@@ -7410,10 +7435,11 @@ object Relational {
               .when(col("cv2_micro") < 1000000L, "Y").otherwise("Z").as("xyz_class"))
         val rev = li.groupBy("l_partkey").agg(sum(col("rev_c")).as("prc"))
         val tot = rev.agg(sum(col("prc")).as("trc"))
-        val wR = Window.orderBy(col("prc").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val abc = rev
-          .withColumn("cum_before", coalesce(sum(col("prc")).over(wR), lit(0L)))
+        // exclusive cumulative revenue over the PART dimension — a
+        // Prefix.orderStats two-pass prefix sum (exact longs), replacing
+        // the single-task global window
+        val abc = Prefix.orderStats(rev, Seq(col("prc").desc, col("l_partkey")),
+            cumSumsExclusive = Seq(("prc", "cum_before")))
           .crossJoin(broadcast(tot))
           .select(col("l_partkey").as("pk_a"), col("prc"),
             when(expr("5 * cum_before < 4 * trc"), "A")
@@ -7604,6 +7630,7 @@ object Relational {
             date_format(expr("CAST(o_orderdate AS DATE)"), "yyyy-MM").as("mon"),
             expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
         val months = om.select("mon").distinct()
+          // bounded: one row per MONTH (dense_rank over the month grid)
           .withColumn("mrank", dense_rank().over(Window.orderBy(col("mon").desc)))
         val tagged = om.join(broadcast(months), "mon")
         val nation4 = tagged.filter(col("mrank") <= 4)
@@ -8264,6 +8291,7 @@ object Relational {
           .select(col("b").as("p_brand"), col("matches"), col("wins"),
             col("pm").as("strength_micro"))
           .withColumn("bt_rank", row_number().over(
+            // bounded: one row per brand (25), never lineitem-sized
             Window.orderBy(col("strength_micro").desc, col("p_brand"))))
           .orderBy("bt_rank")
       },

@@ -416,6 +416,7 @@ object Similarity {
         val textTop = TextAnalysis.bm25PerDoc(s, d, TextAnalysis.bm25Terms)
           .orderBy(col("bm25").desc, col("doc_id")).limit(50)
           .withColumn("r_text", row_number().over(
+            // bounded: rank over the post-limit 50-row lexical shortlist
             Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
           .select(col("doc_id"), col("r_text"))
         val e = Tables.embeddings(s, d)
@@ -428,6 +429,7 @@ object Similarity {
             round(expr(Ns.dot("v", "qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
           .orderBy(col("cosine").desc, col("doc_id")).limit(50)
           .withColumn("r_vec", row_number().over(
+            // bounded: rank over the post-limit 50-row dense shortlist
             Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
           .select(col("doc_id"), col("r_vec"))
         textTop.join(vecTop, Seq("doc_id"), "full_outer")
@@ -438,6 +440,7 @@ object Similarity {
             coalesce(col("r_vec"), lit(0L)).as("r_vec"))
           .orderBy(col("rrf").desc, col("doc_id")).limit(10)
           .withColumn("rank", row_number().over(
+            // bounded: rank over the fused post-limit 10-row list
             Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
           .select(col("rank"), col("doc_id"), col("rrf"), col("r_text"), col("r_vec"))
           .orderBy("rank")
@@ -2020,12 +2023,14 @@ object Similarity {
     // quantile cut, same downstream math).
     QueryDef("s26_lift_gains",
       (s, d) => {
-        val ev = Tables.events(s, d)
-          .select(col("event_id"),
-            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("score_c"),
-            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
-          .withColumn("decile",
-            ntile(10).over(Window.orderBy(col("score_c").desc, col("event_id"))))
+        // global decile cut over ALL events: Prefix.orderStats — a
+        // range-partitioned two-pass ntile, not a single-task sort
+        val ev = Prefix.orderStats(
+          Tables.events(s, d)
+            .select(col("event_id"),
+              expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("score_c"),
+              when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")),
+          Seq(col("score_c").desc, col("event_id")), ntiles = Seq((10, "decile")))
         val g = ev.groupBy("decile")
           .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
         val tot = g.agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp"))
@@ -2092,6 +2097,7 @@ object Similarity {
           .select(col("dim"), col("n"), col("mean_micro"),
             expr("CAST(var_num div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("var_micro2"))
         g.withColumn("var_rank", row_number().over(
+            // bounded: one row per embedding DIM (64), never corpus-sized
             Window.orderBy(col("var_micro2").desc, col("dim"))).cast("long"))
           .orderBy("dim")
       },

@@ -1207,8 +1207,12 @@ object TextAnalysis {
         val freq = Tables.documents(s, d)
           .select(posexplode(split(col("text"), " ")))
           .groupBy(col("col").as("token")).agg(count(lit(1)).as("f"))
-        val ranked = freq.withColumn("r",
-          row_number().over(Window.orderBy(col("f").desc, col("token"))))
+        // only ranks <= 32 are consumed: distributed top-k first
+        // (TakeOrderedAndProject), then the rank window runs on the
+        // 32-row shortlist — bounded, never the vocabulary
+        val ranked = freq.orderBy(col("f").desc, col("token")).limit(32)
+          .withColumn("r",
+            row_number().over(Window.orderBy(col("f").desc, col("token"))))
         val tot = freq.agg(sum(col("f")).as("total"))
         val ks = s.sql("SELECT explode(array(1, 2, 4, 8, 16, 32)) AS k")
         broadcast(ks).join(ranked, col("r") <= col("k"))
@@ -1340,8 +1344,11 @@ object TextAnalysis {
           .withColumn("early_ppm", expr("1000000 * early_docs div n_early"))
           .withColumn("late_ppm", expr("1000000 * late_docs div n_late"))
           .withColumn("delta_ppm", col("late_ppm") - col("early_ppm"))
+        // top-10 of a shingle-type-sized table: distributed top-k first,
+        // then the rank window runs on the 10-row shortlist (bounded)
         val wR = Window.orderBy(col("delta_ppm").desc, col("sh"))
-        scoredT.withColumn("rank", row_number().over(wR)).filter(col("rank") <= 10)
+        scoredT.orderBy(col("delta_ppm").desc, col("sh")).limit(10)
+          .withColumn("rank", row_number().over(wR))
           .select(col("rank").cast("int").as("rank"), col("sh").as("ngram"),
             col("early_docs"), col("late_docs"), col("early_ppm"),
             col("late_ppm"), col("delta_ppm"))
@@ -1489,14 +1496,16 @@ object TextAnalysis {
         val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
         val firsts = toks.groupBy("tok").agg(min(col("doc_id")).as("fd"))
           .groupBy(col("fd").as("fdoc")).agg(count(lit(1)).as("new_types"))
-        val w = Window.orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val curve = perDoc
-          .join(firsts, col("doc_id") === col("fdoc"), "left")
-          .select(col("doc_id"), col("n_toks"),
-            coalesce(col("new_types"), lit(0L)).as("nt"))
-          .withColumn("cum_n", sum(col("n_toks")).over(w))
-          .withColumn("cum_v", sum(col("nt")).over(w))
+        // the vocabulary-growth walk is doc-grain (unbounded), so both
+        // running sums go through Prefix.orderStats — exact longs, a
+        // range-partitioned two-pass scan instead of one global task
+        val curve = Prefix.orderStats(
+            perDoc
+              .join(firsts, col("doc_id") === col("fdoc"), "left")
+              .select(col("doc_id"), col("n_toks"),
+                coalesce(col("new_types"), lit(0L)).as("nt")),
+            Seq(col("doc_id")),
+            cumSums = Seq(("n_toks", "cum_n"), ("nt", "cum_v")))
           .filter(col("cum_n") > 0 && col("cum_v") > 0)
           .select(
             expr("CAST(floor(1000 * ln(CAST(cum_n AS DOUBLE))) AS BIGINT)").as("x3"),
@@ -1597,11 +1606,14 @@ object TextAnalysis {
             .select(col("token"),
               (lit(0.15) + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("rank"))
         }
+        // top-20 of a vocabulary-sized rank table: distributed top-k
+        // first, then the rank window runs on the 20-row shortlist
+        // bounded: rank re-derived over the 20-row TakeOrdered shortlist
         val wR = Window.orderBy(col("textrank").desc, col("token"))
         ranks.join(deg, col("token") === col("src"))
           .select(col("token"), round(col("rank"), 6).as("textrank"), col("deg"))
+          .orderBy(col("textrank").desc, col("token")).limit(20)
           .withColumn("kw_rank", row_number().over(wR))
-          .filter(col("kw_rank") <= 20)
           .select(col("kw_rank").cast("int").as("kw_rank"), col("token"),
             col("textrank"), col("deg").as("degree"))
           .orderBy("kw_rank")

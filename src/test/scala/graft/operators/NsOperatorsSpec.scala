@@ -78,9 +78,25 @@ class NsOperatorsSpec extends SparkSpec {
     }
   }
 
-  test("d05b: LSH-bucketed near-dup is a subset of exact d05 with recall >= 0.9") {
-    val exact = run("d05_embedding_neardup").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("d05b: LSH-bucketed near-dup vs scalar all-pairs truth; d05 is its sampled stratum") {
+    // ground truth: a scalar all-pairs replay (the product queries no
+    // longer contain ANY all-pairs join — d05 is sample-bound since r9,
+    // so the n² ground truth lives only here, on the 500-row fixture)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val nrm = rows.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val exact = (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+      c = round6(dot(va, vb) / (nrm(ia) * nrm(ib))) if c >= 0.35
+    } yield (ia, ib)).toSet
     val lsh = run("d05b_embedding_neardup_lsh").collect()
     val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lshPairs.subsetOf(exact), s"false positives: ${lshPairs -- exact}")
@@ -89,6 +105,16 @@ class NsOperatorsSpec extends SparkSpec {
     // adversarial near-orthogonal synthetic corpus
     val recall = (exact & lshPairs).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall")
+    // d05 (the fixed-count sampled exact arm) is exactly the stratum of
+    // the truth touching the 64 smallest-md5-rank ids — no more, no less
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def mrank(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val smp = rows.map(_._1).sortBy(id => (mrank(id), id)).take(64).toSet
+    val wantSampled = exact.filter { case (a, b) => smp(a) || smp(b) }
+    val gotSampled = run("d05_embedding_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSampled === wantSampled)
   }
 
   test("s02: IVF top-k has nonzero recall vs brute force and valid ranks") {

@@ -61,6 +61,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d05: the sampled exact arm never degenerates to all-pairs") {
+    // the only join wider than equi is the bounded K-row broadcast of
+    // the md5-rank sample streamed against the corpus — NEVER a shuffled
+    // cartesian (this was the repo's last all-pairs product plan, r9)
+    val p = plan("d05_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d03b: banded simhash pairing is an equi-join, not a nested loop") {
     val p = plan("d03b_simhash_pairs")
     assert(!p.contains("CartesianProduct"), p)

@@ -14,8 +14,8 @@ class Round6fOpsSpec extends SparkSpec {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("g19: recall pin equals a scalar two-arm replay; recall is high") {
-    // exact arm: scalar exact kNN of the deterministic 1-in-10 query
-    // sample (vec_id % 10 = 0) — the round-8 sampled arm, O(sample·n)
+    // exact arm: scalar exact kNN of the deterministic FIXED-COUNT query
+    // sample — the 64 ids of smallest md5 rank (the round-9 O(K·n) arm)
     val rows = graft.Tables.embeddings(spark, sf0001)
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -25,14 +25,20 @@ class Round6fOpsSpec extends SparkSpec {
       acc
     }
     val nrm = rows.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
-    val exKnn = rows.filter(_._1 % 10 == 0).flatMap { case (qid, qv) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def mrank(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val smp = rows.map(_._1).sortBy(id => (mrank(id), id)).take(64).toSet
+    // the sample size is an ABSOLUTE constant — the linearity guarantee
+    assert(smp.size == 64 && graft.operators.Ns.SampleK == 64)
+    val exKnn = rows.filter(r => smp(r._1)).flatMap { case (qid, qv) =>
       rows.filter(_._1 != qid)
         .map { case (id, v) => (id, round6(dot(qv, v) / (nrm(qid) * nrm(id)))) }
         .sortBy { case (id, c) => (-c, id) }.take(3).map(n => (qid, n._1))
     }.toSet
     // blocked arm: the shared scalar replay, restricted to the sample
     val blKnn = KnnGraphFixture.knnDirected(spark, sf0001)
-      .filter(_._1 % 10 == 0).toSet
+      .filter(p => smp(p._1)).toSet
     val common = (exKnn & blKnn).size.toLong
     val want = (exKnn.size.toLong, blKnn.size.toLong, common,
       1000000L * common / exKnn.size, 1000000L * common / blKnn.size)
