@@ -35,7 +35,11 @@ object Bench {
     // reflects steady state rather than session startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only: SPARK_GRAFT_WITNESS_ONLY=1 skips the 362-query sweep so a
+    // witness change can be exercised in isolation (the driver never sets it)
+    val queryList = if (sys.env.contains("SPARK_GRAFT_WITNESS_ONLY")) Nil
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = queryList.map { case (name, fn) =>
       try {
         val first = time(fn(spark, sfDir).count())
         val timed = Seq.fill(3)(time(fn(spark, sfDir).count())).sorted
@@ -56,7 +60,8 @@ object Bench {
     val nFailed = results.count(!_._4)
     val witness = if (sys.env.contains("SPARK_GRAFT_SKIP_WITNESS")) ""
       else "," + solverWitness(spark) + "," + pipelineWitness(spark) +
-        "," + knnLadderWitness(spark) + "," + invarianceWitness(spark, sfDir)
+        "," + knnLadderWitness(spark) + "," + knnSynthWitness(spark) +
+        "," + invarianceWitness(spark, sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"first":$firsts$witness,"sf":"$sfDir"}""")
     // The full line above can exceed the driver's tail-truncation window,
     // leaving BENCH_r*.json unparseable. Repeat the headline as ONE compact
@@ -189,6 +194,56 @@ object Bench {
     val entries = scaleLadder(spark)(dir =>
       graft.operators.Graph.knnDirectedBlocked(spark, dir))
     s""""knn_ladder_witness":{"query":"knnDirectedBlocked",${entries.mkString(",")}}"""
+  }
+
+  /** Synthetic-embeddings kNN scale ladder: the fixture embeddings top
+    * out at 2000 rows (FIXTURES.md), so every ANN/kNN claim above was
+    * exercised at toy n. This witness BUILDS deterministic md5-derived
+    * 64-dim vectors at n = 500 / 5k / 50k and runs the SAME blocked
+    * builder (Graph.knnDirectedBlockedOn) with the documented at-scale
+    * geometry rule h ~ log2(n) - 3 (probed fraction |ball|/2^h keeps
+    * falling as n grows), reporting wall seconds + listener-measured
+    * shuffle MB per rung. Timed ONCE per rung (the 50k build is
+    * seconds; its thousands of tasks self-average) — the claim
+    * witnessed: cost grows with blocked candidate pairs, not n².
+    *
+    * The vectors round-trip through a temp PARQUET table (not fed
+    * straight from spark.range): a Range source reports
+    * RangePartitioning(vec_id), and Catalyst then correctly proves the
+    * whole build partition-local and elides EVERY shuffle — a cute
+    * result, but a production corpus is a parquet scan with unknown
+    * partitioning, and that is the shape whose shuffle growth this
+    * witness exists to measure.
+    */
+  private def knnSynthWitness(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    graft.operators.Ns.registerFast(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_synth").toString
+    val entries = Seq(500, 5000, 50000).map { n =>
+      val h = math.max(6,
+        (math.ceil(math.log(n.toDouble) / math.log(2)) - 3).toInt)
+      spark.range(n).select(col("id").as("vec_id"),
+          expr("transform(sequence(1, 64), i -> CAST(conv(substr(md5(concat('sv:', " +
+            "CAST(id AS STRING), ':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) " +
+            "/ CAST(4294967296 AS DOUBLE) - CAST(0.5 AS DOUBLE))").as("v"))
+        .write.mode("overwrite").parquet(s"$tmp/v$n")
+      val ev = spark.read.parquet(s"$tmp/v$n")
+        .withColumn("nrm", sqrt(expr(graft.operators.Ns.dot("v", "v"))))
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val sec = time(
+        graft.operators.Graph.knnDirectedBlockedOn(spark, ev, h, 2).count())
+      Thread.sleep(1000) // listener bus drains asynchronously
+      spark.sparkContext.removeSparkListener(listener)
+      s""""n$n":{"h":$h,"sec":$sec,"shuffle_mb":${shuffleBytes.get / 1e6}}"""
+    }
+    s""""knn_synth_witness":{"query":"knnDirectedBlockedOn","dims":64,${entries.mkString(",")}}"""
   }
 
   /** Large-N solver witness: the temporal-blocking design claims argued in

@@ -48,13 +48,14 @@ object Graph {
     */
   private[graft] val KNN_H = 6
   private[graft] val KNN_L = 2
-  /** XOR masks of the Hamming<=2 probe ball over KNN_H bits. */
-  private[graft] val KNN_MASKS: Seq[Long] = {
-    val singles = (0 until KNN_H).map(1L << _)
-    val doubles = for { a <- 0 until KNN_H; b <- a + 1 until KNN_H }
+  /** XOR masks of the Hamming<=2 probe ball over h bits. */
+  private[graft] def knnMasks(h: Int): Seq[Long] = {
+    val singles = (0 until h).map(1L << _)
+    val doubles = for { a <- 0 until h; b <- a + 1 until h }
       yield (1L << a) | (1L << b)
     0L +: (singles ++ doubles)
   }
+  private[graft] val KNN_MASKS: Seq[Long] = knnMasks(KNN_H)
   private val JMIN = 0.5
 
   private def pagerank(s: SparkSession, d: String): DataFrame = {
@@ -549,13 +550,26 @@ object Graph {
     * chain ([[knnDirOracleCtes]]). Recall vs the exact all-pairs build
     * is ORACLE-PINNED by g19_knn_recall (the d05/d05b two-tier
     * pattern); [[knnDirectedExactSampled]] survives only as that recall
-    * oracle's arm, itself bounded to a 1-in-10 query sample.
+    * oracle's arm, itself bounded to a fixed-count 64-query sample.
     */
   private[graft] def knnDirectedBlocked(s: SparkSession, d: String): DataFrame = {
-    Ns.registerFast(s)
+    Ns.registerFast(s) // withColumn analyzes eagerly — register BEFORE vec_dot
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(Ns.toDouble("embedding")).as("v"))
       .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
+    knnDirectedBlockedOn(s, e, KNN_H, KNN_L)
+  }
+
+  /** [[knnDirectedBlocked]] over an arbitrary (vec_id, v, nrm) frame
+    * with parameterized geometry (h sign bits per table, l tables) —
+    * the product path calls it with (KNN_H, KNN_L); Bench's synthetic
+    * 500/5k/50k scale ladder calls it with h ~ log2(n) (the documented
+    * at-scale rule: the probed fraction |ball|/2^h keeps falling as the
+    * corpus grows).
+    */
+  private[graft] def knnDirectedBlockedOn(
+      s: SparkSession, e: DataFrame, h: Int, l: Int): DataFrame = {
+    Ns.registerFast(s)
     // Hyperplane weights are CONSTANTS — md5-derived at plan-build time
     // and embedded as double literals (the s12 sign-matrix precedent), so
     // the bucket id rides the corpus scan as a pure projection: no join,
@@ -570,21 +584,23 @@ object Graph {
       val w = java.lang.Long.parseLong(hex, 16) / 4294967296.0 - 0.5
       s"CAST('$w' AS DOUBLE)"
     }
-    def bucketExpr(l: Int): String = (0 until KNN_H).map { p =>
-      val arr = s"array(${(1 to 64).map(wLit(l * KNN_H + p, _)).mkString(", ")})"
+    def bucketExpr(t: Int): String = (0 until h).map { p =>
+      val arr = s"array(${(1 to 64).map(wLit(t * h + p, _)).mkString(", ")})"
       s"(CASE WHEN ${Ns.dot("v", arr)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
-    val withB = e
-      .withColumn("b0", expr(bucketExpr(0)))
-      .withColumn("b1", expr(bucketExpr(1)))
+    val withB = (0 until l).foldLeft(e) { (df, t) =>
+      df.withColumn(s"b$t", expr(bucketExpr(t)))
+    }
     // Corpus index rows: one (table-tagged bucket) key per table — the
-    // table id lives in the key's high bits, so both tables share ONE
+    // table id lives in the key's high bits, so all tables share ONE
     // equi-join. Probe rows: the Hamming<=2 ball around each table's
     // home bucket as constant XOR masks.
+    val ckeyList = (0 until l)
+      .map(t => s"(b$t + ${t.toLong << h})").mkString(", ")
     val ckeys = withB.select(col("vec_id").as("cid"),
-      explode(expr(s"array(b0, b1 + ${1L << KNN_H})")).as("bkey"))
-    val probeList = (for { l <- 0 until KNN_L; m <- KNN_MASKS } yield
-      s"(CAST(${l.toLong << KNN_H} AS BIGINT) + (b$l ^ CAST($m AS BIGINT)))").mkString(", ")
+      explode(expr(s"array($ckeyList)")).as("bkey"))
+    val probeList = (for { t <- 0 until l; m <- knnMasks(h) } yield
+      s"(CAST(${t.toLong << h} AS BIGINT) + (b$t ^ CAST($m AS BIGINT)))").mkString(", ")
     val probes = withB.select(col("vec_id").as("qid"),
       explode(expr(s"array($probeList)")).as("probe"))
     // Distinct candidate PAIRS first, vectors fetched after — the pair
@@ -621,7 +637,7 @@ object Graph {
       .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
     val q = e.orderBy(expr(Ns.sampleRank("vec_id")), col("vec_id")).limit(Ns.SampleK)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    // broadcast the 1-in-10 sample; the corpus side streams — a bounded
+    // broadcast the fixed-count sample; the corpus side streams — a bounded
     // BroadcastNestedLoopJoin, never a shuffled cartesian
     val scoredAll = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nb"),

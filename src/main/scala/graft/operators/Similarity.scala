@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val QFILTER = "vec_id % 50 = 0" // 10 deterministic query vectors
+  // The retrieval queries' QUERY SET. A rate filter is fine HERE — unlike
+  // the corpus self-audits (g19/d05/s14, which must budget-bound their
+  // sample to stay O(K·n)), a top-k retrieval service's query set is an
+  // EXTERNAL workload: its size is a property of the traffic, not of the
+  // corpus, and the fixture rate merely stands in for that external list.
+  // Every consumer's cost is O(|Q|·candidates) with |Q| given from outside.
+  private val QFILTER = "vec_id % 50 = 0" // deterministic query vectors
   private val TOPK = 5
   private val NPROBE = 2
 
@@ -1117,8 +1123,10 @@ object Similarity {
     // vector's label by majority vote of its 5 nearest neighbors (exact
     // cosine, vote ties broken toward the smaller label id) and flag
     // disagreements — the standard label-noise / mislabeled-example
-    // detector over an embedded dataset. The audited set is a
-    // deterministic 1-in-10 sample; at 100 TB the neighbor pass swaps
+    // detector over an embedded dataset. The audited set is the
+    // fixed-count md5-rank sample (Ns.SampleK = 64 — an absolute audit
+    // budget keeps this O(K*n); the r8 1-in-10 rate kept a quadratic
+    // term); at 100 TB the neighbor pass swaps
     // in any of the bucketed ANN shortlists (s02/s04/s09/s11/s13)
     // unchanged, since the vote only reads the top-5 rows. The vote is
     // a count aggregate + rank — no floats beyond the rounded cosine.
@@ -1128,7 +1136,7 @@ object Similarity {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
           .withColumn("nrm", sqrt(expr(Ns.dot("v", "v"))))
-        val q = e.filter(expr("vec_id % 10 = 0"))
+        val q = e.orderBy(expr(Ns.sampleRank("vec_id")), col("vec_id")).limit(Ns.SampleK)
           .select(col("vec_id").as("qid"), col("label").as("true_label"),
             col("v").as("qv"), col("nrm").as("qn"))
         val wN = Window.partitionBy("qid").orderBy(col("cosine").desc, col("neighbor"))
@@ -1151,7 +1159,7 @@ object Similarity {
           SELECT vec_id, label, ${Ns.oToDouble("embedding")} AS v FROM embeddings),
         n AS (SELECT vec_id, label, v, sqrt(${Ns.oDot("v", "v")}) AS nrm FROM v),
         q AS (SELECT vec_id AS qid, label AS true_label, v AS qv, nrm AS qn
-              FROM n WHERE vec_id % 10 = 0),
+              FROM n ORDER BY ${Ns.oSampleRank("vec_id")}, vec_id LIMIT ${Ns.SampleK}),
         scored AS (
           SELECT qid, true_label, n.vec_id AS neighbor, n.label AS nlabel,
                  round(${Ns.oDot("qv", "n.v")} / (qn * n.nrm), 6) AS cosine

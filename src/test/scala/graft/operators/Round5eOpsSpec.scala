@@ -43,7 +43,12 @@ class Round5eOpsSpec extends SparkSpec {
       BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    val want = vecs.filter(_._1 % 10 == 0).sortBy(_._1).map { case (qid, tl, qv) =>
+    // the audited set: the fixed-count md5-rank sample (r9)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def mrank(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val smp = vecs.map(_._1).sortBy(id => (mrank(id), id)).take(64).toSet
+    val want = vecs.filter(r => smp(r._1)).sortBy(_._1).map { case (qid, tl, qv) =>
       val top5 = vecs.filter(_._1 != qid)
         .map { case (id, l, v) => (id, l, cos(qv, v)) }
         .sortBy { case (id, _, c) => (-c, id) }.take(5)
