@@ -81,7 +81,9 @@ object Bench {
     // reviewable diffs). Written only when the dir exists (i.e. cwd is the
     // repo root, as under `sbt runMain`).
     val docsDir = new java.io.File("docs")
-    if (docsDir.isDirectory) {
+    // never clobber the checked-in per-query medians from a dev
+    // witness-only run (its query map is empty)
+    if (docsDir.isDirectory && queryList.nonEmpty) {
       val w = new java.io.PrintWriter(new java.io.File(docsDir, "BENCH_QUERIES.json"), "UTF-8")
       try {
         w.println("{")

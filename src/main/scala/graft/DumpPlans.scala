@@ -109,7 +109,18 @@ object DumpPlans {
       "invariant (PrefixSpec + ContractSpec). The remaining Window.orderBy sites " +
       "are declared bounded intermediates, gated by a source-scan spec."
     val notes = Map(
-      "c03_dbscan_grid" -> ("Measured floor (r5): ~3.3-4.7 s, SCHEDULING-LATENCY-BOUND, " +
+      "c03_dbscan_grid" -> ("r9 floor adjudication: FRONTIER DOUBLING (propagating over " +
+        "edges UNION edges^2, built once) cut materialized rounds 12 -> 5 with wall time " +
+        "UNCHANGED (3.7-3.9 s vs 3.8-4.2 s) — measured proof the query is latency-bound " +
+        "OUTSIDE the loop too: warmed breakdown pairs 0.16 s, core+edges 1.15 s, loop 5 x " +
+        "~0.41 s (checkpoint job + count job each), assembly ~0.3 s. Removing the three " +
+        "non-loop localCheckpoints was also measured: 4.9 s (pairs/core recompute 3x " +
+        "inside downstream jobs) — WORSE, reverted. Both variants reverted to the r8 " +
+        "spelling; the ~3.8 s is a serialized-tiny-job floor (~15 jobs x ~0.25 s " +
+        "scheduling), not data work, and shrinks only with a lower per-job floor. " +
+        "At 100 TB per-round WORK grows while rounds stay O(diameter), so the 1-hop " +
+        "edge set (not the 4x-wider edges^2) is the right scale plan. " +
+        "Earlier note (r5): ~3.3-4.7 s, SCHEDULING-LATENCY-BOUND, " +
         "not data-bound. The connected-components loop runs O(diameter) ~= 24 serial " +
         "frontier stages through Iterate.checkpointFresh; per-stage task time is ~150 ms " +
         "against ~17 s of un-fixed planning (the checkpoint-stats-reset bug documented in " +
