@@ -122,10 +122,14 @@ object Bench {
     // r6 additions: d17 (high-cardinality window-hash explode), q168
     // (bounded driver-side collect + exact integer sweeps — the collect
     // order must not leak into the result)
+    // r9 additions: q139 (three chained Prefix.orderStats ntiles — the
+    // two-pass prefix scan must not depend on the range partitioner's
+    // boundary placement) and q124 (Prefix cumulative sweep line)
     val reps = Seq("q01_pricing_summary", "d02_minhash_lsh", "s01_cosine_topk",
       "t01_lang_id", "g01_pagerank",
       "p14_bin_packing", "st17_stream_cusum", "m08_shot_boundary", "c03_dbscan_grid",
-      "d17_window_substring_dup", "q168_markov_attribution")
+      "d17_window_substring_dup", "q168_markov_attribution",
+      "q139_rfm_segmentation", "q124_peak_concurrency")
     val parts = Seq(5, 13, 32)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     def contentHash(name: String): String = {

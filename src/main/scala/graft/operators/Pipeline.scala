@@ -34,17 +34,19 @@ object Pipeline {
     // Sequence packing (concat-then-chunk): documents are concatenated in
     // doc_id order within each lang shard and cut into fixed
     // PACK_BUDGET-token training sequences; each doc reports the pack its
-    // first token lands in and the offset inside it. The window cumsum is
-    // integer-exact, so pack assignment is identical on any cluster; at
-    // 100 TB the shard key becomes a hash bucket instead of lang and each
-    // shard packs independently (one shuffle, linear scan).
+    // first token lands in and the offset inside it. The cumsum is
+    // integer-exact, so pack assignment is identical on any cluster —
+    // and it runs as a GROUPED Prefix.orderStats two-pass prefix scan
+    // (each lang shard is corpus-sized: a plain partitionBy window
+    // would pack every shard in ONE task); at 100 TB the shard key
+    // becomes a hash bucket instead of lang, same plan.
     QueryDef("p01_sequence_packing",
       (s, d) => {
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), expr(NTOK).as("n_tokens"))
-          .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        Prefix.orderStats(
+            Tables.documents(s, d)
+              .select(col("doc_id"), col("lang"), expr(NTOK).as("n_tokens")),
+            Seq(col("doc_id")), group = Seq("lang"),
+            cumSumsExclusive = Seq(("n_tokens", "cum")))
           .select(col("doc_id"), col("lang"), col("n_tokens"),
             expr(s"cum div $PACK_BUDGET").as("pack_id"),
             expr(s"cum % $PACK_BUDGET").as("pack_offset"))
@@ -843,10 +845,13 @@ object Pipeline {
           .filter(col("hc") > 1).select(col("h").as("dh"))
         val dups = docs.join(dupHashes, col("h") === col("dh"))
           .groupBy(col("source").as("s2")).agg(count(lit(1)).as("dup_docs"))
-        val med = docs
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))))
-          .withColumn("nn", count(lit(1)).over(Window.partitionBy("source")))
+        // grouped Prefix rank (each source is corpus-sized — never one
+        // task per source) + a tiny broadcast of per-source counts
+        val srcCounts = docs.groupBy(col("source").as("sn")).agg(count(lit(1)).as("nn"))
+        val med = Prefix.orderStats(docs,
+            Seq(col("n_chars"), col("doc_id")), group = Seq("source"),
+            rn = Some("rn"))
+          .join(broadcast(srcCounts), col("source") === col("sn"))
           .filter(expr("rn = (nn + 1) div 2"))
           .select(col("source").as("s3"), col("n_chars").as("median_chars"))
         base
@@ -1213,13 +1218,13 @@ object Pipeline {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("source"), col("doc_id"), expr(NTOK).as("n_tokens"))
-        val w = Window.partitionBy("source")
-          .orderBy(col("n_tokens").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
         val tot = docs.groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
-        docs
-          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        // grouped Prefix exclusive cumsum: each source is corpus-sized,
+        // so the nucleus walk never single-tasks a source
+        Prefix.orderStats(docs,
+            Seq(col("n_tokens").desc, col("doc_id")), group = Seq("source"),
+            cumSumsExclusive = Seq(("n_tokens", "cum_before")))
           .join(tot, "source")
           .filter(expr("10 * cum_before < 9 * total_tokens"))
           .groupBy("source")

@@ -1197,7 +1197,11 @@ object Relational {
     // cume_dist, bounded-frame first/last values, and a centered moving
     // average — one shuffle+sort serves every function (same window
     // key). Rates are exact divisions of integer window positions; the
-    // moving average is a decimal-exact sum over a 3-row frame.
+    // moving average is a decimal-exact sum over a 3-row frame. This
+    // query's SEMANTICS is the window-function surface itself, so the
+    // partitionBy spelling is the contract; a corpus-sized production
+    // rank by a 5-value key would route through Prefix.orderStats
+    // (q103/q132/q151 are that spelling).
     QueryDef("q39_window_family",
       (s, d) => {
         val w = Window.partitionBy("o_orderpriority")
@@ -3847,24 +3851,28 @@ object Relational {
     // (n+1) div 2 — not percentile_disc/quantile_disc, whose even-n and
     // tie conventions differ across engines — so every intermediate is
     // an exact integer and the spelling is the contract. Two ranked
-    // window passes partitioned by segment: same shuffle shape as q81's
-    // rolling median.
+    // passes partitioned by segment — each a GROUPED Prefix.orderStats
+    // two-pass prefix scan (5 segments × order-sized groups: a plain
+    // partitionBy window would sort each whole segment in ONE task);
+    // the per-segment counts come from an agg + 5-row broadcast join
+    // instead of a count-over-the-whole-group window.
     QueryDef("q103_mad_outliers",
       (s, d) => {
         val j = Tables.orders(s, d)
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment"), col("o_orderkey"),
             expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
-        val w1 = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("o_orderkey"))
-        val med = j.withColumn("i", row_number().over(w1))
-          .withColumn("n", count(ONE).over(Window.partitionBy("c_mktsegment")))
+        val counts = j.groupBy(col("c_mktsegment").as("msn")).agg(count(ONE).as("n"))
+        val med = Prefix.orderStats(j, Seq(col("cents"), col("o_orderkey")),
+            group = Seq("c_mktsegment"), rn = Some("i"))
+          .join(broadcast(counts), col("c_mktsegment") === col("msn"))
           .filter(expr("i = (n + 1) div 2"))
           .select(col("c_mktsegment").as("ms"), col("cents").as("med_cents"), col("n"))
         val dev = j.join(med, col("c_mktsegment") === col("ms"))
           .select(col("c_mktsegment"), col("o_orderkey"), col("cents"), col("med_cents"), col("n"),
             abs(col("cents") - col("med_cents")).as("adev"))
-        val w2 = Window.partitionBy("c_mktsegment").orderBy(col("adev"), col("o_orderkey"))
-        val mad = dev.withColumn("i", row_number().over(w2))
+        val mad = Prefix.orderStats(dev, Seq(col("adev"), col("o_orderkey")),
+            group = Seq("c_mktsegment"), rn = Some("i"))
           .filter(expr("i = (n + 1) div 2"))
           .select(col("c_mktsegment").as("ms2"), col("adev").as("mad_cents"))
         dev.join(mad, col("c_mktsegment") === col("ms2"))
@@ -4066,9 +4074,12 @@ object Relational {
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment"),  col("o_orderkey"),
             expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
-        val w = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("o_orderkey"))
-        j.withColumn("i", row_number().over(w))
-          .withColumn("n", count(ONE).over(Window.partitionBy("c_mktsegment")))
+        // grouped Prefix rank (5 segments × order-sized groups — never
+        // one task per segment) + a 5-row broadcast of per-segment counts
+        val counts = j.groupBy(col("c_mktsegment").as("msn")).agg(count(ONE).as("n"))
+        Prefix.orderStats(j, Seq(col("cents"), col("o_orderkey")),
+            group = Seq("c_mktsegment"), rn = Some("i"))
+          .join(broadcast(counts), col("c_mktsegment") === col("msn"))
           .withColumn("k", expr("n div 20"))
           .groupBy("c_mktsegment")
           .agg(max(col("n")).as("n_orders"), max(col("k")).as("k"),
@@ -5759,11 +5770,13 @@ object Relational {
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
             expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
-        val wSeg = Window.partitionBy("segment")
-        val ranked = base
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("segment").orderBy(col("cents"), col("o_orderkey"))))
-          .withColumn("n", count(ONE).over(wSeg))
+        // grouped Prefix rank (5 segments × order-sized groups — never
+        // one task per segment) + a 5-row broadcast of per-segment counts
+        val counts = base.groupBy(col("segment").as("segn")).agg(count(ONE).as("n"))
+        val ranked = Prefix.orderStats(base,
+            Seq(col("cents"), col("o_orderkey")), group = Seq("segment"),
+            rn = Some("rn"))
+          .join(broadcast(counts), col("segment") === col("segn"))
         val picks = ranked.groupBy("segment")
           .agg(max(col("n")).as("n_orders"),
             min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
@@ -6397,12 +6410,12 @@ object Relational {
             when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
           .withColumn("llr_step",
             when(col("x") === 1L, lit(182322L)).otherwise(lit(-22473L)))
-        val w = Window.partitionBy("variant").orderBy(col("us"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val walked = ev
-          .withColumn("seq", row_number().over(
-            Window.partitionBy("variant").orderBy(col("us"), col("event_id"))).cast("long"))
-          .withColumn("cum", sum(col("llr_step")).over(w))
+        // the two arms are each event-sized: the time-ordered walk runs
+        // as a grouped Prefix.orderStats two-pass scan (rank + exact
+        // cumsum), never one task per arm
+        val walked = Prefix.orderStats(ev,
+          Seq(col("us"), col("event_id")), group = Seq("variant"),
+          rn = Some("seq"), cumSums = Seq(("llr_step", "cum")))
         walked.groupBy("variant")
           .agg(count(ONE).as("n_events"), sum(col("x")).as("n_conversions"),
             expr("max_by(cum, seq)").as("final_llr_micro"),
@@ -7152,11 +7165,12 @@ object Relational {
             expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)").as("w"))
         val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
         val rows = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        val wd = Window.partitionBy("p_brand")
-          .orderBy(col("price_c"), col("l_orderkey"), col("l_linenumber"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val c = rows
-          .withColumn("cumw", sum(col("w")).over(wd))
+        // 25 brands × lineitem-sized groups: the weighted cumulative walk
+        // runs as a grouped Prefix.orderStats prefix sum, never one task
+        // per brand
+        val c = Prefix.orderStats(rows,
+          Seq(col("price_c"), col("l_orderkey"), col("l_linenumber")),
+          group = Seq("p_brand"), cumSums = Seq(("w", "cumw")))
         val tot = c.groupBy("p_brand")
           .agg(count(ONE).as("n_lines"), sum(col("w")).as("tw"))
         c.join(tot, "p_brand")
@@ -7535,6 +7549,13 @@ object Relational {
             expr("CAST(CASE WHEN dev * dev > 1 * vvar AND dev < 0 THEN 1 ELSE 0 END AS BIGINT)").as("b1d"),
             expr("CAST(CASE WHEN dev > 0 THEN 1 ELSE 0 END AS BIGINT)").as("su"),
             expr("CAST(CASE WHEN dev < 0 THEN 1 ELSE 0 END AS BIGINT)").as("sd"))
+        // ~6 metric streams × event-sized groups: the rolling
+        // Western-Electric lookbacks (<= 8 rows) keep the per-stream
+        // window spelling here — a ROLLING frame has no two-pass
+        // prefix-sum form, and the honest at-scale spelling of a
+        // per-stream control chart is the STREAMING engine (st22's
+        // z-score guardrail runs the same math with O(1) state per key);
+        // this batch card is the backfill/audit arm.
         def fr(k: Int) = Window.partitionBy("event_type")
           .orderBy(col("us"), col("event_id")).rowsBetween(-(k - 1), 0)
         val w0 = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))

@@ -902,11 +902,15 @@ object TextAnalysis {
     // then a 5-sum partial aggregation; nothing is ever collected.
     QueryDef("t22_zipf_slope",
       (s, d) => {
-        val w = Window.partitionBy("source").orderBy(col("c").desc, col("token"))
-        val xy = Tables.documents(s, d)
-          .select(col("source"), explode(split(col("text"), " ")).as("token"))
-          .groupBy("source", "token").agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(w))
+        // per-source frequency ranks over a vocabulary-sized table: a
+        // grouped Prefix.orderStats two-pass rank (a plain partitionBy
+        // window would sort each source's whole vocabulary in ONE task)
+        val xy = Prefix.orderStats(
+            Tables.documents(s, d)
+              .select(col("source"), explode(split(col("text"), " ")).as("token"))
+              .groupBy("source", "token").agg(count(lit(1)).as("c")),
+            Seq(col("c").desc, col("token")), group = Seq("source"),
+            rn = Some("rn"))
           .select(col("source"),
             expr("CAST(round(ln(CAST(rn AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("x"),
             expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT)").as("y"))

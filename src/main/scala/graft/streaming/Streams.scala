@@ -215,15 +215,19 @@ object Streams {
     * ~10^20 at fixture scale — past int64).
     */
   def zscoreGuardrail(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("us"), col("event_id"))
-    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
-    events
-      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
-        expr("CAST(round(value * 1000, 0) AS BIGINT)").as("vm"))
-      .withColumn("seq", row_number().over(w))
-      .withColumn("n_prior", coalesce(count(lit(1)).over(wp), lit(0L)))
-      .withColumn("s", coalesce(sum(col("vm")).over(wp), lit(0L)))
-      .withColumn("ss", coalesce(sum(expr("vm * vm")).over(wp), lit(0L)))
+    // ~6 metric streams × event-sized groups: the strictly-preceding
+    // moment walk runs as a grouped Prefix.orderStats scan (rank +
+    // exclusive exact sums; n_prior IS seq - 1), never one task per type
+    graft.operators.Prefix.orderStats(
+        events
+          .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+            expr("CAST(round(value * 1000, 0) AS BIGINT)").as("vm"))
+          .withColumn("vm2", expr("vm * vm")),
+        Seq(col("us"), col("event_id")), group = Seq("event_type"),
+        rn = Some("seq"),
+        cumSumsExclusive = Seq(("vm", "s"), ("vm2", "ss")))
+      .withColumn("n_prior", col("seq") - 1L)
+      .withColumn("seq", col("seq").cast("int")) // keep the r8 output schema
       .select(col("event_type"), col("event_id"), col("seq"), col("n_prior"),
         expr("""n_prior >= 10 AND
            CAST(vm * n_prior - s AS DECIMAL(19,0)) * CAST(vm * n_prior - s AS DECIMAL(19,0))

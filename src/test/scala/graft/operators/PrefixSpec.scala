@@ -116,7 +116,9 @@ class PrefixSpec extends SparkSpec {
     val offenders = files.flatMap { p =>
       val lines = java.nio.file.Files.readAllLines(p).asScala
       lines.zipWithIndex.collect {
-        case (l, i) if l.contains("Window.orderBy") && !l.trim.startsWith("*") &&
+        // match CALL SITES (open paren) — prose mentions in doc strings
+        // ("...Window.orderBy that Spark...") are not windows
+        case (l, i) if l.contains("Window.orderBy(") && !l.trim.startsWith("*") &&
           !lines.slice(math.max(0, i - 6), i + 1)
             .exists(_.toLowerCase.contains("bounded")) =>
           s"$p:${i + 1}"
