@@ -846,12 +846,11 @@ object Pipeline {
         val dups = docs.join(dupHashes, col("h") === col("dh"))
           .groupBy(col("source").as("s2")).agg(count(lit(1)).as("dup_docs"))
         // grouped Prefix rank (each source is corpus-sized — never one
-        // task per source) + a tiny broadcast of per-source counts
-        val srcCounts = docs.groupBy(col("source").as("sn")).agg(count(lit(1)).as("nn"))
+        // task per source); per-source counts ride along as groupCount —
+        // one less scan of docs (each scan recomputes sha2 over text)
         val med = Prefix.orderStats(docs,
             Seq(col("n_chars"), col("doc_id")), group = Seq("source"),
-            rn = Some("rn"))
-          .join(broadcast(srcCounts), col("source") === col("sn"))
+            rn = Some("rn"), groupCount = Some("nn"))
           .filter(expr("rn = (nn + 1) div 2"))
           .select(col("source").as("s3"), col("n_chars").as("median_chars"))
         base
@@ -1218,14 +1217,13 @@ object Pipeline {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("source"), col("doc_id"), expr(NTOK).as("n_tokens"))
-        val tot = docs.groupBy("source")
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
         // grouped Prefix exclusive cumsum: each source is corpus-sized,
-        // so the nucleus walk never single-tasks a source
+        // so the nucleus walk never single-tasks a source; per-source
+        // doc counts and token totals ride along as groupCount/groupSums
         Prefix.orderStats(docs,
             Seq(col("n_tokens").desc, col("doc_id")), group = Seq("source"),
-            cumSumsExclusive = Seq(("n_tokens", "cum_before")))
-          .join(tot, "source")
+            cumSumsExclusive = Seq(("n_tokens", "cum_before")),
+            groupCount = Some("n_docs"), groupSums = Seq(("n_tokens", "total_tokens")))
           .filter(expr("10 * cum_before < 9 * total_tokens"))
           .groupBy("source")
           .agg(max(col("n_docs")).as("n_docs"), max(col("total_tokens")).as("total_tokens"),

@@ -1,6 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.graft.InternalBridge
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Scale-safe global order statistics — the two-pass range-partitioned
@@ -38,6 +42,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * computed once (the second job's map stage is skipped). This is the
   * "genuine per-partition imperative logic" case RDDs exist for.
   *
+  * Both passes run on `InternalRow` (`queryExecution.toRdd` in,
+  * [[org.apache.spark.sql.graft.InternalBridge]] out): the public
+  * `Dataset.rdd` / `createDataFrame(rowRDD, schema)` spelling pays two
+  * full external-row conversions per pass (boxing every field,
+  * `UTF8String` ↔ `String`), measured at 2-7× the whole query on the
+  * rewritten surface. Sort-output rows are REUSED buffers, so group
+  * keys are copied before being held across rows, and the scan emits a
+  * reused `JoinedRow` — safe because `RDDScanExec` re-projects every
+  * row through its own `UnsafeProjection` before anything downstream
+  * buffers it.
+  *
   * Requirements on the caller:
   *   - `sort` must be a TOTAL order (include a unique tiebreak column)
   *     — the same requirement the engine-determinism contract already
@@ -59,7 +74,18 @@ object Prefix {
     *   - `cumSumsExclusive`: (valueCol, outCol) exclusive running sums
     *     (UNBOUNDED PRECEDING .. 1 PRECEDING), 0 for the first row;
     *   - `ntiles`: (k, outCol) SQL-standard NTILE(k) buckets
-    *     (IntegerType).
+    *     (IntegerType);
+    *   - `groupCount`: total row count of the row's group (LongType) —
+    *     `count(*) OVER (PARTITION BY group)`;
+    *   - `groupSums`: (valueCol, outCol) total sum of valueCol over the
+    *     row's group (LongType) — `sum(v) OVER (PARTITION BY group)`.
+    *
+    * `groupCount`/`groupSums` cost nothing extra: pass 1's subtotals
+    * already hold them, so a caller that needs "cumulative vs total"
+    * (weighted quantiles, Lorenz/ABC shares, nucleus cuts, median
+    * ranks) gets the total attached in the SAME scan instead of
+    * aggregating separately and joining back — which would re-run the
+    * scan pass (and its reduce-side sort) a second time.
     */
   def orderStats(
       df: DataFrame,
@@ -68,16 +94,19 @@ object Prefix {
       rn: Option[String] = None,
       cumSums: Seq[(String, String)] = Nil,
       cumSumsExclusive: Seq[(String, String)] = Nil,
-      ntiles: Seq[(Int, String)] = Nil): DataFrame = {
+      ntiles: Seq[(Int, String)] = Nil,
+      groupCount: Option[String] = None,
+      groupSums: Seq[(String, String)] = Nil): DataFrame = {
     val spark = df.sparkSession
     val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val keys = group.map(df.col) ++ sort
-    // ONE sorted Dataset → ONE lazy `.rdd` → ONE range partitioner
-    // shared by the subtotal job and the scan job.
+    // ONE sorted plan → ONE lazy `toRdd` → ONE range partitioner shared
+    // by the subtotal job and the scan job.
     val sorted = df.repartitionByRange(P, keys: _*).sortWithinPartitions(keys: _*)
     val schema = sorted.schema
-    val rdd = sorted.rdd
-    val sumSrcs = (cumSums ++ cumSumsExclusive).map(_._1).distinct
+    val rdd: RDD[InternalRow] = sorted.queryExecution.toRdd
+    val sumSrcs =
+      (cumSums ++ cumSumsExclusive ++ groupSums).map(_._1).distinct
     val gIdx = group.map(schema.fieldIndex).toArray
     val sIdx = sumSrcs.map(schema.fieldIndex).toArray
     sIdx.foreach { i =>
@@ -85,13 +114,26 @@ object Prefix {
       require(dt == LongType || dt == IntegerType,
         s"Prefix running sums need exact integer columns; ${schema(i).name} is $dt")
     }
-    def sval(r: Row, i: Int): Long = r.get(sIdx(i)) match {
-      case l: Long => l
-      case n: Int  => n.toLong
-      case other   => throw new IllegalArgumentException(
-        s"Prefix sum column ${sumSrcs(i)}: non-integer value $other")
-    }
+    val sIsInt = sIdx.map(i => schema(i).dataType == IntegerType)
+    val gAcc = gIdx.map(i => InternalRow.getAccessor(schema(i).dataType, nullable = true))
     val nSums = sIdx.length
+    def sval(r: InternalRow, i: Int): Long = {
+      val idx = sIdx(i)
+      if (r.isNullAt(idx)) throw new IllegalArgumentException(
+        s"Prefix sum column ${sumSrcs(i)}: null value")
+      if (sIsInt(i)) r.getInt(idx).toLong else r.getLong(idx)
+    }
+    // Sort output reuses row buffers, so key values held across rows
+    // (map keys, the previous-group sentinel) must be copied out.
+    def keyOf(r: InternalRow): Seq[Any] = {
+      val a = new Array[Any](gIdx.length)
+      var i = 0
+      while (i < gIdx.length) {
+        a(i) = InternalRow.copyValue(gAcc(i)(r, gIdx(i)))
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    }
 
     // pass 1 (small job): per-(partition, group) row counts and sums, in
     // each partition's encounter order. ≤ P * |groups| tiny tuples on
@@ -101,7 +143,7 @@ object Prefix {
         val acc = scala.collection.mutable.LinkedHashMap
           .empty[Seq[Any], (Long, Array[Long])]
         it.foreach { r =>
-          val k = gIdx.map(r.get).toSeq
+          val k = keyOf(r)
           val (c, ss) = acc.getOrElseUpdate(k, (0L, new Array[Long](nSums)))
           var i = 0
           while (i < nSums) { ss(i) += sval(r, i); i += 1 }
@@ -126,8 +168,17 @@ object Prefix {
           off
         }
     }
-    val totals: Map[Seq[Any], Long] =
-      byGroup.map { case (k, rows) => (k, rows.map(_._3).sum) }
+    // group total row count + total sum per sum column (pass 1 already
+    // paid for them — exposed via groupCount/groupSums for free)
+    val totals: Map[Seq[Any], (Long, Array[Long])] =
+      byGroup.map { case (k, rows) =>
+        val ts = new Array[Long](nSums)
+        rows.foreach { case (_, _, _, s) =>
+          var i = 0
+          while (i < nSums) { ts(i) += s(i); i += 1 }
+        }
+        (k, (rows.map(_._3).sum, ts))
+      }
     val bcOff = spark.sparkContext.broadcast(offsets)
     val bcTot = spark.sparkContext.broadcast(totals)
 
@@ -142,21 +193,30 @@ object Prefix {
     }
 
     // pass 2: streaming per-partition scan (the shuffle map outputs are
-    // reused from pass 1; only the reduce-side sort re-runs).
+    // reused from pass 1; only the reduce-side sort re-runs). Emits a
+    // reused JoinedRow(input, stats) — RDDScanExec's own projection
+    // materializes each row before anything downstream sees the next.
     val kList = ntiles.map(_._1).toArray
     val cumIdx = cumSums.map(c => sumSrcs.indexOf(c._1)).toArray
     val exclIdx = cumSumsExclusive.map(c => sumSrcs.indexOf(c._1)).toArray
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+    val gsumIdx = groupSums.map(c => sumSrcs.indexOf(c._1)).toArray
+    val nStats = rn.size + cumIdx.length + exclIdx.length + kList.length +
+      groupCount.size + gsumIdx.length
+    val hasCount = groupCount.isDefined
+    val out: RDD[InternalRow] = rdd.mapPartitionsWithIndex { (pid, it) =>
       val offMap = bcOff.value
       val totMap = bcTot.value
+      val stats = new GenericInternalRow(nStats)
+      val joined = new JoinedRow
       var curKey: Seq[Any] = null
       var lrn = 0L
       var rnOff = 0L
       var total = 0L
+      var totSums: Array[Long] = null
       val runSums = new Array[Long](nSums)
       val sumOffs = new Array[Long](nSums)
       it.map { r =>
-        val k = gIdx.map(r.get).toSeq
+        val k = keyOf(r)
         if (curKey == null || k != curKey) {
           curKey = k
           lrn = 0L
@@ -164,25 +224,34 @@ object Prefix {
           val (ro, so) = offMap((k, pid))
           rnOff = ro
           System.arraycopy(so, 0, sumOffs, 0, nSums)
-          total = totMap(k)
+          val (tc, ts) = totMap(k)
+          total = tc
+          totSums = ts
         }
         lrn += 1L
         val grn = rnOff + lrn
         var i = 0
         while (i < nSums) { runSums(i) += sval(r, i); i += 1 }
-        val stats = Seq.newBuilder[Any]
-        rn.foreach(_ => stats += grn)
-        cumIdx.foreach(i => stats += (sumOffs(i) + runSums(i)))
-        exclIdx.foreach(i => stats += (sumOffs(i) + runSums(i) - sval(r, i)))
-        kList.foreach(k => stats += ntileOf(grn, total, k))
-        Row.fromSeq(r.toSeq ++ stats.result())
+        var j = 0
+        rn.foreach { _ => stats.update(j, grn); j += 1 }
+        cumIdx.foreach { i => stats.update(j, sumOffs(i) + runSums(i)); j += 1 }
+        exclIdx.foreach { i =>
+          stats.update(j, sumOffs(i) + runSums(i) - sval(r, i)); j += 1
+        }
+        kList.foreach { kk => stats.update(j, ntileOf(grn, total, kk)); j += 1 }
+        if (hasCount) { stats.update(j, total); j += 1 }
+        gsumIdx.foreach { i => stats.update(j, totSums(i)); j += 1 }
+        joined(r, stats)
       }
     }
     val statFields =
       rn.map(StructField(_, LongType, nullable = false)).toSeq ++
         cumSums.map { case (_, o) => StructField(o, LongType, nullable = false) } ++
         cumSumsExclusive.map { case (_, o) => StructField(o, LongType, nullable = false) } ++
-        ntiles.map { case (_, o) => StructField(o, IntegerType, nullable = false) }
-    spark.createDataFrame(out, StructType(schema.fields ++ statFields))
+        ntiles.map { case (_, o) => StructField(o, IntegerType, nullable = false) } ++
+        groupCount.map(StructField(_, LongType, nullable = false)).toSeq ++
+        groupSums.map { case (_, o) => StructField(o, LongType, nullable = false) }
+    InternalBridge.internalCreateDataFrame(
+      spark, out, StructType(schema.fields ++ statFields))
   }
 }

@@ -3854,18 +3854,16 @@ object Relational {
     // passes partitioned by segment — each a GROUPED Prefix.orderStats
     // two-pass prefix scan (5 segments × order-sized groups: a plain
     // partitionBy window would sort each whole segment in ONE task);
-    // the per-segment counts come from an agg + 5-row broadcast join
-    // instead of a count-over-the-whole-group window.
+    // the per-segment counts ride along as groupCount — pass 1 of the
+    // prefix scan already knows them, no separate agg or join.
     QueryDef("q103_mad_outliers",
       (s, d) => {
         val j = Tables.orders(s, d)
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment"), col("o_orderkey"),
             expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
-        val counts = j.groupBy(col("c_mktsegment").as("msn")).agg(count(ONE).as("n"))
         val med = Prefix.orderStats(j, Seq(col("cents"), col("o_orderkey")),
-            group = Seq("c_mktsegment"), rn = Some("i"))
-          .join(broadcast(counts), col("c_mktsegment") === col("msn"))
+            group = Seq("c_mktsegment"), rn = Some("i"), groupCount = Some("n"))
           .filter(expr("i = (n + 1) div 2"))
           .select(col("c_mktsegment").as("ms"), col("cents").as("med_cents"), col("n"))
         val dev = j.join(med, col("c_mktsegment") === col("ms"))
@@ -4075,11 +4073,10 @@ object Relational {
           .select(col("c_mktsegment"),  col("o_orderkey"),
             expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
         // grouped Prefix rank (5 segments × order-sized groups — never
-        // one task per segment) + a 5-row broadcast of per-segment counts
-        val counts = j.groupBy(col("c_mktsegment").as("msn")).agg(count(ONE).as("n"))
+        // one task per segment); per-segment counts ride along as
+        // groupCount, no separate agg or join
         Prefix.orderStats(j, Seq(col("cents"), col("o_orderkey")),
-            group = Seq("c_mktsegment"), rn = Some("i"))
-          .join(broadcast(counts), col("c_mktsegment") === col("msn"))
+            group = Seq("c_mktsegment"), rn = Some("i"), groupCount = Some("n"))
           .withColumn("k", expr("n div 20"))
           .groupBy("c_mktsegment")
           .agg(max(col("n")).as("n_orders"), max(col("k")).as("k"),
@@ -4625,22 +4622,23 @@ object Relational {
           .groupBy("l_partkey")
           .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
             .as("rev_cents"))
-        val tot = rev.agg(sum(col("rev_cents")).as("total"))
         // cumulative revenue over the PART dimension: a two-pass
         // range-partitioned prefix sum (Prefix.orderStats), not a
         // single-task global window — exact longs, so regrouping is
-        // lossless and the class boundaries are unchanged
+        // lossless and the class boundaries are unchanged; the grand
+        // total rides along as an ungrouped groupSums column instead of
+        // a separate scalar agg cross-joined back (one rev scan, not two)
         Prefix.orderStats(rev, Seq(col("rev_cents").desc, col("l_partkey")),
-            cumSums = Seq(("rev_cents", "cum")))
-          .crossJoin(tot)
+            cumSums = Seq(("rev_cents", "cum")),
+            groupSums = Seq(("rev_cents", "total")))
           .withColumn("cum_ppm", expr("1000000 * cum div total"))
           .withColumn("abc_class",
             when(col("cum_ppm") <= 800000, "A")
               .when(col("cum_ppm") <= 950000, "B").otherwise("C"))
           .groupBy("abc_class")
           .agg(count(ONE).as("n_parts"),
-            sum(col("rev_cents")).as("revenue_cents"))
-          .crossJoin(tot)
+            sum(col("rev_cents")).as("revenue_cents"),
+            max(col("total")).as("total"))
           .withColumn("share_ppm", expr("1000000 * revenue_cents div total"))
           .select(col("abc_class"), col("n_parts"), col("revenue_cents"), col("share_ppm"))
           .orderBy("abc_class")
@@ -5273,11 +5271,12 @@ object Relational {
         val curve = Prefix.orderStats(
           bounds.groupBy("us", "delta").agg(sum(col("delta")).as("dsum")),
           Seq(col("us"), col("delta")), cumSums = Seq(("dsum", "conc")))
-        val nSess = sessions.agg(count(ONE).as("n_sessions"))
-        curve.agg(min(struct((col("conc") * -1).as("nc"), col("us"))).as("p"))
-          .select((col("p.nc") * -1).as("peak_concurrency"), col("p.us").as("first_peak_us"))
-          .crossJoin(nSess)
-          .select(col("n_sessions"), col("peak_concurrency"), col("first_peak_us"))
+        // n_sessions = the sum of +1 boundary deltas already on the curve
+        // — no third pass over the sessionization chain for one scalar
+        curve.agg(min(struct((col("conc") * -1).as("nc"), col("us"))).as("p"),
+            sum(when(col("delta") === 1L, col("dsum")).otherwise(0L)).as("n_sessions"))
+          .select(col("n_sessions"),
+            (col("p.nc") * -1).as("peak_concurrency"), col("p.us").as("first_peak_us"))
       },
       Some("""
         WITH ev AS (
@@ -5652,23 +5651,22 @@ object Relational {
           .select(col("event_id"), (col("us") - col("v_us")).as("lat_us"))
         // conversions scale with the corpus: the nearest-rank picks run
         // on a Prefix.orderStats global row number (two-pass, range-
-        // partitioned) with the total joined in as one broadcast scalar
-        // — no single-task sort, no all-rows count window
+        // partitioned). Count and sum ride along as groupCount/groupSums
+        // and min/max are the rn=1 / rn=n picks, so the expensive lat
+        // chain (events window + filter) is scanned ONCE, not three times
         val ranked = Prefix.orderStats(lat,
-            Seq(col("lat_us"), col("event_id")), rn = Some("rn"))
-          .crossJoin(broadcast(lat.agg(count(ONE).as("n"))))
-        val picks = ranked
-          .filter(expr("rn = (n + 1) div 2 OR rn = (9 * n + 9) div 10"))
+            Seq(col("lat_us"), col("event_id")), rn = Some("rn"),
+            groupCount = Some("n"), groupSums = Seq(("lat_us", "sum_us")))
+        ranked
+          .filter(expr(
+            "rn = 1 OR rn = n OR rn = (n + 1) div 2 OR rn = (9 * n + 9) div 10"))
           .groupBy()
-          .agg(max(when(expr("rn = (n + 1) div 2"), col("lat_us"))).as("p50_us"),
-            max(when(expr("rn = (9 * n + 9) div 10"), col("lat_us"))).as("p90_us"))
-        val aggs = lat.groupBy()
-          .agg(count(ONE).as("n_conversions"), sum(col("lat_us")).as("sum_us"),
-            min(col("lat_us")).as("min_us"), max(col("lat_us")).as("max_us"))
-        aggs.crossJoin(picks)
-          .select(col("n_conversions"),
-            expr("sum_us div n_conversions").as("mean_us"),
-            col("p50_us"), col("p90_us"), col("min_us"), col("max_us"))
+          .agg(coalesce(max(col("n")), lit(0L)).as("n_conversions"),
+            max(expr("sum_us div n")).as("mean_us"),
+            max(when(expr("rn = (n + 1) div 2"), col("lat_us"))).as("p50_us"),
+            max(when(expr("rn = (9 * n + 9) div 10"), col("lat_us"))).as("p90_us"),
+            max(when(expr("rn = 1"), col("lat_us"))).as("min_us"),
+            max(when(expr("rn = n"), col("lat_us"))).as("max_us"))
       },
       Some("""
         WITH ev AS (
@@ -5771,12 +5769,11 @@ object Relational {
           .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
             expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"))
         // grouped Prefix rank (5 segments × order-sized groups — never
-        // one task per segment) + a 5-row broadcast of per-segment counts
-        val counts = base.groupBy(col("segment").as("segn")).agg(count(ONE).as("n"))
+        // one task per segment); per-segment counts ride along as
+        // groupCount, no separate agg or join
         val ranked = Prefix.orderStats(base,
             Seq(col("cents"), col("o_orderkey")), group = Seq("segment"),
-            rn = Some("rn"))
-          .join(broadcast(counts), col("segment") === col("segn"))
+            rn = Some("rn"), groupCount = Some("n"))
         val picks = ranked.groupBy("segment")
           .agg(max(col("n")).as("n_orders"),
             min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
@@ -5969,23 +5966,29 @@ object Relational {
           .select(col("cents"), lit(8L).as("w"), col("o_orderkey"))
         // both rank walks are order-table-sized (survivors are n/8), so
         // they run as Prefix.orderStats two-pass prefix scans with the
-        // totals broadcast as scalars — no single-task global windows
+        // totals riding along as groupCount/groupSums — no single-task
+        // global windows, no scalar aggs joined back
         val cum = Prefix.orderStats(kept,
-            Seq(col("cents"), col("o_orderkey")), cumSums = Seq(("w", "cw")))
-          .crossJoin(broadcast(kept.agg(sum(col("w")).as("tw"))))
+            Seq(col("cents"), col("o_orderkey")), cumSums = Seq(("w", "cw")),
+            groupSums = Seq(("w", "tw")))
         val exact = Prefix.orderStats(base,
-            Seq(col("cents"), col("o_orderkey")), rn = Some("rn"))
-          .crossJoin(broadcast(base.agg(count(ONE).as("n"))))
+            Seq(col("cents"), col("o_orderkey")), rn = Some("rn"),
+            groupCount = Some("n"))
         val qs = Seq(25, 50, 90, 99)
-        val est = qs.map { q =>
-          cum.filter(expr(s"cw >= ($q * tw + 99) div 100"))
-            .groupBy().agg(min(col("cents")).as("est_cents"))
-            .select(lit(q).as("q_pct"), col("est_cents"))
-        }.reduce(_.unionAll(_))
-        val exa = qs.map { q =>
-          exact.filter(expr(s"rn = ($q * n + 99) div 100"))
-            .select(lit(q).as("qp"), col("cents").as("exact_cents"), col("n"))
-        }.reduce(_.unionAll(_))
+        // ONE conditional-aggregate scan for all four estimate picks and
+        // one for all four exact picks (a per-q filter would scan the
+        // prefix output — re-running its sort pass — 4 and 5 times)
+        val estAggs = qs.map(q =>
+          min(when(expr(s"cw >= ($q * tw + 99) div 100"), col("cents"))).as(s"e$q"))
+        val est = cum.groupBy().agg(estAggs.head, estAggs.tail: _*)
+          .select(expr(s"stack(4, ${qs.map(q => s"$q, e$q").mkString(", ")})" +
+            " AS (q_pct, est_cents)"))
+        val exaAggs = qs.map(q =>
+          max(when(expr(s"rn = ($q * n + 99) div 100"), col("cents"))).as(s"x$q")) :+
+          max(col("n")).as("nn")
+        val exa = exact.groupBy().agg(exaAggs.head, exaAggs.tail: _*)
+          .select(expr(s"stack(4, ${qs.map(q => s"$q, x$q").mkString(", ")})" +
+            " AS (qp, exact_cents)"), col("nn").as("n"))
         val ranks = est.join(exa, col("q_pct") === col("qp"))
           .join(exact.select(col("cents").as("c2")),
             col("c2") <= col("est_cents"), "left")
@@ -7167,14 +7170,14 @@ object Relational {
         val rows = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         // 25 brands × lineitem-sized groups: the weighted cumulative walk
         // runs as a grouped Prefix.orderStats prefix sum, never one task
-        // per brand
+        // per brand; the group totals ride along in the same scan
+        // (groupCount/groupSums) instead of a separate agg joined back —
+        // which would scan the prefix RDD (and re-run its sort) twice
         val c = Prefix.orderStats(rows,
           Seq(col("price_c"), col("l_orderkey"), col("l_linenumber")),
-          group = Seq("p_brand"), cumSums = Seq(("w", "cumw")))
-        val tot = c.groupBy("p_brand")
-          .agg(count(ONE).as("n_lines"), sum(col("w")).as("tw"))
-        c.join(tot, "p_brand")
-          .groupBy("p_brand")
+          group = Seq("p_brand"), cumSums = Seq(("w", "cumw")),
+          groupCount = Some("n_lines"), groupSums = Seq(("w", "tw")))
+        c.groupBy("p_brand")
           .agg(max(col("n_lines")).as("n_lines"), max(col("tw")).as("total_weight"),
             min(when(expr("4 * cumw >= tw"), col("price_c"))).as("wp25_cents"),
             min(when(expr("2 * cumw >= tw"), col("price_c"))).as("wmedian_cents"),
@@ -7448,18 +7451,18 @@ object Relational {
             when(col("cv2_micro") < 250000L, "X")
               .when(col("cv2_micro") < 1000000L, "Y").otherwise("Z").as("xyz_class"))
         val rev = li.groupBy("l_partkey").agg(sum(col("rev_c")).as("prc"))
-        val tot = rev.agg(sum(col("prc")).as("trc"))
         // exclusive cumulative revenue over the PART dimension — a
         // Prefix.orderStats two-pass prefix sum (exact longs), replacing
-        // the single-task global window
+        // the single-task global window; the grand total rides along as
+        // an ungrouped groupSums column (no scalar agg re-running the
+        // lineitem join, no cross joins)
         val abc = Prefix.orderStats(rev, Seq(col("prc").desc, col("l_partkey")),
-            cumSumsExclusive = Seq(("prc", "cum_before")))
-          .crossJoin(broadcast(tot))
-          .select(col("l_partkey").as("pk_a"), col("prc"),
+            cumSumsExclusive = Seq(("prc", "cum_before")),
+            groupSums = Seq(("prc", "trc")))
+          .select(col("l_partkey").as("pk_a"), col("prc"), col("trc"),
             when(expr("5 * cum_before < 4 * trc"), "A")
               .when(expr("20 * cum_before < 19 * trc"), "B").otherwise("C").as("abc_class"))
         abc.join(xyz, col("pk_a") === col("pk_x"))
-          .crossJoin(broadcast(tot))
           .groupBy("abc_class", "xyz_class")
           .agg(count(ONE).as("n_parts"), sum(col("prc")).as("revenue_cents"),
             expr("sum(prc) * 1000000 div max(trc)").as("revenue_share_micro"))

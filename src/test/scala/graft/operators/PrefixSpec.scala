@@ -60,6 +60,26 @@ class PrefixSpec extends SparkSpec {
       expected.select(got.columns.map(col): _*).orderBy("g", "id").collect().toSeq)
   }
 
+  test("groupCount/groupSums match count/sum OVER (PARTITION BY group)") {
+    val df = fixture
+    val sort = Seq(col("v"), col("id"))
+    val wg = Window.partitionBy("g")
+    val expected = df
+      .withColumn("cw", sum(col("w")).over(Window.partitionBy("g").orderBy(sort: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("tw", sum(col("w")).over(wg))
+    val got = Prefix.orderStats(df, sort, group = Seq("g"),
+      cumSums = Seq(("w", "cw")), groupCount = Some("n"),
+      groupSums = Seq(("w", "tw")))
+    assert(got.orderBy("g", "id").collect().toSeq ===
+      expected.select(got.columns.map(col): _*).orderBy("g", "id").collect().toSeq)
+    // ungrouped: the totals are the global count/sum
+    val g2 = Prefix.orderStats(df, sort, groupCount = Some("n"),
+      groupSums = Seq(("w", "tw"))).select("n", "tw").distinct().collect()
+    assert(g2.length === 1 && g2(0).getLong(0) === 997L)
+  }
+
   test("invariant to the shuffle-partition count, including n < P and P = 1") {
     val df = fixture
     val sort = Seq(col("v"), col("id"))
