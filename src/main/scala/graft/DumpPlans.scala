@@ -107,7 +107,14 @@ object DumpPlans {
       "Window.orderBy that Spark executes in ONE task; results are bit-identical " +
       "(exact integer arithmetic regroups losslessly) and partition-count/AQE " +
       "invariant (PrefixSpec + ContractSpec). The remaining Window.orderBy sites " +
-      "are declared bounded intermediates, gated by a source-scan spec."
+      "are declared bounded intermediates, gated by a source-scan spec. " +
+      "r9 cont.: both passes run on InternalRow (queryExecution.toRdd in, a " +
+      "one-method private[sql] bridge out — the external Row conversions were " +
+      "2-7x the whole query), and group row counts / column totals ride along " +
+      "as groupCount/groupSums columns from pass 1's subtotals, so " +
+      "cumulative-vs-total queries need no separate total agg joined back " +
+      "(q135's per-quantile filters, which re-scanned the prefix output 4-5x, " +
+      "are one conditional-aggregate scan each)."
     val notes = Map(
       "c03_dbscan_grid" -> ("r9 floor adjudication: FRONTIER DOUBLING (propagating over " +
         "edges UNION edges^2, built once) cut materialized rounds 12 -> 5 with wall time " +

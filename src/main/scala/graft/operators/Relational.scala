@@ -5959,9 +5959,13 @@ object Relational {
           .select(col("o_orderkey"),
             expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cents"),
             expr(s"${Ns.hash60("concat('kll:', CAST(o_orderkey AS STRING))")} % 32").as("bkt"))
-        val kept = base
-          .withColumn("brn", row_number().over(
-            Window.partitionBy("bkt").orderBy(col("cents"), col("o_orderkey"))))
+        // per-bucket compaction rank as a GROUPED Prefix scan: 32 buckets
+        // × n/32 rows each is 32 single-task sorts at 100 TB if spelled
+        // as a partitionBy window; the grouped prefix rank spreads every
+        // bucket across all partitions with identical row numbers
+        val kept = Prefix.orderStats(base,
+            Seq(col("cents"), col("o_orderkey")), group = Seq("bkt"),
+            rn = Some("brn"))
           .filter(expr("brn % 8 = 1"))
           .select(col("cents"), lit(8L).as("w"), col("o_orderkey"))
         // both rank walks are order-table-sized (survivors are n/8), so
