@@ -61,7 +61,7 @@ object Bench {
     val witness = if (sys.env.contains("SPARK_GRAFT_SKIP_WITNESS")) ""
       else "," + solverWitness(spark) + "," + pipelineWitness(spark) +
         "," + knnLadderWitness(spark) + "," + knnSynthWitness(spark) +
-        "," + invarianceWitness(spark, sfDir)
+        "," + prefixWitness(spark) + "," + invarianceWitness(spark, sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"first":$firsts$witness,"sf":"$sfDir"}""")
     // The full line above can exceed the driver's tail-truncation window,
     // leaving BENCH_r*.json unparseable. Repeat the headline as ONE compact
@@ -250,6 +250,50 @@ object Bench {
       s""""n$n":{"h":$h,"sec":$sec,"shuffle_mb":${shuffleBytes.get / 1e6}}"""
     }
     s""""knn_synth_witness":{"query":"knnDirectedBlockedOn","dims":64,${entries.mkString(",")}}"""
+  }
+
+  /** Global-order-statistics witness: the single-task `Window.orderBy`
+    * spelling vs the range-partitioned two-pass `Prefix.orderStats` on
+    * the same deterministic md5-keyed synthetic frame, at two rungs.
+    * Three things measured, not claimed:
+    *  - `equal`: both arms produce the SAME exact checksums
+    *    (Σrn, Σ cumsum) — the lossless-regrouping argument, checked at
+    *    a size far above any fixture table;
+    *  - wall seconds per arm: the window arm funnels ALL n rows through
+    *    ONE task (Spark requires SinglePartition for an unpartitioned
+    *    window), so its time grows with n while the prefix arm spreads
+    *    n/P per task — the gap IS the straggler the r9 rewrites
+    *    removed, and at 100 TB the window arm is not slow but
+    *    impossible (one task must hold the corpus);
+    *  - timed once per arm after a warm run (plan/codegen excluded).
+    */
+  private def prefixWitness(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val entries = Seq(250000, 2000000).map { n =>
+      val df = spark.range(n).select(col("id"),
+        expr("CAST(conv(substr(md5(concat('pw:', CAST(id AS STRING))), 1, 12), " +
+          "16, 10) AS BIGINT)").as("k"),
+        expr("id % 97 + 1").as("w"))
+      val sort = Seq(col("k"), col("id"))
+      // consume rn+cw through an aggregate so column pruning cannot drop
+      // the stats; the sums double as the cross-arm equality checksum
+      def windowArm() = {
+        val wo = Window.orderBy(sort: _*) // bounded: witness-only arm, the shape under test
+        df.withColumn("rn", row_number().over(wo).cast("long"))
+          .withColumn("cw", sum(col("w")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .agg(sum(col("rn")), sum(col("cw"))).collect()(0)
+      }
+      def prefixArm() = graft.operators.Prefix
+        .orderStats(df, sort, rn = Some("rn"), cumSums = Seq(("w", "cw")))
+        .agg(sum(col("rn")), sum(col("cw"))).collect()(0)
+      windowArm(); prefixArm() // warm (plan/codegen), unmetered
+      val (wRow, wSec) = { val t0 = System.nanoTime(); val r = windowArm(); (r, (System.nanoTime() - t0) / 1e9) }
+      val (pRow, pSec) = { val t0 = System.nanoTime(); val r = prefixArm(); (r, (System.nanoTime() - t0) / 1e9) }
+      s""""n$n":{"window_sec":$wSec,"prefix_sec":$pSec,"equal":${wRow == pRow}}"""
+    }
+    s""""prefix_witness":{"stats":"rn+cumsum","tasks_window_arm":1,${entries.mkString(",")}}"""
   }
 
   /** Large-N solver witness: the temporal-blocking design claims argued in
