@@ -167,7 +167,16 @@ object DumpPlans {
         "pair set; the n^2 ground truth survives only as a scalar 500-row replay " +
         "in NsOperatorsSpec."),
       "q139_rfm_segmentation" -> prefixNote, "q113_abc_analysis" -> prefixNote,
-      "q155_abc_xyz" -> prefixNote, "s26_lift_gains" -> prefixNote,
+      "q155_abc_xyz" -> (prefixNote + " r9 cont. dead-end, measured and reverted: " +
+        "deriving nMonths and the part-grain revenue from a shared (partkey, mon) " +
+        "pre-aggregate to collapse the three fact-join executions into one made the " +
+        "query ~1.5x SLOWER (steady 3.3-3.5 s vs 2.3-2.4 s A/B on one machine): the " +
+        "(partkey, mon) grain is nearly unique at fixture density, so the shared " +
+        "aggregate shuffles the full fact width once as a barrier, while the three " +
+        "independent consumers each shuffle only map-side-combined partials (tiny). " +
+        "Per-consumer partial aggregation beats a shared pre-aggregate whenever the " +
+        "sharing grain barely reduces."),
+      "s26_lift_gains" -> prefixNote,
       "p17_length_buckets" -> prefixNote, "q95_gini" -> prefixNote,
       "q124_peak_concurrency" -> prefixNote, "q135_quantile_sketch" -> prefixNote,
       "q130_time_to_convert" -> prefixNote, "q153_eb_shrinkage" -> prefixNote,

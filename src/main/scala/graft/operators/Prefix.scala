@@ -134,22 +134,37 @@ object Prefix {
       }
       scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
     }
+    // ungrouped fast path: most call sites have no group columns — skip
+    // the per-row key materialization and map lookup entirely
+    val grouped = gIdx.nonEmpty
+    val emptyKey: Seq[Any] = Nil
 
     // pass 1 (small job): per-(partition, group) row counts and sums, in
     // each partition's encounter order. ≤ P * |groups| tiny tuples on
     // the driver — bounded by the partition count by construction.
     val partials: Array[(Int, Seq[(Seq[Any], Long, Array[Long])])] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
-        val acc = scala.collection.mutable.LinkedHashMap
-          .empty[Seq[Any], (Long, Array[Long])]
-        it.foreach { r =>
-          val k = keyOf(r)
-          val (c, ss) = acc.getOrElseUpdate(k, (0L, new Array[Long](nSums)))
-          var i = 0
-          while (i < nSums) { ss(i) += sval(r, i); i += 1 }
-          acc.update(k, (c + 1L, ss))
+        if (!grouped) {
+          var c = 0L
+          val ss = new Array[Long](nSums)
+          it.foreach { r =>
+            var i = 0
+            while (i < nSums) { ss(i) += sval(r, i); i += 1 }
+            c += 1L
+          }
+          Iterator.single((pid, if (c == 0L) Nil else Seq((emptyKey, c, ss))))
+        } else {
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[Seq[Any], (Long, Array[Long])]
+          it.foreach { r =>
+            val k = keyOf(r)
+            val (c, ss) = acc.getOrElseUpdate(k, (0L, new Array[Long](nSums)))
+            var i = 0
+            while (i < nSums) { ss(i) += sval(r, i); i += 1 }
+            acc.update(k, (c + 1L, ss))
+          }
+          Iterator.single((pid, acc.iterator.map { case (k, (c, ss)) => (k, c, ss) }.toSeq))
         }
-        Iterator.single((pid, acc.iterator.map { case (k, (c, ss)) => (k, c, ss) }.toSeq))
       }.collect()
 
     // driver: exclusive prefix offsets per (group, pid) + group totals
@@ -216,8 +231,8 @@ object Prefix {
       val runSums = new Array[Long](nSums)
       val sumOffs = new Array[Long](nSums)
       it.map { r =>
-        val k = keyOf(r)
-        if (curKey == null || k != curKey) {
+        val k = if (grouped) keyOf(r) else emptyKey
+        if (curKey == null || (grouped && k != curKey)) {
           curKey = k
           lrn = 0L
           java.util.Arrays.fill(runSums, 0L)
