@@ -124,7 +124,7 @@ object Bpe {
     * training's own caches are unpersisted — the memo checkpoint is the
     * only surviving state.
     */
-  private def trainShared(s: SparkSession, d: String): (Seq[Merge], DataFrame) = {
+  private def trainShared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     var fresh: Option[(Seq[Merge], DataFrame, Seq[DataFrame])] = None
     def trained = fresh.getOrElse {
       val t = train(s, d, Rounds); fresh = Some(t); t
@@ -137,9 +137,9 @@ object Bpe {
     }
     val vocab = Dedup.shared(s, d, "bpeVocab")(trained._2)
     fresh.foreach(_._3.foreach(_.unpersist()))
-    val merges = mergesDf.orderBy("round").collect().toSeq
-      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-    (merges, vocab)
+    // frames, not a collected Seq: t18 (the only merges consumer)
+    // derives its output directly, so t19/t34 never pay a merges job
+    (mergesDf, vocab)
   }
 
   // ------------------------------------------------------------------
@@ -202,11 +202,9 @@ object Bpe {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t18_bpe_train",
       (s, d) => {
-        val sp = s
-        import sp.implicits._
         trainShared(s, d)._1
-          .map(m => (m.round, m.lhs, m.rhs, m.lhs + m.rhs, m.pairCount))
-          .toDF("round", "lhs", "rhs", "merged", "pair_count")
+          .select(col("round"), col("lhs"), col("rhs"),
+            concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
           .orderBy("round")
       },
       Some(trainSql(Rounds))),

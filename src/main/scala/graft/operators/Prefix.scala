@@ -124,18 +124,33 @@ object Prefix {
       if (sIsInt(i)) r.getInt(idx).toLong else r.getLong(idx)
     }
     // Sort output reuses row buffers, so key values held across rows
-    // (map keys, the previous-group sentinel) must be copied out.
-    def keyOf(r: InternalRow): Seq[Any] = {
+    // must be copied out — but ONLY on a group change: the range sort
+    // orders by (group ++ sort), so each partition's groups are
+    // contiguous runs, and rows inside a run are compared IN PLACE
+    // against the held copy (no per-row allocation or value copy).
+    def copyKey(r: InternalRow): Array[Any] = {
       val a = new Array[Any](gIdx.length)
       var i = 0
       while (i < gIdx.length) {
         a(i) = InternalRow.copyValue(gAcc(i)(r, gIdx(i)))
         i += 1
       }
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+      a
     }
+    def keyEquals(r: InternalRow, held: Array[Any]): Boolean = {
+      var i = 0
+      while (i < gIdx.length) {
+        val v = gAcc(i)(r, gIdx(i))
+        val h = held(i)
+        if (if (v == null) h != null else !v.equals(h)) return false
+        i += 1
+      }
+      true
+    }
+    def wrap(a: Array[Any]): Seq[Any] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
     // ungrouped fast path: most call sites have no group columns — skip
-    // the per-row key materialization and map lookup entirely
+    // key handling entirely
     val grouped = gIdx.nonEmpty
     val emptyKey: Seq[Any] = Nil
 
@@ -154,16 +169,25 @@ object Prefix {
           }
           Iterator.single((pid, if (c == 0L) Nil else Seq((emptyKey, c, ss))))
         } else {
-          val acc = scala.collection.mutable.LinkedHashMap
-            .empty[Seq[Any], (Long, Array[Long])]
+          // groups are contiguous runs in the (group ++ sort)-sorted
+          // partition: run-length accumulate, one key copy per group
+          val out = Seq.newBuilder[(Seq[Any], Long, Array[Long])]
+          var held: Array[Any] = null
+          var c = 0L
+          var ss: Array[Long] = null
           it.foreach { r =>
-            val k = keyOf(r)
-            val (c, ss) = acc.getOrElseUpdate(k, (0L, new Array[Long](nSums)))
+            if (held == null || !keyEquals(r, held)) {
+              if (held != null) out += ((wrap(held), c, ss))
+              held = copyKey(r)
+              c = 0L
+              ss = new Array[Long](nSums)
+            }
             var i = 0
             while (i < nSums) { ss(i) += sval(r, i); i += 1 }
-            acc.update(k, (c + 1L, ss))
+            c += 1L
           }
-          Iterator.single((pid, acc.iterator.map { case (k, (c, ss)) => (k, c, ss) }.toSeq))
+          if (held != null) out += ((wrap(held), c, ss))
+          Iterator.single((pid, out.result()))
         }
       }.collect()
 
@@ -223,7 +247,8 @@ object Prefix {
       val totMap = bcTot.value
       val stats = new GenericInternalRow(nStats)
       val joined = new JoinedRow
-      var curKey: Seq[Any] = null
+      var heldKey: Array[Any] = null
+      var started = false
       var lrn = 0L
       var rnOff = 0L
       var total = 0L
@@ -231,9 +256,9 @@ object Prefix {
       val runSums = new Array[Long](nSums)
       val sumOffs = new Array[Long](nSums)
       it.map { r =>
-        val k = if (grouped) keyOf(r) else emptyKey
-        if (curKey == null || (grouped && k != curKey)) {
-          curKey = k
+        if (!started || (grouped && !keyEquals(r, heldKey))) {
+          started = true
+          val k = if (grouped) { heldKey = copyKey(r); wrap(heldKey) } else emptyKey
           lrn = 0L
           java.util.Arrays.fill(runSums, 0L)
           val (ro, so) = offMap((k, pid))

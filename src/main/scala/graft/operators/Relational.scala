@@ -5990,9 +5990,13 @@ object Relational {
         val exaAggs = qs.map(q =>
           max(when(expr(s"rn = ($q * n + 99) div 100"), col("cents"))).as(s"x$q")) :+
           max(col("n")).as("nn")
+        // the nn filter restores empty-input behavior: groupBy().agg over
+        // an empty frame returns one all-null row (stack would fan it to
+        // 4 spurious null-quantile rows where the oracle emits zero)
         val exa = exact.groupBy().agg(exaAggs.head, exaAggs.tail: _*)
           .select(expr(s"stack(4, ${qs.map(q => s"$q, x$q").mkString(", ")})" +
             " AS (qp, exact_cents)"), col("nn").as("n"))
+          .filter(col("n").isNotNull)
         val ranks = est.join(exa, col("q_pct") === col("qp"))
           .join(exact.select(col("cents").as("c2")),
             col("c2") <= col("est_cents"), "left")

@@ -41,13 +41,20 @@ object Similarity {
     * subspace table is memoized too: cb1 and codes both read it, and on
     * a cold session both builds would otherwise expand it twice.
     */
+  // shared by the s09 index build AND its query side — one definition,
+  // so the probe arithmetic can never drift from the index it reads
+  private val PqSubspaces = 4
+  private val PqL2 = "round(vec_l2sq(%s, cv), 6)"
+  private def embLV(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
+
   private def ivfpqIndex(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
-    val S = 4; val KC = 4
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
-    val l2 = "round(vec_l2sq(%s, cv), 6)"
+    val S = PqSubspaces; val KC = 4
+    val e = embLV(s, d)
+    val l2 = PqL2
     // coarse quantizer: label-mean centroids (broadcast-sized), as s02
     val cent = Dedup.shared(s, d, "s09cent") {
       e.select(col("label"), posexplode(col("v")))
@@ -667,11 +674,10 @@ object Similarity {
     QueryDef("s09_ann_ivfpq",
       (s, d) => {
         Ns.registerFast(s)
-        val S = 4
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"), expr(Ns.toDouble("embedding")).as("v"))
+        val S = PqSubspaces
+        val e = embLV(s, d)
         val (cent, cb1, codes) = ivfpqIndex(s, d)
-        val l2 = "round(vec_l2sq(%s, cv), 6)"
+        val l2 = PqL2
         // queries: probe NPROBE buckets, carry the query residual per bucket
         val q = e.filter(expr(QFILTER)).select(col("vec_id").as("qid"), col("v").as("qv"))
         val wP = Window.partitionBy("qid").orderBy(col("qd2"), col("cl"))
