@@ -62,9 +62,41 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *     window returns); float sums would change under regrouping;
   *   - `group` columns, if any, must be a SMALL domain (they replace a
   *     tiny-domain `partitionBy` whose groups are corpus-sized; the
-  *     driver holds one offset entry per (group, partition)).
+  *     driver holds one offset entry per (group, partition)). This is
+  *     ENFORCED: pass 1 fails fast once any partition sees more than
+  *     `maxGroups` distinct group runs (the range sort keeps each
+  *     group's rows contiguous, so per-partition runs ≈ groups in that
+  *     partition), and the driver re-checks the collected total — a
+  *     high-cardinality group key aborts with a pointer at the
+  *     per-key-window spelling instead of silently collecting
+  *     |groups|×P tuples;
+  *   - `group` column types must have value-based equality on their
+  *     INTERNAL representation (pass 1's run detection compares held
+  *     copies with `equals`). Atomic types, strings, decimals and
+  *     structs of those qualify; `BinaryType` (Array[Byte] — reference
+  *     equality) and map types do not and are rejected up front.
   */
 object Prefix {
+
+  /** Types whose Catalyst-internal values compare correctly with
+    * `equals` — the contract pass 1's run-length group detection needs.
+    * BinaryType is atomic but its internal value is Array[Byte]
+    * (reference equality): a binary group key would fragment every row
+    * into its own run and then miss the pass-2 offset lookup. MapData
+    * likewise has no value equality. Arrays (GenericArrayData) do
+    * implement equals, but every current call site is atomic — keep the
+    * gate tight until a real caller needs more.
+    */
+  private def hasValueEquality(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BinaryType => false
+      case s: StructType => s.fields.forall(f => hasValueEquality(f.dataType))
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
 
   /** Adds global order statistics over `sort` (within optional `group`
     * columns) to `df`:
@@ -96,7 +128,8 @@ object Prefix {
       cumSumsExclusive: Seq[(String, String)] = Nil,
       ntiles: Seq[(Int, String)] = Nil,
       groupCount: Option[String] = None,
-      groupSums: Seq[(String, String)] = Nil): DataFrame = {
+      groupSums: Seq[(String, String)] = Nil,
+      maxGroups: Int = 65536): DataFrame = {
     val spark = df.sparkSession
     val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val keys = group.map(df.col) ++ sort
@@ -115,6 +148,12 @@ object Prefix {
         s"Prefix running sums need exact integer columns; ${schema(i).name} is $dt")
     }
     val sIsInt = sIdx.map(i => schema(i).dataType == IntegerType)
+    gIdx.foreach { i =>
+      require(hasValueEquality(schema(i).dataType),
+        s"Prefix group columns need value-based equality on their internal " +
+          s"representation; ${schema(i).name} is ${schema(i).dataType} " +
+          "(binary/map internals compare by reference)")
+    }
     val gAcc = gIdx.map(i => InternalRow.getAccessor(schema(i).dataType, nullable = true))
     val nSums = sIdx.length
     def sval(r: InternalRow, i: Int): Long = {
@@ -170,15 +209,28 @@ object Prefix {
           Iterator.single((pid, if (c == 0L) Nil else Seq((emptyKey, c, ss))))
         } else {
           // groups are contiguous runs in the (group ++ sort)-sorted
-          // partition: run-length accumulate, one key copy per group
+          // partition: run-length accumulate, one key copy per group.
+          // Fail FAST (in the executor, before anything is collected)
+          // if the group domain violates the small-domain contract —
+          // runs per partition ≈ groups per partition under the range
+          // sort, so a cap here bounds the driver's offset map.
           val out = Seq.newBuilder[(Seq[Any], Long, Array[Long])]
           var held: Array[Any] = null
           var c = 0L
+          var runs = 0
           var ss: Array[Long] = null
           it.foreach { r =>
             if (held == null || !keyEquals(r, held)) {
               if (held != null) out += ((wrap(held), c, ss))
               held = copyKey(r)
+              runs += 1
+              if (runs > maxGroups) throw new IllegalArgumentException(
+                s"Prefix.orderStats: more than $maxGroups distinct group keys " +
+                  s"in one range partition (partition $pid) — the group " +
+                  "columns must be a SMALL domain (the driver holds one " +
+                  "offset per (group, partition)). For a high-cardinality " +
+                  "key, use Window.partitionBy(key) instead: per-key " +
+                  "windows distribute on their own.")
               c = 0L
               ss = new Array[Long](nSums)
             }
@@ -190,6 +242,14 @@ object Prefix {
           Iterator.single((pid, out.result()))
         }
       }.collect()
+    // recheck the collected TOTAL: per-partition runs can each pass the
+    // cap while their union still exceeds it (groups split across few
+    // partitions each). Range sorting keeps groups contiguous, so total
+    // runs ≤ |groups| + P - 1.
+    require(partials.iterator.map(_._2.size.toLong).sum <= maxGroups.toLong + P,
+      s"Prefix.orderStats: pass-1 subtotals exceed $maxGroups entries — " +
+        "group columns must be a SMALL domain; use Window.partitionBy for " +
+        "high-cardinality keys")
 
     // driver: exclusive prefix offsets per (group, pid) + group totals
     val byGroup = partials.sortBy(_._1)

@@ -5273,8 +5273,11 @@ object Relational {
           Seq(col("us"), col("delta")), cumSums = Seq(("dsum", "conc")))
         // n_sessions = the sum of +1 boundary deltas already on the curve
         // — no third pass over the sessionization chain for one scalar
+        // coalesce: sum over an empty curve is NULL, but the count-based
+        // spelling this replaced emitted 0 — keep that value on empty input
         curve.agg(min(struct((col("conc") * -1).as("nc"), col("us"))).as("p"),
-            sum(when(col("delta") === 1L, col("dsum")).otherwise(0L)).as("n_sessions"))
+            coalesce(sum(when(col("delta") === 1L, col("dsum")).otherwise(0L)),
+              lit(0L)).as("n_sessions"))
           .select(col("n_sessions"),
             (col("p.nc") * -1).as("peak_concurrency"), col("p.us").as("first_peak_us"))
       },

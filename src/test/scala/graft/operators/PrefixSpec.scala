@@ -148,6 +148,37 @@ class PrefixSpec extends SparkSpec {
       s"unjustified global windows:\n${offenders.mkString("\n")}")
   }
 
+  test("high-cardinality group keys fail fast instead of flooding the driver") {
+    val sp = spark
+    import sp.implicits._
+    // 200 distinct groups against a cap of 8: pass 1 must abort in the
+    // executor (or the driver recheck), never return a silent result
+    val df = (0 until 1000).map(i => (i % 200L, i.toLong, 1L)).toDF("g", "id", "w")
+    val e = intercept[Exception] {
+      Prefix.orderStats(df, Seq(col("id")), group = Seq("g"),
+        rn = Some("rn"), maxGroups = 8).collect()
+    }
+    // executor-side throws surface wrapped in SparkException — match the
+    // contract message wherever it lands in the cause chain
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("SMALL domain")), messages(e).mkString(" | "))
+    // the same shape under the default cap is fine
+    val ok = Prefix.orderStats(df, Seq(col("id")), group = Seq("g"), rn = Some("rn"))
+    assert(ok.count() === 1000L)
+  }
+
+  test("binary group columns are rejected up front (no value equality)") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0 until 10).map(i => (Array[Byte]((i % 2).toByte), i.toLong, 1L))
+      .toDF("g", "id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Prefix.orderStats(df, Seq(col("id")), group = Seq("g"), rn = Some("rn"))
+    }
+    assert(e.getMessage.contains("value-based equality"))
+  }
+
   test("a duplicated-key group spanning range partitions stays exact") {
     val sp = spark
     import sp.implicits._
