@@ -750,18 +750,29 @@ object Dedup {
     // in-bucket length band, instead of an all-pairs scan. levenshtein()
     // has identical unit-cost semantics in both engines, so the oracle
     // mirrors the whole pipeline exactly. Scale: distance computed only
-    // inside blocks; titles (24 chars), not documents, are shuffled.
+    // inside blocks; titles (24 chars), not documents, are shuffled —
+    // and the blocking key itself is DE-SKEWED: boilerplate prefixes
+    // ("The ", "http", "<!DO") concentrate a huge fraction of a crawl
+    // corpus onto single join keys, so prefixes above HOT_PFX rows are
+    // routed through Skew.deskewedJoin (a-side salted 8 ways by doc_a,
+    // b-side replicated — per-reducer candidate work drops ~8x on the
+    // hot keys) while the long tail pays no replication. The threshold
+    // is corpus-relative in production; 128 here so the fixture's own
+    // top prefixes exercise the salted path at sf0.1. Row set identical
+    // to the plain join (the oracle) by construction.
     QueryDef("d08_editdist_join",
       (s, d) => {
         val t = Tables.documents(s, d)
           .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
           .withColumn("pfx", substring(col("title"), 1, 4))
           .withColumn("len", length(col("title")))
+        val hot = t.groupBy("pfx").agg(count(lit(1)).as("n_pfx"))
+          .filter(col("n_pfx") >= 128).select("pfx")
         val a = t.select(col("doc_id").as("doc_a"), col("title").as("ta"),
           col("pfx"), col("len").as("la"))
         val b = t.select(col("doc_id").as("doc_b"), col("title").as("tb"),
           col("pfx"), col("len").as("lb"))
-        a.join(b, Seq("pfx"))
+        Skew.deskewedJoin(a, b, "pfx", col("doc_a"), hot, salts = 8)
           .filter(col("doc_a") < col("doc_b") &&
             abs(col("la") - col("lb")) <= 2)
           .select(col("doc_a"), col("doc_b"),

@@ -29,6 +29,30 @@ object Skew {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Equi-join `a ⋈ b` on `key` with HOT keys (those in `hotKeys`, a
+    * one-column frame of key values) routed through [[saltedJoin]] and
+    * the long tail through the plain shuffle join. The blocking-key
+    * de-skew for self-join candidate generation: on a crawl corpus a
+    * handful of boilerplate blocking keys ("The ", "http", "<!DO"
+    * title prefixes) concentrate a huge row fraction on single
+    * reducers even though the plan is a proper equi-join — salting
+    * spreads each hot key over `salts` reducers (per-task candidate
+    * work drops ~salts-fold) while the tail pays no replication at
+    * all. `hotKeys` is broadcast (it is by definition a short list),
+    * the two paths partition the key domain, and the union is
+    * row-identical to the plain join.
+    */
+  def deskewedJoin(a: DataFrame, b: DataFrame, key: String,
+      discriminator: Column, hotKeys: DataFrame, salts: Int): DataFrame = {
+    val hk = broadcast(hotKeys.select(col(key)).distinct())
+    val cold = a.join(hk, Seq(key), "left_anti")
+      .join(b.join(hk, Seq(key), "left_anti"), Seq(key))
+    val hot = saltedJoin(
+      a.join(hk, Seq(key), "left_semi"),
+      b.join(hk, Seq(key), "left_semi"), key, discriminator, salts)
+    cold.unionByName(hot)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // -------------------------------------------------------------------
