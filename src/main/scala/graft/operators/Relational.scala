@@ -6285,13 +6285,32 @@ object Relational {
             col("frequency"), col("monetary_cents"))
         // three global quintiles over the CUSTOMER dimension — each a
         // Prefix.orderStats two-pass rank (range-partitioned, no
-        // single-task global sort even when customers are billions)
-        val r1 = Prefix.orderStats(per,
-          Seq(col("recency_days").desc, col("custkey")), ntiles = Seq((5, "r")))
-        val r2 = Prefix.orderStats(r1,
-          Seq(col("frequency").asc, col("custkey")), ntiles = Seq((5, "f")))
-        Prefix.orderStats(r2,
-          Seq(col("monetary_cents").asc, col("custkey")), ntiles = Seq((5, "m")))
+        // single-task global sort even when customers are billions).
+        // localCheckpoint between the chained ranks: each orderStats
+        // runs two jobs over its input, so an unmaterialized chain
+        // re-runs every predecessor's reduce-side sort per job (sort1
+        // executed 4x, sort2 3x) — checkpointing makes each rank scan
+        // materialized rows instead.
+        val perC = per.localCheckpoint()
+        // the three ranks are INDEPENDENT scans of the same base — run
+        // their (eager) pass-1 subtotal jobs from parallel threads so
+        // the per-job scheduling floors overlap instead of serializing
+        // (the chained spelling paid 3x the floor; measured equal or
+        // worse under every serial re-arrangement)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        def quintile(src: String, desc: Boolean, out: String) = Future {
+          val sc = if (desc) col(src).desc else col(src).asc
+          Prefix.orderStats(perC.select(col("custkey"), col(src)),
+            Seq(sc, col("custkey")), ntiles = Seq((5, out)))
+            .select(col("custkey"), col(out))
+        }
+        val ranks = Await.result(Future.sequence(Seq(
+          quintile("recency_days", desc = true, "r"),
+          quintile("frequency", desc = false, "f"),
+          quintile("monetary_cents", desc = false, "m"))), Duration.Inf)
+        ranks.foldLeft(perC)((acc, r) => acc.join(r, "custkey"))
           .withColumn("segment", expr(
             """CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
                     WHEN r >= 4 AND f <= 2 THEN 'new'
