@@ -39,8 +39,24 @@ object Bench {
     // witness change can be exercised in isolation (the driver never sets it)
     val queryList = if (sys.env.contains("SPARK_GRAFT_WITNESS_ONLY")) Nil
       else SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = queryList.map { case (name, fn) =>
-      try {
+    // In-run DRIFT SENTINEL: a fixed, memo-free probe (codegen agg over
+    // a synthetic range + a small parquet scan-agg) timed before the
+    // sweep and after every 25th query. Three rounds running, the
+    // driver-box artifact has shown a contiguous run-order inflation
+    // cluster that a different box couldn't reproduce; the sentinel
+    // series makes each artifact self-adjudicating — inflated sentinels
+    // around inflated queries = environmental (GC/page-cache/neighbor),
+    // flat sentinels + inflated queries = a real code regression.
+    val sentinelDf = spark.read.parquet(s"$sfDir/supplier.parquet")
+    def sentinel(): Double = time {
+      spark.range(4000000).selectExpr("sum(id % 97)").collect()
+      sentinelDf.selectExpr("count(*)", "sum(hash(s_name))").collect()
+    }
+    sentinel() // warm the probe's own plan/codegen once
+    val sentinels = Seq.newBuilder[(String, Double)]
+    sentinels += (("start", sentinel()))
+    val results = queryList.zipWithIndex.map { case ((name, fn), i) =>
+      val r = try {
         val first = time(fn(spark, sfDir).count())
         val timed = Seq.fill(3)(time(fn(spark, sfDir).count())).sorted
         (name, first, timed(1), true)
@@ -49,7 +65,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           (name, -1.0, -1.0, false)
       }
+      if ((i + 1) % 25 == 0) sentinels += ((name, sentinel()))
+      r
     }
+    if (queryList.nonEmpty) sentinels += (("end", sentinel()))
+    val sentinelSeries = sentinels.result()
     def jmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failure sentinel is ALREADY -1.0 — negate nothing, or the marker
@@ -62,7 +82,16 @@ object Bench {
       else "," + solverWitness(spark) + "," + pipelineWitness(spark) +
         "," + knnLadderWitness(spark) + "," + knnSynthWitness(spark) +
         "," + prefixWitness(spark) + "," + invarianceWitness(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"first":$firsts$witness,"sf":"$sfDir"}""")
+    // sentinel series: one entry per probe, keyed by the query it ran
+    // AFTER (run order = sorted query names), plus summary stats — the
+    // max/median ratio is the one-line environmental-drift verdict
+    val sentSecs = sentinelSeries.map(_._2).sorted
+    val sentMed = if (sentSecs.isEmpty) 0.0 else sentSecs(sentSecs.size / 2)
+    val sentJson = sentinelSeries
+      .map { case (at, sec) => s"""{"after":"$at","sec":$sec}""" }
+      .mkString("[", ",", "]")
+    val sentStats = s""""sentinel_med":$sentMed,"sentinel_max":${if (sentSecs.isEmpty) 0.0 else sentSecs.last}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"first":$firsts,"sentinel_series":$sentJson,$sentStats$witness,"sf":"$sfDir"}""")
     // The full line above can exceed the driver's tail-truncation window,
     // leaving BENCH_r*.json unparseable. Repeat the headline as ONE compact
     // final line (driver contract keys + per-family median subtotals) so
@@ -88,6 +117,7 @@ object Bench {
       try {
         w.println("{")
         w.println(s""" "sf": "$sfDir", "failed": $nFailed, "total_sec": $total,""")
+        w.println(s""" "sentinel_series": $sentJson, $sentStats,""")
         w.println(""" "queries": {""")
         val lines = results.map { case (n, first, med, _) =>
           s"""  "$n": {"median_sec": $med, "first_sec": $first}"""
@@ -100,7 +130,7 @@ object Bench {
     // LAST stdout line, after spark.stop() so no shutdown logging can
     // follow it on stdout (Spark logs to stderr, but keep the ordering
     // airtight): the compact driver-contract summary.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"families":${jmap(fams)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"families":${jmap(fams)},$sentStats,"sf":"$sfDir"}""")
     System.out.flush()
   }
 
@@ -125,11 +155,14 @@ object Bench {
     // r9 additions: q139 (three chained Prefix.orderStats ntiles — the
     // two-pass prefix scan must not depend on the range partitioner's
     // boundary placement) and q124 (Prefix cumulative sweep line)
+    // r10 addition: d08 (hot/cold two-path union of the de-skewed
+    // blocking join — the salted and plain paths must reassemble the
+    // same row set under any partitioning)
     val reps = Seq("q01_pricing_summary", "d02_minhash_lsh", "s01_cosine_topk",
       "t01_lang_id", "g01_pagerank",
       "p14_bin_packing", "st17_stream_cusum", "m08_shot_boundary", "c03_dbscan_grid",
       "d17_window_substring_dup", "q168_markov_attribution",
-      "q139_rfm_segmentation", "q124_peak_concurrency")
+      "q139_rfm_segmentation", "q124_peak_concurrency", "d08_editdist_join")
     val parts = Seq(5, 13, 32)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     def contentHash(name: String): String = {
@@ -210,8 +243,13 @@ object Bench {
     * geometry rule h ~ log2(n) - 3 (probed fraction |ball|/2^h keeps
     * falling as n grows), reporting wall seconds + listener-measured
     * shuffle MB per rung. Timed ONCE per rung (the 50k build is
-    * seconds; its thousands of tasks self-average) — the claim
+    * minutes; its thousands of tasks self-average) — the claim
     * witnessed: cost grows with blocked candidate pairs, not n².
+    * Each rung also reports recall@3 ppm of the blocked builder vs the
+    * exact fixed-count sampled arm (Ns.SampleK queries, the g19
+    * recipe) so the quality claims no longer rest on the <=2000-row
+    * fixtures alone — see the adversarial-floor note at the
+    * computation below before reading the absolute numbers.
     *
     * The vectors round-trip through a temp PARQUET table (not fed
     * straight from spark.range): a Range source reports
@@ -243,13 +281,45 @@ object Bench {
         }
       }
       spark.sparkContext.addSparkListener(listener)
-      val sec = time(
-        graft.operators.Graph.knnDirectedBlockedOn(spark, ev, h, 2).count())
+      // timed action: build + materialize (localCheckpoint), so the
+      // recall pin below can REUSE the built lists instead of paying
+      // the minutes-long 50k build twice; materializing n*3 id pairs
+      // adds negligible wall over the count() this replaces
+      var blocked: org.apache.spark.sql.DataFrame = null
+      val sec = time {
+        blocked = graft.operators.Graph.knnDirectedBlockedOn(spark, ev, h, 2)
+          .localCheckpoint()
+      }
       Thread.sleep(1000) // listener bus drains asynchronously
       spark.sparkContext.removeSparkListener(listener)
-      s""""n$n":{"h":$h,"sec":$sec,"shuffle_mb":${shuffleBytes.get / 1e6}}"""
+      // recall@3 vs the exact arm on the fixed Ns.SampleK query budget
+      // (the g19 recipe: 64 smallest-md5-rank ids broadcast against the
+      // corpus — O(K·n)) — QUALITY at synthetic scale, not just cost;
+      // the fixture recall pins top out at 2000 vectors. Reading note:
+      // uniform-random vectors are sign-LSH's ADVERSARIAL floor — the
+      // true 3-NN cosines FALL as n grows (~0.45 at n=50k), so the
+      // per-table Hamming<=2 collision odds drop and recall falls with
+      // n by construction (~0.82/0.39/0.24 measured, vs ~60 ppm for a
+      // random-candidate baseline at 50k — still ~4000x above chance);
+      // clustered production embeddings sit far above this floor (the
+      // fixture pins g19/s11-s13 read 90%+).
+      val ns = graft.operators.Ns
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cosine").desc, col("nb"))
+      val q = ev.orderBy(expr(ns.sampleRank("vec_id")), col("vec_id"))
+        .limit(ns.SampleK)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val exact = ev.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nb"),
+          round(expr(ns.dot("qv", "v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("qid", "nb").localCheckpoint()
+      val hits = blocked.join(exact, Seq("qid", "nb"), "left_semi").count()
+      val tot = exact.count()
+      val recallPpm = if (tot == 0) 0L else hits * 1000000L / tot
+      s""""n$n":{"h":$h,"sec":$sec,"shuffle_mb":${shuffleBytes.get / 1e6},"recall_ppm":$recallPpm}"""
     }
-    s""""knn_synth_witness":{"query":"knnDirectedBlockedOn","dims":64,${entries.mkString(",")}}"""
+    s""""knn_synth_witness":{"query":"knnDirectedBlockedOn","dims":64,"recall_at":3,"sample_k":${graft.operators.Ns.SampleK},${entries.mkString(",")}}"""
   }
 
   /** Global-order-statistics witness: the single-task `Window.orderBy`
@@ -265,7 +335,10 @@ object Bench {
     *    n/P per task — the gap IS the straggler the r9 rewrites
     *    removed, and at 100 TB the window arm is not slow but
     *    impossible (one task must hold the corpus);
-    *  - timed once per arm after a warm run (plan/codegen excluded).
+    *  - each arm reports the MEDIAN of 3 timed runs after a warm run
+    *    (plan/codegen excluded) — a one-shot wall clock on this
+    *    drifting box can misstate the window-vs-prefix ratio at the
+    *    small rung.
     */
   private def prefixWitness(spark: SparkSession): String = {
     import org.apache.spark.sql.functions._
@@ -289,8 +362,16 @@ object Bench {
         .orderStats(df, sort, rn = Some("rn"), cumSums = Seq(("w", "cw")))
         .agg(sum(col("rn")), sum(col("cw"))).collect()(0)
       windowArm(); prefixArm() // warm (plan/codegen), unmetered
-      val (wRow, wSec) = { val t0 = System.nanoTime(); val r = windowArm(); (r, (System.nanoTime() - t0) / 1e9) }
-      val (pRow, pSec) = { val t0 = System.nanoTime(); val r = prefixArm(); (r, (System.nanoTime() - t0) / 1e9) }
+      def med3(f: () => org.apache.spark.sql.Row): (org.apache.spark.sql.Row, Double) = {
+        val runs = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          val r = f()
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        (runs.head._1, runs.map(_._2).sorted.apply(1))
+      }
+      val (wRow, wSec) = med3(() => windowArm())
+      val (pRow, pSec) = med3(() => prefixArm())
       s""""n$n":{"window_sec":$wSec,"prefix_sec":$pSec,"equal":${wRow == pRow}}"""
     }
     s""""prefix_witness":{"stats":"rn+cumsum","tasks_window_arm":1,${entries.mkString(",")}}"""

@@ -371,6 +371,40 @@ object Graph {
   private val TRUSS_K = 4
   private val TRUSS_ROUNDS = 4
 
+  /** Per-edge triangle support of an undirected edge set (a < b) via
+    * DEGREE-ORDERED ORIENTATION (Chiba-Nishizeki / Latapy): orient every
+    * live edge from its lower-(degree, id) endpoint to the higher,
+    * enumerate wedges only among each center's OUT-neighbors — each
+    * triangle found exactly ONCE — and credit its three edges with an
+    * explode + partial-agg count. On a near-clique graph the wedge join
+    * shrinks ~3x vs the undirected spelling. Shared by g15's peel loop
+    * and the TrussProbe breakdown tool.
+    */
+  private[graft] def trussSupportOf(live: DataFrame): DataFrame = {
+    val deg = live.select(col("a").as("n")).unionAll(live.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val o = live
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+    val tri = o.select(col("src").as("w"), col("dst").as("u"))
+      .join(o.select(col("src").as("w2"), col("dst").as("v")),
+        col("w") === col("w2") && col("u") < col("v"))
+      .join(live.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_semi")
+    tri.select(explode(array(
+        struct(least(col("w"), col("u")).as("u"), greatest(col("w"), col("u")).as("v")),
+        struct(least(col("w"), col("v")).as("u"), greatest(col("w"), col("v")).as("v")),
+        struct(col("u"), col("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+  }
+
   /** k-core decomposition (k=2) of the near-dup graph by iterative
     * peeling (Matula-Beck): drop every node whose degree among LIVE
     * nodes is < k, recompute, repeat. The 2-core strips pendant
@@ -1168,30 +1202,7 @@ object Graph {
         // the peel sequence, the final output and the unrolled DuckDB
         // oracle are all unchanged. Measured at sf0.1: 9.9 s -> see
         // SURVEY §8 (the per-round join is the whole cost of g15).
-        def supportOf(live: org.apache.spark.sql.DataFrame) = {
-          val deg = live.select(col("a").as("n")).unionAll(live.select(col("b").as("n")))
-            .groupBy("n").agg(count(lit(1)).as("dg"))
-          val o = live
-            .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
-            .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
-            .select(
-              when(col("da") < col("db") ||
-                (col("da") === col("db") && col("a") < col("b")), col("a"))
-                .otherwise(col("b")).as("src"),
-              when(col("da") < col("db") ||
-                (col("da") === col("db") && col("a") < col("b")), col("b"))
-                .otherwise(col("a")).as("dst"))
-          val tri = o.select(col("src").as("w"), col("dst").as("u"))
-            .join(o.select(col("src").as("w2"), col("dst").as("v")),
-              col("w") === col("w2") && col("u") < col("v"))
-            .join(live.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_semi")
-          tri.select(explode(array(
-              struct(least(col("w"), col("u")).as("u"), greatest(col("w"), col("u")).as("v")),
-              struct(least(col("w"), col("v")).as("u"), greatest(col("w"), col("v")).as("v")),
-              struct(col("u"), col("v")))).as("e"))
-            .select(col("e.u").as("u"), col("e.v").as("v"))
-            .groupBy("u", "v").agg(count(lit(1)).as("support"))
-        }
+        def supportOf(live: org.apache.spark.sql.DataFrame) = trussSupportOf(live)
         // `sup` is kept in sync with `live` (support of the CURRENT edge
         // set), so each wedge join is computed exactly once: round 1
         // reuses sup0, the fixpoint round reuses the previous support
@@ -1208,22 +1219,64 @@ object Graph {
         var sup = sup0raw
         var prevN = e0.count()
         var fixed = false
+        // ONE materialization per round (withSup); live and sup stay
+        // LAZY projections/filters over it, so a round costs two jobs
+        // (checkpoint + fixpoint count), not four. sup_t's lineage
+        // reaches TWO withSups back (its decrement walk reads the
+        // previous round's live), and the post-loop projection reads
+        // the final live AND sup — so checkpoints are released with a
+        // THREE-round delay; at most 4 bounded frames stay pinned.
+        val pinned = scala.collection.mutable.Queue.empty[org.apache.spark.sql.DataFrame]
         for (_ <- 1 to TRUSS_ROUNDS if !fixed) {
           val prevLive = live
-          live = live
+          // attach support ONCE per round: feeds both the survivor peel
+          // and the removed set the incremental update walks
+          val withSup = live
             .join(sup, col("a") === col("u") && col("b") === col("v"), "left")
-            .filter(coalesce(col("support"), lit(0L)) >= TRUSS_K - 2)
-            .select("a", "b").localCheckpoint()
+            .select(col("a"), col("b"),
+              coalesce(col("support"), lit(0L)).as("s"))
+            .localCheckpoint()
+          pinned.enqueue(withSup)
+          if (pinned.size > 3) Iterate.release(pinned.dequeue())
+          live = withSup.filter(col("s") >= TRUSS_K - 2).select("a", "b")
           val n = live.count()
-          // release superseded round state (e0 and sup0raw feed the final
-          // projection and must stay pinned)
-          if (prevLive ne e0) Iterate.release(prevLive)
           if (n == prevN) fixed = true
           else {
             prevN = n
-            val prevSup = sup
-            sup = supportOf(live).localCheckpoint()
-            if (prevSup ne sup0raw) Iterate.release(prevSup)
+            // INCREMENTAL support maintenance (r10; probe-measured: the
+            // full wedge-join recompute ran 4x at 1.0-1.3 s each while
+            // rounds removed only 3960/387/39 edges). A surviving
+            // edge's support drops by the number of prevLive triangles
+            // it shares with a REMOVED edge, so: enumerate each such
+            // triangle once — every removed edge has support <= 1 by
+            // the peel predicate, so there are at most |removed| of
+            // them — as (removed edge, common neighbor w) with both
+            // side edges in prevLive, dedupe the sorted triple (a
+            // triangle with 2-3 removed edges is found once per
+            // removed edge), and decrement its SURVIVING edges.
+            // Identical values to supportOf(live): new support =
+            // old support - (prevLive triangles lost to removals).
+            val removed = withSup.filter(col("s") < TRUSS_K - 2)
+              .select(col("a").as("ru"), col("b").as("rv"))
+            val adj = prevLive.select(col("a").as("ru"), col("b").as("w"))
+              .unionAll(prevLive.select(col("b").as("ru"), col("a").as("w")))
+            val tri = removed
+              .join(adj, "ru") // w runs over N_prevLive(ru)
+              .join(prevLive.select(col("a").as("p"), col("b").as("q")),
+                least(col("rv"), col("w")) === col("p") &&
+                  greatest(col("rv"), col("w")) === col("q"), "left_semi")
+              .select(array_sort(array(col("ru"), col("rv"), col("w"))).as("t"))
+              .distinct()
+            val dec = tri.select(explode(array(
+                struct(col("t")(0).as("du"), col("t")(1).as("dv")),
+                struct(col("t")(0).as("du"), col("t")(2).as("dv")),
+                struct(col("t")(1).as("du"), col("t")(2).as("dv")))).as("e"))
+              .select(col("e.du").as("du"), col("e.dv").as("dv"))
+              .groupBy("du", "dv").agg(count(lit(1)).as("dcount"))
+            sup = withSup.filter(col("s") >= TRUSS_K - 2)
+              .join(dec, col("a") === col("du") && col("b") === col("dv"), "left")
+              .select(col("a").as("u"), col("b").as("v"),
+                (col("s") - coalesce(col("dcount"), lit(0L))).as("support"))
           }
         }
         val supF = sup

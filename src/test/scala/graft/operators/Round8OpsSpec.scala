@@ -88,4 +88,19 @@ class Round8OpsSpec extends SparkSpec {
     assert(growth <= 6,
       s"c10 pinned $growth new RDDs on a repeat run - loop rounds are leaking checkpoints")
   }
+
+  test("g15's incremental peel keeps a bounded checkpoint ring") {
+    // r10: the truss loop materializes ONE frame per round (withSup) and
+    // releases with a three-round delay (sup's lineage reaches two
+    // rounds back, the final projection reads the last live AND sup).
+    // Growth per call must be the bounded ring + sup0, never one frame
+    // per round compounding beyond it.
+    val run = graft.SparkEntry.queries("g15_ktruss")
+    run(spark, sf0001).count() // warms the shared simhash-pair memo
+    val afterFirst = pinned
+    run(spark, sf0001).count()
+    val growth = pinned - afterFirst
+    assert(growth <= 6,
+      s"g15 pinned $growth new RDDs on a repeat run - the withSup ring is leaking")
+  }
 }
