@@ -87,10 +87,15 @@ object Bench {
     // max/median ratio is the one-line environmental-drift verdict
     val sentSecs = sentinelSeries.map(_._2).sorted
     val sentMed = if (sentSecs.isEmpty) 0.0 else sentSecs(sentSecs.size / 2)
+    val sentMax = if (sentSecs.isEmpty) 0.0 else sentSecs.last
+    // one-word adjudication: a probe that inflates >1.5x its own median
+    // mid-run means the box drifted DURING this run — per-query movers
+    // in the inflated stretch are environmental until isolated-retimed
+    val drift = if (sentMed > 0 && sentMax / sentMed > 1.5) "drifting" else "flat"
     val sentJson = sentinelSeries
       .map { case (at, sec) => s"""{"after":"$at","sec":$sec}""" }
       .mkString("[", ",", "]")
-    val sentStats = s""""sentinel_med":$sentMed,"sentinel_max":${if (sentSecs.isEmpty) 0.0 else sentSecs.last}"""
+    val sentStats = s""""sentinel_med":$sentMed,"sentinel_max":$sentMax,"drift_verdict":"$drift""""
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"first":$firsts,"sentinel_series":$sentJson,$sentStats$witness,"sf":"$sfDir"}""")
     // The full line above can exceed the driver's tail-truncation window,
     // leaving BENCH_r*.json unparseable. Repeat the headline as ONE compact

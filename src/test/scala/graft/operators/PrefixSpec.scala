@@ -168,6 +168,27 @@ class PrefixSpec extends SparkSpec {
     assert(ok.count() === 1000L)
   }
 
+  test("struct group keys regroup exactly (UnsafeRow byte equality)") {
+    val sp = spark
+    import sp.implicits._
+    // the guard admits structs of value-equal types: rows from one sort
+    // pipeline compare as UnsafeRow bytes, so equal values = equal keys
+    val df = (0 until 400)
+      .map(i => (if (i % 2 == 0) "x" else "y", i % 3, i.toLong, 1L))
+      .toDF("s1", "s2", "id", "w")
+      .select(struct(col("s1"), col("s2")).as("g"), col("id"), col("w"))
+    val w = Window.partitionBy("g").orderBy(col("id"))
+    val expected = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cw", sum(col("w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val got = Prefix.orderStats(df, Seq(col("id")), group = Seq("g"),
+      rn = Some("rn"), cumSums = Seq(("w", "cw")))
+    assert(got.orderBy(col("g.s1"), col("g.s2"), col("id")).collect().toSeq ===
+      expected.select(got.columns.map(col): _*)
+        .orderBy(col("g.s1"), col("g.s2"), col("id")).collect().toSeq)
+  }
+
   test("binary group columns are rejected up front (no value equality)") {
     val sp = spark
     import sp.implicits._
